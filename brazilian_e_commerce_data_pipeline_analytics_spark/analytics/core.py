@@ -1,0 +1,573 @@
+"""Core relational queries (SURVEY.md §2.1-2.4, §2.7-2.8).
+
+Each query generalizes an operator the reference exercises — scans,
+projections, filters, equi-joins with broadcast dims, hash aggregations,
+deterministic dedup, quality gates, set ops, date spine, scalar functions —
+re-expressed over the driver's TPC-H-ish tables so the DuckDB oracle can
+verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import davg, dmoney, dsum
+from ..operators.aggregates import quality_check
+from ..operators.datespine import date_spine
+from ..operators.dedup import key_dedup, distinct_rows
+from ..operators.joins import anti_join, equi_join, semi_join
+from ..operators.projection import rename_select
+from ..operators.setops import except_distinct, intersect_distinct
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q01: pricing summary — the classic scan→filter→hash-agg shape (A2-A4 wide
+# aggs, reference reporting.py:260-321). Filter pushes to the parquet scan;
+# one shuffle on the 6-value group key; map-side partial agg does ~all work.
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", oracle=_Q01_ORACLE, tags=("agg", "filter", "scan"))
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02: per-key wide agg at full key cardinality (A4 "items per order",
+# reference reporting.py:317-321). The expensive shape: shuffle on a
+# high-cardinality key; AQE coalesces post-shuffle partitions.
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+SELECT
+  l_orderkey,
+  COUNT(*) AS n_items,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross_value,
+  MIN(l_linenumber) AS first_line,
+  MAX(l_linenumber) AS last_line
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@register("q02_items_per_order", oracle=_Q02_ORACLE, tags=("agg",))
+def q02_items_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "gross_value"),
+        F.min("l_linenumber").alias("first_line"),
+        F.max("l_linenumber").alias("last_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03: broadcast-dim join chain region⋈nation⋈customer⋈orders (J4 dashboard
+# joins). nation/region are broadcast — the orders side never shuffles for
+# the dim joins; only the final groupBy exchanges data.
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT
+  r_name,
+  COUNT(DISTINCT c.c_custkey) AS n_customers,
+  COUNT(o.o_orderkey) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer c ON c.c_nationkey = n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r_name
+"""
+
+
+@register("q03_region_revenue", oracle=_Q03_ORACLE, tags=("join", "agg", "broadcast"))
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dims = equi_join(
+        nation,
+        region,
+        on=nation.n_regionkey == region.r_regionkey,
+        broadcast_right=True,
+    )
+    cust = equi_join(customer, dims, on=customer.c_nationkey == dims.n_nationkey, broadcast_right=True)
+    full = equi_join(orders, cust, on=orders.o_custkey == cust.c_custkey, broadcast_right=False)
+    return full.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04: segment stats — groupBy + avg on a low-cardinality key (A8 totals).
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal,
+  MIN(c_acctbal) AS min_acctbal,
+  MAX(c_acctbal) AS max_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("q04_segment_stats", oracle=_Q04_ORACLE, tags=("agg",))
+def q04_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal", "avg_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05: filter + groupBy count (P2/P8 + A-counts): order priorities in a
+# date range. The date predicate is pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+
+_Q05_ORACLE = """
+SELECT
+  o_orderpriority,
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderstatus IN ('O', 'F')
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("q05_priority_counts", oracle=_Q05_ORACLE, tags=("filter", "agg"))
+def q05_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("o_orderstatus").isin("O", "F")
+        )
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06: global min/max/count (A1, reference date-range probe
+# reporting.py:56-63) — kept fully distributed, no collect().
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = """
+SELECT
+  MIN(o_orderdate) AS min_orderdate,
+  MAX(o_orderdate) AS max_orderdate,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
+@register("q06_order_date_range", oracle=_Q06_ORACLE, tags=("agg",))
+def q06_order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07: distinct (A5) on projected columns.
+# ---------------------------------------------------------------------------
+
+_Q07_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+@register("q07_distinct_status_priority", oracle=_Q07_ORACLE, tags=("distinct",))
+def q07_distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return distinct_rows(o, ["o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# q08: deterministic key-dedup (A6). The reference's dropDuplicates picks an
+# arbitrary row (transformation.py:70); here the pick follows a TOTAL order
+# (l_linenumber alone is not unique within an order in this data — the
+# tiebreaker must extend to a unique key) — same shuffle, reproducible
+# result.
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+"""
+
+
+@register("q08_dedup_first_line", oracle=_Q08_ORACLE, tags=("dedup", "window"))
+def q08_dedup_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    deduped = key_dedup(
+        li, keys=["l_orderkey"], order_by=["l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    return deduped.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# q09: quality-gate probe (A7, Dag/E-commerce_dag.py:22-37) as a single
+# conditional-count aggregation over lineitem.
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag
+FROM lineitem
+"""
+
+
+@register("q09_quality_gate", oracle=_Q09_ORACLE, tags=("quality", "agg"))
+def q09_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality_check(
+        li,
+        {
+            "null_orderkey": F.col("l_orderkey").isNull(),
+            "nonpositive_qty": F.col("l_quantity") <= 0,
+            "bad_discount": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: two-level "average daily revenue" (A8 dashboard semantics,
+# Readme.md:157-196): per-day exact sums, then stats over days. The second
+# aggregation input is one row per day — tiny at any scale.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  COUNT(*) AS n_days,
+  CAST(SUM(day_total) AS DOUBLE) / COUNT(*) AS avg_daily_revenue,
+  MIN(CAST(day_total AS DOUBLE)) AS min_daily_revenue,
+  MAX(CAST(day_total AS DOUBLE)) AS max_daily_revenue
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_total
+  FROM orders
+  GROUP BY 1
+)
+"""
+
+
+@register("q10_avg_daily_revenue", oracle=_Q10_ORACLE, tags=("agg", "two-level"))
+def q10_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(dmoney("o_totalprice")).alias("day_total")
+    )
+    return per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("day_total").cast("double") / F.count(F.lit(1))).alias("avg_daily_revenue"),
+        F.min(F.col("day_total").cast("double")).alias("min_daily_revenue"),
+        F.max(F.col("day_total").cast("double")).alias("max_daily_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11/q12: set operations (§2.7).
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("q11_intersect_custkeys", oracle=_Q11_ORACLE, tags=("setop",))
+def q11_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return intersect_distinct(a, b)
+
+
+_Q12_ORACLE = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("q12_except_custkeys", oracle=_Q12_ORACLE, tags=("setop",))
+def q12_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return except_distinct(c.select("c_custkey"), open_cust)
+
+
+# ---------------------------------------------------------------------------
+# q13/q14: semi/anti joins (§2.3 extension — "orders without reviews"-style
+# dashboard questions).
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+@register("q13_semi_big_spenders", oracle=_Q13_ORACLE, tags=("join", "semi"))
+def q13_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi_join(c.select("c_custkey", "c_name", "c_mktsegment"), big, on="c_custkey")
+
+
+_Q14_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@register("q14_anti_no_orders", oracle=_Q14_ORACLE, tags=("join", "anti"))
+def q14_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        c.select("c_custkey", "c_name"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: left outer join with null-aware counts (§2.3 extension).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+SELECT
+  n_name,
+  COUNT(c.c_custkey) AS n_customers,
+  CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive_bal
+FROM nation
+LEFT JOIN customer c ON c.c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("q15_nation_customer_counts", oracle=_Q15_ORACLE, tags=("join", "left"))
+def q15_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    joined = equi_join(n, c, on=c.c_nationkey == n.n_nationkey, how="left")
+    return joined.groupBy("n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("n_positive_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: distributed date spine + calendar attributes (S5/S8 + dim_date
+# semantics, reference reporting.py:56-92 — without the collect()).
+# DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — oracle shifts by +1.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT
+  CAST(gs AS DATE) AS d,
+  CAST(strftime(gs, '%Y%m%d') AS INT) AS date_sk,
+  year(gs) AS y,
+  month(gs) AS m,
+  quarter(gs) AS q,
+  weekofyear(gs) AS iso_week,
+  dayofweek(gs) + 1 AS dow,
+  CASE WHEN dayofweek(gs) + 1 IN (1, 7) THEN TRUE ELSE FALSE END AS is_weekend
+FROM (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn, MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders) t,
+LATERAL (SELECT unnest(generate_series(t.mn::TIMESTAMP, t.mx::TIMESTAMP, INTERVAL 1 DAY)) AS gs) s
+"""
+
+
+@register("q16_date_spine", oracle=_Q16_ORACLE, tags=("spine", "datetime"))
+def q16_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spine = date_spine(o, "o_orderdate", date_alias="d")
+    dow = F.dayofweek("d")
+    return spine.select(
+        F.col("d"),
+        F.date_format("d", "yyyyMMdd").cast("int").alias("date_sk"),
+        F.year("d").alias("y"),
+        F.month("d").alias("m"),
+        F.quarter("d").alias("q"),
+        F.weekofyear("d").alias("iso_week"),
+        dow.alias("dow"),
+        dow.isin(1, 7).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: scalar string functions (§2.8) — projection-only, no shuffle.
+# format_string ↔ printf, split+getItem ↔ split_part.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  length(p_name) AS name_len,
+  p_brand || '-' || lpad(CAST(p_size AS VARCHAR), 3, '0') AS brand_code,
+  printf('%03d', p_size) AS size_fmt,
+  split_part(p_type, ' ', 1) AS type_head,
+  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+  substring(p_name, 1, 8) AS name_prefix
+FROM part
+"""
+
+
+@register("q17_scalar_strings", oracle=_Q17_ORACLE, tags=("scalar", "project"))
+def q17_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return rename_select(
+        p,
+        {
+            "p_partkey": "p_partkey",
+            "name_upper": F.upper("p_name"),
+            "name_len": F.length("p_name"),
+            "brand_code": F.concat(
+                F.col("p_brand"), F.lit("-"), F.lpad(F.col("p_size").cast("string"), 3, "0")
+            ),
+            "size_fmt": F.format_string("%03d", "p_size"),
+            "type_head": F.split(F.col("p_type"), " ").getItem(0),
+            "name_novowels": F.regexp_replace("p_name", "[aeiou]", ""),
+            "name_prefix": F.substring("p_name", 1, 8),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: conditional bucketing (when/otherwise chains — the reference's
+# region/weight/score classifiers, reporting.py:103-234) + agg per bucket.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT
+  CASE WHEN p_size < 10 THEN 'Small' WHEN p_size < 25 THEN 'Medium' ELSE 'Large' END AS size_class,
+  CASE WHEN p_retailprice BETWEEN 0 AND 1200 THEN 'Budget'
+       WHEN p_retailprice BETWEEN 1200.01 AND 1600 THEN 'Standard'
+       ELSE 'Premium' END AS price_band,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_retail
+FROM part
+GROUP BY 1, 2
+"""
+
+
+@register("q18_part_buckets", oracle=_Q18_ORACLE, tags=("bucket", "agg"))
+def q18_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "Small")
+        .when(F.col("p_size") < 25, "Medium")
+        .otherwise("Large")
+    )
+    price_band = (
+        F.when(F.col("p_retailprice").between(0, 1200), "Budget")
+        .when(F.col("p_retailprice").between(1200.01, 1600), "Standard")
+        .otherwise("Premium")
+    )
+    return (
+        p.withColumn("size_class", size_class)
+        .withColumn("price_band", price_band)
+        .groupBy("size_class", "price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_retail"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Event-stream queries in batch form (SURVEY.md §2.9 batch parity bar).
+
+Tumbling-window aggregation, pivoted breakdowns and JSON-ish props
+extraction over the ``events`` table. The streaming twins live in
+``streaming/jobs.py``; these batch forms define the semantics the stream
+must reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import dsum
+from ..registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# ---------------------------------------------------------------------------
+# q30: hourly tumbling window per event type. Spark's window() is epoch-
+# aligned (UTC session tz) == date_trunc('hour').
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q30_events_hourly", oracle=_Q30_ORACLE, tags=("events", "window-agg"))
+def q30_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31: daily pivot — one column per event type (explicit value list so the
+# output schema is static; pivot+coalesce(0) == conditional-count columns).
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = """
+SELECT CAST(ts AS DATE) AS d,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q31_events_daily_pivot", oracle=_Q31_ORACLE, tags=("events", "pivot"))
+def q31_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in EVENT_TYPES:
+        pivoted = pivoted.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return pivoted
+
+
+# ---------------------------------------------------------------------------
+# q32: regexp capture-group extraction from the JSON-ish props column +
+# bucketed agg (P6-style regexp + A-agg).
+# ---------------------------------------------------------------------------
+
+_Q32_ORACLE = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q32_events_props_extract", oracle=_Q32_ORACLE, tags=("events", "regexp"))
+def q32_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33: per-user event sequencing — lag/lead over user timelines: time since
+# previous event and whether the type changed (session-ish prelude; the
+# stateful streaming twin is in streaming/jobs.py).
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT user_id,
+       event_id,
+       event_type,
+       CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS ms_since_prev,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("q33_user_event_seq", oracle=_Q33_ORACLE, tags=("events", "window"))
+def q33_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (
+            (F.unix_millis("ts") - F.unix_millis(prev_ts)).cast("bigint")
+        ).alias("ms_since_prev"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )

@@ -1,0 +1,278 @@
+"""Window-function queries (SURVEY.md §2.5) — the dashboard semantics the
+reference delegates to Power BI (Readme.md:157-196), expressed as Spark
+window/rollup plans with DuckDB oracles.
+
+Scale shapes:
+- YoY: window partitioned by month over a per-(year,month) rollup — the
+  window input is tiny regardless of raw data size.
+- top-k per group: rank over the group key the aggregation already
+  shuffled on → no extra exchange.
+- % of total: exact decimal group sums + a broadcast 1-row total; no
+  empty-frame window (which would serialize onto one task).
+- moving average: window over the per-day rollup (small), decimal frame
+  sums so sliding-window retraction stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import dmoney, dsum
+from ..operators.windows import moving_sum_avg, top_k_per_group, yoy
+from ..registry import register
+
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _revenue_expr() -> F.Column:
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return price * (one - disc)
+
+
+# ---------------------------------------------------------------------------
+# q20 (flagship): monthly revenue with YoY% — scan → join → groupBy →
+# lag window → project (SURVEY.md §7 step 1; reference Readme.md:163-164).
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH rev AS (
+  SELECT
+    year(o_orderdate) AS o_year,
+    month(o_orderdate) AS o_month,
+    CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue,
+    COUNT(DISTINCT o_orderkey) AS n_orders
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT
+  o_year,
+  o_month,
+  revenue,
+  n_orders,
+  lag(revenue) OVER (PARTITION BY o_month ORDER BY o_year) AS prev_value,
+  CASE WHEN lag(revenue) OVER (PARTITION BY o_month ORDER BY o_year) <> 0
+       THEN (revenue - lag(revenue) OVER (PARTITION BY o_month ORDER BY o_year))
+            / lag(revenue) OVER (PARTITION BY o_month ORDER BY o_year) * 100.0
+  END AS yoy_pct
+FROM rev
+"""
+
+
+@register("q20_monthly_revenue_yoy", oracle=_Q20_ORACLE, tags=("window", "join", "agg", "flagship"))
+def q20_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    monthly = joined.groupBy(
+        F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+    ).agg(
+        F.sum(_revenue_expr()).cast("double").alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+    return yoy(monthly, entity_cols=["o_month"], period_col="o_year", metric_col="revenue")
+
+
+# ---------------------------------------------------------------------------
+# q21: global top-10 customers by revenue (rank + unique tiebreaker).
+# TakeOrderedAndProject under the hood — no single-partition global window.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT c_custkey, c_name, revenue, n_orders,
+       row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+FROM (
+  SELECT c_custkey, c_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+QUALIFY rank <= 10
+"""
+
+
+@register("q21_top10_customers", oracle=_Q21_ORACLE, tags=("window", "topk", "join"))
+def q21_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    from ..operators.windows import top_k
+
+    return top_k(per_cust, order_by=[F.col("revenue").desc(), F.col("c_custkey")], k=10)
+
+
+# ---------------------------------------------------------------------------
+# q22: top-3 parts per brand (rank over partition — Top-N per group,
+# Readme.md:165 "Top 10 products" generalized).
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+SELECT p_brand, p_partkey, revenue,
+       row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank
+FROM (
+  SELECT p_brand, p_partkey, CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+QUALIFY rank <= 3
+"""
+
+
+@register("q22_top3_parts_per_brand", oracle=_Q22_ORACLE, tags=("window", "topk", "join"))
+def q22_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+    )
+    return top_k_per_group(
+        per_part,
+        partition_by=["p_brand"],
+        order_by=[F.col("revenue").desc(), F.col("p_partkey")],
+        k=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23: % of total by region (Readme.md:187). Exact decimal group sums; the
+# grand total is an exact decimal sum of those, so the double division is
+# bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+_Q23_ORACLE = """
+SELECT r_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) * 100.0 AS pct_of_total
+FROM (
+  SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM region
+  JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY r_name
+)
+"""
+
+
+@register("q23_region_pct_of_total", oracle=_Q23_ORACLE, tags=("window", "pct", "join"))
+def q23_region_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_region = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sum(dmoney("o_totalprice")).alias("rev"))
+    )
+    total = per_region.agg(F.sum("rev").alias("__total"))
+    return (
+        per_region.crossJoin(F.broadcast(total))
+        .select(
+            "r_name",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / F.col("__total").cast("double") * F.lit(100.0)).alias(
+                "pct_of_total"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24: 7-day trailing moving average of daily revenue (frame window,
+# Readme.md:166 daily patterns). Window input = per-day rollup (small).
+# ---------------------------------------------------------------------------
+
+_Q24_ORACLE = """
+SELECT d, day_revenue,
+       CAST(SUM(CAST(day_revenue AS DECIMAL(28,8)))
+            OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+       CAST(SUM(CAST(day_revenue AS DECIMAL(28,8)))
+            OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(day_revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_revenue
+  FROM orders
+  GROUP BY 1
+)
+"""
+
+
+@register("q24_moving_avg_7d", oracle=_Q24_ORACLE, tags=("window", "frame"))
+def q24_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        dsum("o_totalprice", "day_revenue")
+    )
+    return moving_sum_avg(per_day, order_col="d", metric_col="day_revenue", n=7)
+
+
+# ---------------------------------------------------------------------------
+# q25: rollup(year, month) — subtotals + grand total (§2.4 note: cube/rollup
+# nearly free in Spark; serves the Region→Product→City decomposition tree).
+# ---------------------------------------------------------------------------
+
+_Q25_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+@register("q25_rollup_year_month", oracle=_Q25_ORACLE, tags=("rollup", "agg"))
+def q25_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+        .rollup("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26: cube over (status, priority) — all grouping-set combinations, with
+# GROUPING() flags to disambiguate data NULLs from subtotal NULLs.
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q26_cube_status_priority", oracle=_Q26_ORACLE, tags=("cube", "agg"))
+def q26_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )

@@ -1,0 +1,151 @@
+"""Registered similarity-search queries over ``embeddings``.
+
+The oracle replays the exact same arithmetic (double-widened cosine,
+round-6 scores, integer-arithmetic LSH hyperplanes), so even the
+*approximate* ANN query is value-checked — the approximation is
+deterministic, not random.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .similarity import (
+    ann_bucketed,
+    knn_bruteforce,
+    l2_norm,
+    as_double,
+    similar_pairs_within,
+)
+
+_COS = "round(list_cosine_similarity(q_vec, c_vec), 6)"
+
+_Q48_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+)
+SELECT query_id, neighbor_id, score, rank
+FROM (
+  SELECT query_id, neighbor_id, {_COS} AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, neighbor_id) AS rank
+  FROM c, q
+  WHERE neighbor_id <> query_id
+)
+WHERE rank <= 5
+"""
+
+
+@register("q48_knn_bruteforce", oracle=_Q48_ORACLE, tags=("similarity", "llm"))
+def q48_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_bruteforce(e, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+_PAIR_COS = (
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+)
+
+_Q49_ORACLE = f"""
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS} AS score
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_PAIR_COS} >= 0.35
+"""
+
+
+@register("q49_embedding_neardup", oracle=_Q49_ORACLE, tags=("similarity", "dedup", "llm"))
+def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similar_pairs_within(
+        e, block_col="label", id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+
+
+_NORM6 = "round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)"
+
+_Q50_ORACLE = f"""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST({_NORM6} AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       MIN({_NORM6}) AS min_norm,
+       MAX({_NORM6}) AS max_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("q50_label_norm_stats", oracle=_Q50_ORACLE, tags=("similarity", "agg", "llm"))
+def q50_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(l2_norm(as_double(F.col("embedding"))), 6)
+    return (
+        e.withColumn("__norm", norm6)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.col("__norm").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+            F.min("__norm").alias("min_norm"),
+            F.max("__norm").alias("max_norm"),
+        )
+    )
+
+
+def _proj_sql(table_alias: str, p: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, 63), j -> "
+        f"{table_alias}[j + 1] * (((j * 73 + {p * 1371}) * 2654435761) % 2000"
+        f" / 1000.0 - 1.0)))"
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_proj_sql(vec_expr, p)} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"({bits})"
+
+_Q51_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS q_vec, bucket FROM bucketed WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, v AS c_vec, bucket FROM bucketed
+)
+SELECT query_id, bucket, neighbor_id, score, rank
+FROM (
+  SELECT query_id, c.bucket AS bucket, neighbor_id, {_COS} AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, neighbor_id) AS rank
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id <> query_id
+)
+WHERE rank <= 3
+"""
+
+
+@register("q51_ann_lsh_bucketed", oracle=_Q51_ORACLE, tags=("similarity", "lsh", "llm"))
+def q51_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return ann_bucketed(
+        e, queries, id_col="vec_id", vec_col="embedding", k=3, n_planes=4
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis column builders for LLM data pipelines.
+
+All built-in JVM expressions — tokenization, counting, scoring and
+fingerprinting run inside whole-stage codegen with zero Python cost, so
+they scale to 100 TB document corpora as plain projections (no shuffle
+at all until an aggregation is requested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+
+# Tiny per-language function-word sets for the n-gram/stopword language-ID
+# heuristic. Deliberately SQL-expressible so the DuckDB oracle can replay
+# the exact same vote.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "et", "un", "une"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization as an array<string> column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def token_char_sum(toks: Column) -> Column:
+    """Total characters across tokens (exact int fold)."""
+    return F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax with fixed tie order en > es > de > fr."""
+    s_en, s_es, s_de, s_fr = (scores[k] for k in ("en", "es", "de", "fr"))
+    return (
+        F.when((s_en == 0) & (s_es == 0) & (s_de == 0) & (s_fr == 0), "unknown")
+        .when((s_en >= s_es) & (s_en >= s_de) & (s_en >= s_fr), "en")
+        .when((s_es >= s_de) & (s_es >= s_fr), "es")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+
+
+def quality_score(n_tokens: Column, n_distinct: Column, n_stop: Column) -> Column:
+    """Composite quality score in [0,1]: length + lexical diversity +
+    (1 - stopword density), rounded so the value is cross-engine stable."""
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    ttr = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.3) * ttr + F.lit(0.2) * (F.lit(1.0) - stop_ratio), 6
+    )
+
+
+def bow_fingerprint(col: Column | str) -> Column:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct
+    token set — robust to token order/repetition, cheap to group on."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def content_hash(col: Column | str) -> Column:
+    """Exact-content hash for byte-identical dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)

@@ -1,0 +1,185 @@
+"""Registered text-analysis queries over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .text import (
+    LANG_STOPWORDS,
+    bow_fingerprint,
+    content_hash,
+    lang_scores,
+    predict_lang,
+    quality_score,
+    token_char_sum,
+    tokens,
+)
+
+_DUCK_TOKS = "regexp_extract_all(text, '\\S+')"
+
+
+def _duck_stop_count(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKS}, x -> x IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# q40: per-document token statistics — pure projection, no shuffle.
+# ---------------------------------------------------------------------------
+
+_Q40_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+       CAST(len(list_distinct({_DUCK_TOKS})) AS INT) AS n_distinct_tokens,
+       list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) / len({_DUCK_TOKS}) AS avg_token_len
+FROM documents
+"""
+
+
+@register("q40_token_stats", oracle=_Q40_ORACLE, tags=("text", "llm"))
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (token_char_sum(toks) / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41: language-ID confusion matrix — stopword-vote heuristic vs the
+# labeled ``lang`` column.
+# ---------------------------------------------------------------------------
+
+_PRED_SQL = f"""
+CASE WHEN {_duck_stop_count(LANG_STOPWORDS['en'])} = 0
+      AND {_duck_stop_count(LANG_STOPWORDS['es'])} = 0
+      AND {_duck_stop_count(LANG_STOPWORDS['de'])} = 0
+      AND {_duck_stop_count(LANG_STOPWORDS['fr'])} = 0 THEN 'unknown'
+     WHEN {_duck_stop_count(LANG_STOPWORDS['en'])} >= {_duck_stop_count(LANG_STOPWORDS['es'])}
+      AND {_duck_stop_count(LANG_STOPWORDS['en'])} >= {_duck_stop_count(LANG_STOPWORDS['de'])}
+      AND {_duck_stop_count(LANG_STOPWORDS['en'])} >= {_duck_stop_count(LANG_STOPWORDS['fr'])} THEN 'en'
+     WHEN {_duck_stop_count(LANG_STOPWORDS['es'])} >= {_duck_stop_count(LANG_STOPWORDS['de'])}
+      AND {_duck_stop_count(LANG_STOPWORDS['es'])} >= {_duck_stop_count(LANG_STOPWORDS['fr'])} THEN 'es'
+     WHEN {_duck_stop_count(LANG_STOPWORDS['de'])} >= {_duck_stop_count(LANG_STOPWORDS['fr'])} THEN 'de'
+     ELSE 'fr' END
+"""
+
+_Q41_ORACLE = f"""
+SELECT lang, {_PRED_SQL} AS predicted_lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("q41_lang_id_confusion", oracle=_Q41_ORACLE, tags=("text", "llm"))
+def q41_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pred = predict_lang(lang_scores(toks))
+    return (
+        d.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42: per-document quality score + band.
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens,
+         CAST(len(list_distinct({_DUCK_TOKS})) AS INT) AS n_distinct,
+         CAST({_duck_stop_count(LANG_STOPWORDS['en'])} AS INT) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       round(0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (n_distinct / n_tokens)
+             + 0.2 * (1.0 - n_stop / n_tokens), 6) AS quality,
+       CASE WHEN round(0.5 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (n_distinct / n_tokens)
+                       + 0.2 * (1.0 - n_stop / n_tokens), 6) >= 0.7 THEN 'high'
+            WHEN round(0.5 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (n_distinct / n_tokens)
+                       + 0.2 * (1.0 - n_stop / n_tokens), 6) >= 0.4 THEN 'medium'
+            ELSE 'low' END AS band
+FROM t
+"""
+
+
+@register("q42_quality_score", oracle=_Q42_ORACLE, tags=("text", "llm"))
+def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))).alias("n_stop"),
+    )
+    q = quality_score(F.col("n_tokens"), F.col("n_distinct"), F.col("n_stop"))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        q.alias("quality"),
+        F.when(q >= 0.7, "high").when(q >= 0.4, "medium").otherwise("low").alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43: bag-of-words fingerprint groups (document fingerprinting).
+# ---------------------------------------------------------------------------
+
+_Q43_ORACLE = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS rep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q43_fingerprint_groups", oracle=_Q43_ORACLE, tags=("text", "fingerprint", "llm"))
+def q43_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", bow_fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44: exact dedup by content hash (hash-groupBy dedup — the baseline
+# dedup operator; one shuffle on the hash).
+# ---------------------------------------------------------------------------
+
+_Q44_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q44_exact_dedup", oracle=_Q44_ORACLE, tags=("dedup", "llm"))
+def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", content_hash("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
