@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the representative query set on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Per-query time = full plan execution including the parquet scan (cold
+per query; Spark caches nothing between queries here), measured by
+draining the result with a driver-side count-ish action that still
+materializes every row (collect), matching what the driver's harness
+observes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+agg, wide-key agg, dim-join
+# chain, window YoY, top-k, frame window, events window-agg, text stats,
+# shingle-join dedup, MinHash LSH, brute-force + LSH ANN, streaming parity.
+BENCH_QUERIES = (
+    "q01_pricing_summary",
+    "q02_items_per_order",
+    "q03_region_revenue",
+    "q20_monthly_revenue_yoy",
+    "q21_top10_customers",
+    "q22_top3_parts_per_brand",
+    "q24_moving_avg_7d",
+    "q30_events_hourly",
+    "q40_token_stats",
+    "q44_exact_dedup",
+    "q45_ngram_jaccard_pairs",
+    "q46_minhash_lsh_pairs",
+    "q48_knn_bruteforce",
+    "q51_ann_lsh_bucketed",
+    "q53_stream_hourly",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import spark_queries
+    from brazilian_e_commerce_data_pipeline_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="bedpa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+
+    # Warm the JVM/codegen paths with a trivial job so q1 doesn't pay
+    # session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
