@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md §2.1 S3/S4).
+
+Parquet replaces the reference's JDBC-overwrite sink
+(``ingestion.py:15-22``, ``reporting.py:411-431``): columnar at rest,
+parallel writes, no batch-size/isolation/retry knobs needed (Spark task
+retries subsume the reference's manual 3-attempt loop).
+
+Scale levers:
+- ``partition_by``: hive-style partition dirs → dynamic partition
+  pruning on dim joins and partition-wise overwrite.
+- ``max_records_per_file``: bounds file sizes without a repartition.
+- ``bucket_by`` (saveAsTable path): co-locates repeated equi-joins on the
+  bucket key — both sides bucketed on the join key means NO shuffle at
+  join time, the main weapon against big-big join shuffles at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Managed bucketed table (metastore-backed saveAsTable)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
