@@ -1,0 +1,122 @@
+"""Semantics tests for the LLM-pipeline operators: MinHash-LSH recall vs
+the exact Jaccard result, SimHash behavior on near-identical docs,
+similarity search, and the multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup import (
+    minhash_near_dups,
+    shingle_pairs_exact,
+    simhash64_table,
+    simhash_near_dups,
+    word_shingles,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal import (
+    extract_features,
+    with_payload,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import knn_bruteforce
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("lazy", "sleepy")
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact dup
+        Row(doc_id=3, text=near),  # near dup
+        Row(doc_id=4, text="completely different words about spark engines here today"),
+        Row(doc_id=5, text="tiny"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    sh = df.select(word_shingles("text").alias("s")).collect()[0]["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    tiny = spark.createDataFrame([Row(text="a b")])
+    assert tiny.select(word_shingles("text").alias("s")).collect()[0]["s"] == []
+
+
+def test_exact_jaccard_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_exact(docs, "doc_id", "text", threshold=0.05).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.2 < pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_exact(docs, "doc_id", "text", threshold=0.05).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.05).collect()
+    }
+    # verified candidates carry the same exact jaccard values
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    # banded LSH must recall every very-high-similarity pair
+    for pair, j in exact.items():
+        if j >= 0.5:
+            assert pair in lsh, f"LSH missed high-jaccard pair {pair} ({j})"
+
+
+def test_simhash_near_dups(docs):
+    hashes = {
+        r["doc_id"]: r["sh"] for r in simhash64_table(docs, "doc_id", "text").collect()
+    }
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in hashes.values())
+    assert hashes[1] == hashes[2]  # identical docs, identical simhash
+    ham13 = sum(a != b for a, b in zip(hashes[1], hashes[3]))
+    ham14 = sum(a != b for a, b in zip(hashes[1], hashes[4]))
+    assert ham13 < ham14  # near dup closer than unrelated doc
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_knn_excludes_self_and_ranks(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1]),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = knn_bruteforce(df, df.filter("vec_id = 1"), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world"), Row(doc_id=2, text="x")])
+    media = with_payload(docs)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == len(b"hello world")
+    import hashlib
+
+    assert feats[1]["checksum"] == hashlib.md5(b"hello world").hexdigest()
+    assert feats[2]["n_bytes"] == 1
+    # deterministic fake decode -> stable feature string
+    assert feats[1]["feat_mean"] == feats[1]["feat_mean"]
+
+
+def test_binary_roundtrip_schema(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, text="payload")])
+    media = with_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.collect()[0]
+    assert bytes(row["payload"]) == b"payload"

@@ -1,0 +1,131 @@
+"""Unit tests for the operator library on tiny literal DataFrames,
+pinning the semantics SURVEY.md calls out as traps (P5 NULL rlike,
+nondeterministic dedup, window frames, pct-of-total exactness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.functions.buckets import (
+    case_when,
+    state_region,
+    weight_class,
+    zip_region,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.operators import (
+    anti_join,
+    date_spine,
+    key_dedup,
+    moving_sum_avg,
+    pct_of_total,
+    semi_join,
+    top_k,
+    top_k_per_group,
+    yoy,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.operators.aggregates import quality_check
+
+
+def test_negated_rlike_drops_nulls(spark):
+    """P5: ~rlike(NULL) is NULL -> filter drops NULL rows (the reference's
+    silent review-dropping behavior, transformation.py:96-97)."""
+    df = spark.createDataFrame(
+        [Row(x="clean text"), Row(x="açaí!"), Row(x=None)]
+    )
+    kept = df.filter(~F.col("x").rlike(r"[^a-zA-Z0-9\s.,!?]")).collect()
+    assert [r["x"] for r in kept] == ["clean text"]
+
+
+def test_key_dedup_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v=3), Row(k=1, v=1), Row(k=1, v=2), Row(k=2, v=9)]
+    )
+    out1 = {(r["k"], r["v"]) for r in key_dedup(df, ["k"], ["v"]).collect()}
+    out2 = {
+        (r["k"], r["v"])
+        for r in key_dedup(df.repartition(5), ["k"], ["v"]).collect()
+    }
+    assert out1 == out2 == {(1, 1), (2, 9)}
+
+
+def test_top_k_total_order(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, score=s) for i, s in [(1, 5.0), (2, 5.0), (3, 4.0), (4, 9.0)]]
+    )
+    rows = top_k(df, [F.col("score").desc(), F.col("id")], k=3).collect()
+    assert [(r["id"], r["rank"]) for r in rows] == [(4, 1), (1, 2), (2, 3)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", id=1, v=10), Row(g="a", id=2, v=20), Row(g="b", id=3, v=5)]
+    )
+    rows = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=1).collect()
+    assert {(r["g"], r["id"]) for r in rows} == {("a", 2), ("b", 3)}
+
+
+def test_yoy_null_handling(spark):
+    df = spark.createDataFrame(
+        [Row(m=1, y=2020, v=100.0), Row(m=1, y=2021, v=150.0), Row(m=1, y=2022, v=0.0)]
+    )
+    rows = {r["y"]: r for r in yoy(df, ["m"], "y", "v").collect()}
+    assert rows[2020]["prev_value"] is None and rows[2020]["yoy_pct"] is None
+    assert rows[2021]["yoy_pct"] == pytest.approx(50.0)
+    assert rows[2022]["yoy_pct"] == pytest.approx(-100.0)
+
+
+def test_pct_of_total_sums_to_100(spark):
+    df = spark.createDataFrame([Row(g="a", v=25.0), Row(g="b", v=75.0)])
+    rows = pct_of_total(df, "v").collect()
+    assert sum(r["pct_of_total"] for r in rows) == pytest.approx(100.0)
+
+
+def test_moving_sum_avg_frame(spark):
+    df = spark.createDataFrame([Row(t=i, v=float(i)) for i in range(1, 6)])
+    rows = {r["t"]: r for r in moving_sum_avg(df, "t", "v", n=3).collect()}
+    assert rows[1]["moving_sum"] == 1.0 and rows[1]["moving_avg"] == 1.0
+    assert rows[3]["moving_sum"] == 6.0 and rows[3]["moving_avg"] == 2.0
+    assert rows[5]["moving_sum"] == 12.0  # 3+4+5
+
+
+def test_semi_anti_join(spark):
+    left = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    right = spark.createDataFrame([Row(k=2), Row(k=2)])
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {2}
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {1, 3}
+
+
+def test_date_spine_inclusive(spark):
+    df = spark.createDataFrame(
+        [Row(ts="2020-01-30 10:00:00"), Row(ts="2020-02-02 05:00:00")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    days = [str(r["d"]) for r in date_spine(df, "ts").orderBy("d").collect()]
+    assert days == ["2020-01-30", "2020-01-31", "2020-02-01", "2020-02-02"]
+
+
+def test_quality_check_counts(spark):
+    df = spark.createDataFrame([Row(x=1), Row(x=None), Row(x=-5)])
+    row = quality_check(
+        df, {"nulls": F.col("x").isNull(), "negative": F.col("x") < 0}
+    ).collect()[0]
+    assert (row["n_rows"], row["nulls"], row["negative"]) == (3, 1, 1)
+
+
+def test_bucket_classifiers(spark):
+    df = spark.createDataFrame(
+        [Row(zip=1500, state="SP", w=100), Row(zip=250, state="XX", w=None)]
+    )
+    rows = df.select(
+        zip_region("zip").alias("r"),
+        state_region("state").alias("s"),
+        weight_class("w").alias("w"),
+    ).collect()
+    assert (rows[0]["r"], rows[0]["s"], rows[0]["w"]) == ("Southeast", "Southeast", "Light")
+    assert (rows[1]["r"], rows[1]["s"], rows[1]["w"]) == ("Unknown", "Unknown", "Unknown")
+
+
+def test_case_when_order_matters(spark):
+    df = spark.createDataFrame([Row(v=5)])
+    c = case_when([(F.col("v") > 0, "pos"), (F.col("v") > 3, "big")], "other")
+    assert df.select(c.alias("x")).collect()[0]["x"] == "pos"

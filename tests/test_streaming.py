@@ -1,0 +1,91 @@
+"""Structured Streaming tests: batch/stream parity, watermarked append
+mode, and stateful sessionization (batch twin + applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+    _events_stream,
+    hourly_agg,
+    hourly_agg_watermarked,
+    run_stream_to_memory,
+    sessionize_batch,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_stream_batch_parity(spark):
+    """The streaming hourly aggregation equals the batch answer exactly."""
+    batch = hourly_agg(load_table(spark, SF_SMALL, "events"))
+    batch_rows = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    stream_rows = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_to_memory(
+            spark, hourly_agg(_events_stream(spark, SF_SMALL))
+        ).collect()
+    }
+    assert batch_rows == stream_rows
+
+
+def test_watermarked_append_drops_nothing_in_one_batch(spark):
+    """availableNow + 2h watermark over historical data: append mode emits
+    only windows the watermark has passed — all but the tail hour(s)."""
+    result = run_stream_to_memory(
+        spark,
+        hourly_agg_watermarked(_events_stream(spark, SF_SMALL)),
+        output_mode="append",
+    )
+    batch = hourly_agg(load_table(spark, SF_SMALL, "events"))
+    n_stream, n_batch = result.count(), batch.count()
+    assert 0 < n_stream <= n_batch
+    # emitted rows match their batch counterparts
+    b = {
+        (r["hour_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    for r in result.collect():
+        assert b[(r["hour_start"], r["event_type"])] == r["n_events"]
+
+
+def test_sessionize_batch(spark):
+    rows = [
+        Row(user_id=1, event_id=1, ts="2024-01-01 10:00:00", event_type="view"),
+        Row(user_id=1, event_id=2, ts="2024-01-01 10:10:00", event_type="click"),
+        Row(user_id=1, event_id=3, ts="2024-01-01 12:00:00", event_type="view"),
+        Row(user_id=2, event_id=4, ts="2024-01-01 09:00:00", event_type="signup"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize_batch(df, gap_minutes=30).collect()
+    by_user = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    assert len(by_user[1]) == 2  # 2h gap splits the first user's events
+    first = min(by_user[1], key=lambda s: s["session_start"])
+    assert first["n_events"] == 2 and first["event_types"] == "click,view"
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_stateful_runs(spark, tmp_path):
+    """applyInPandasWithState sessionization over a real stream; closed
+    sessions match the batch twin for the same gap."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import sessionize_stateful
+
+    stream = _events_stream(spark, SF_SMALL)
+    out = run_stream_to_memory(
+        spark, sessionize_stateful(stream, gap_minutes=120), output_mode="append"
+    )
+    closed = out.collect()
+    # state holds the final open session per user, so closed-session count
+    # equals batch sessions minus one per user
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = sessionize_batch(ev, gap_minutes=120)
+    n_users = ev.select("user_id").distinct().count()
+    assert len(closed) == batch.count() - n_users
