@@ -141,3 +141,82 @@ def q33_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ms_since_prev"),
         F.lag("event_type").over(w).alias("prev_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q34: as-of join — each click enriched with the user's most recent
+# purchase at that moment (operators/asof.py; DuckDB ASOF JOIN oracle).
+# Timestamps are compared as epoch millis so both engines order on the
+# exact same integers (events carry nanosecond precision at rest).
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS last_purchase_ms,
+         value AS last_purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, c.t_ms, p.last_purchase_ms, p.last_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.t_ms >= p.last_purchase_ms
+"""
+
+
+@register("q34_asof_last_purchase", oracle=_Q34_ORACLE, tags=("events", "asof", "join"))
+def q34_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("t_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis("ts").alias("t_ms"),
+        F.unix_millis("ts").alias("last_purchase_ms"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="t_ms",
+        right_ts="t_ms",
+        payload=["last_purchase_ms", "last_purchase_value"],
+    ).select("user_id", "event_id", "t_ms", "last_purchase_ms", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# q35: tagged union (§2.7 UNION ALL) + per-source daily counts.
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+SELECT src, d, COUNT(*) AS n
+FROM (
+  SELECT 'big_purchase' AS src, CAST(ts AS DATE) AS d FROM events
+  WHERE event_type = 'purchase' AND value > 30
+  UNION ALL
+  SELECT 'error' AS src, CAST(ts AS DATE) AS d FROM events
+  WHERE event_type = 'error'
+)
+GROUP BY src, d
+"""
+
+
+@register("q35_union_daily_sources", oracle=_Q35_ORACLE, tags=("setop", "events"))
+def q35_union_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import union_all
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 30)).select(
+        F.lit("big_purchase").alias("src"), F.col("ts").cast("date").alias("d")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("src"), F.col("ts").cast("date").alias("d")
+    )
+    return union_all(big, err).groupBy("src", "d").agg(F.count(F.lit(1)).alias("n"))

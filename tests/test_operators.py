@@ -129,3 +129,24 @@ def test_case_when_order_matters(spark):
     df = spark.createDataFrame([Row(v=5)])
     c = case_when([(F.col("v") > 0, "pos"), (F.col("v") > 3, "big")], "other")
     assert df.select(c.alias("x")).collect()[0]["x"] == "pos"
+
+
+def test_asof_join_semantics(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=5, tag="x"), Row(k="a", t=10, tag="y"), Row(k="b", t=3, tag="z")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=4, price=1.0), Row(k="a", t=10, price=2.0), Row(k="c", t=1, price=9.0)]
+    )
+    out = {
+        (r["k"], r["t"]): r["price"]
+        for r in asof_join(left, right, ["k"], "t", "t", ["price"]).collect()
+    }
+    assert out[("a", 5)] == 1.0     # latest right at t<=5 is t=4
+    assert out[("a", 10)] == 2.0    # tie at t=10 is eligible (<=)
+    assert out[("b", 3)] is None    # no right rows for key b
+    # left columns preserved
+    cols = asof_join(left, right, ["k"], "t", "t", ["price"]).columns
+    assert set(cols) == {"k", "t", "tag", "price"}
