@@ -1,0 +1,93 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale claims each
+operator makes — filter pushdown, column pruning, broadcast dim joins,
+no Python in core paths, shuffle counts — pinned as tests so a plan
+regression fails CI like a wrong value would."""
+
+from __future__ import annotations
+
+import pytest
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import (
+    exchange_count,
+    has_python_eval,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+from .conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+# Every registered query built from DataFrame expressions must stay
+# JVM-side — Python evaluation in the plan means a 10-100x slowdown at
+# scale. (The multimodal decode path uses mapInPandas by design, but its
+# registered query q52 is JVM-only.)
+CORE = [
+    "q01_pricing_summary",
+    "q02_items_per_order",
+    "q03_region_revenue",
+    "q08_dedup_first_line",
+    "q20_monthly_revenue_yoy",
+    "q21_top10_customers",
+    "q22_top3_parts_per_brand",
+    "q30_events_hourly",
+    "q40_token_stats",
+    "q44_exact_dedup",
+    "q45_ngram_jaccard_pairs",
+    "q46_minhash_lsh_pairs",
+    "q48_knn_bruteforce",
+    "q51_ann_lsh_bucketed",
+    "q52_blob_meta",
+]
+
+
+@pytest.mark.parametrize("name", CORE)
+def test_no_python_in_core_plans(spark, name):
+    df = QUERIES[name].builder(spark, SF_SMALL)
+    assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q01_pricing_summary"].builder(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+    (schema,) = read_schemas(df)
+    # column pruning: the 11-column table is read as exactly 7 columns
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert "l_quantity" in schema
+
+
+def test_q05_pushdown_of_range_and_in(spark):
+    df = QUERIES["q05_priority_counts"].builder(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed
+    assert "In(o_orderstatus" in pushed or "o_orderstatus" in pushed
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q03_region_revenue", "q22_top3_parts_per_brand", "q23_region_pct_of_total"):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert uses_broadcast_join(df), f"{name} should broadcast its dims"
+
+
+def test_projection_only_query_has_no_shuffle(spark):
+    df = QUERIES["q17_scalar_strings"].builder(spark, SF_SMALL)
+    assert exchange_count(df) == 0
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    df = QUERIES["q48_knn_bruteforce"].builder(spark, SF_SMALL)
+    plan_has_broadcast = uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in (
+        __import__(
+            "brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain", fromlist=["formatted_plan"]
+        ).formatted_plan(df)
+    )
+    assert plan_has_broadcast
+
+
+def test_single_agg_query_has_one_exchange(spark):
+    # q01: partial agg map-side, one exchange on the tiny group key, final agg
+    df = QUERIES["q01_pricing_summary"].builder(spark, SF_SMALL)
+    assert exchange_count(df) == 1
