@@ -220,3 +220,42 @@ def q35_union_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("error").alias("src"), F.col("ts").cast("date").alias("d")
     )
     return union_all(big, err).groupBy("src", "d").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q36: skew-safe two-phase salted aggregation (operators/skew.py). The
+# oracle is the PLAIN group-by — salting is a physical rewrite and must
+# not change a single value. The spreader is the unique event_id, so the
+# salt (and therefore the whole plan) is deterministic.
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MIN(event_type) AS first_type,
+       MAX(event_type) AS last_type
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q36_salted_user_agg", oracle=_Q36_ORACLE, tags=("agg", "skew", "events"))
+def q36_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.compat import dmoney
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn("__v", dmoney("value"))
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value": ("__v", "sum"),
+            "first_type": ("event_type", "min"),
+            "last_type": ("event_type", "max"),
+        },
+        spreader=["event_id"],
+        n_salts=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))

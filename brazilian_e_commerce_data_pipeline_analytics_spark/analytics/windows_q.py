@@ -276,3 +276,67 @@ def q26_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q19: explicit GROUPING SETS — the general form rollup/cube specialize;
+# here (status, priority) breakdown + per-status subtotal + grand total,
+# which neither rollup nor cube expresses alone. One pass over the data:
+# Spark expands the sets inside a single Expand + Aggregate.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("q19_grouping_sets", oracle=_Q19_ORACLE, tags=("grouping-sets", "agg"))
+def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27: exact percentiles (A8 "averages" generalized to distribution
+# stats). Spark's percentile() and DuckDB's quantile_cont() use the same
+# linear interpolation over doubles — verified bit-identical — so no
+# rounding is needed. (DECIMAL inputs would NOT match: DuckDB
+# interpolates decimals exactly, Spark converts to double first.)
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q27_price_percentiles", oracle=_Q27_ORACLE, tags=("percentile", "agg"))
+def q27_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )

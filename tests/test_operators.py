@@ -150,3 +150,31 @@ def test_asof_join_semantics(spark):
     # left columns preserved
     cols = asof_join(left, right, ["k"], "t", "t", ["price"]).columns
     assert set(cols) == {"k", "t", "tag", "price"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k="hot", rid=i, v=i * 1.0) for i in range(200)]
+        + [Row(k="cold", rid=1000, v=-1.0)]
+    )
+    small = spark.createDataFrame([Row(k="hot", name="H"), Row(k="cold", name="C")])
+    plain = {(r["rid"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["rid"], r["name"])
+        for r in salted_join(big, small, on=["k"], spreader=["rid"], n_salts=8).collect()
+    }
+    assert salted == plain and len(salted) == 201
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([Row(k="a", rid=1), Row(k="x", rid=2)])
+    small = spark.createDataFrame([Row(k="a", name="A")])
+    out = {
+        (r["k"], r["name"])
+        for r in salted_join(big, small, ["k"], ["rid"], n_salts=4, how="left").collect()
+    }
+    assert out == {("a", "A"), ("x", None)}
