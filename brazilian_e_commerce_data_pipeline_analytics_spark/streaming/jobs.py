@@ -125,6 +125,149 @@ def hourly_agg_watermarked(df: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+# ---------------------------------------------------------------------------
+# q54: batch sessionization (gap = 30 min) — the deterministic reference
+# semantics for the stateful streaming twin q55. Gap arithmetic is in
+# floor-seconds on both engines (Spark unix_timestamp truncates micros;
+# DuckDB floor(epoch(...))).
+# ---------------------------------------------------------------------------
+
+_Q54_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq
+  FROM seq
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
+FROM ids
+GROUP BY user_id, session_seq
+"""
+
+
+@register("q54_sessions_batch", oracle=_Q54_ORACLE, tags=("sessionize", "window", "events"))
+def q54_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "event_types",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55: CUSTOM STATEFUL STREAMING OPERATOR with a SQL oracle. The
+# applyInPandasWithState sessionizer emits a session only when a later
+# event closes it, so with all data in one availableNow micro-batch the
+# output is exactly "every session except each user's last" — which IS
+# SQL-expressible, giving the stateful path a value-level oracle instead
+# of the usual rows-only check. Timestamps are floor-second epochs (the
+# operator's state keys are integer seconds).
+# ---------------------------------------------------------------------------
+
+_Q55_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+                   > 7200
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq
+  FROM seq
+),
+sess AS (
+  SELECT user_id, session_seq,
+         MIN(ts_s) AS session_start_s,
+         MAX(ts_s) AS session_end_s,
+         COUNT(*) AS n_events,
+         array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
+  FROM ids
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start_s, session_end_s, n_events, event_types
+FROM sess
+WHERE session_seq < (SELECT MAX(s2.session_seq) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+"""
+
+
+@register(
+    "q55_stream_sessions_closed",
+    oracle=_Q55_ORACLE,
+    tags=("streaming", "stateful", "sessionize"),
+)
+def q55_stream_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        spark, sessionize_stateful(stream, gap_minutes=120), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        F.unix_timestamp("session_end").alias("session_end_s"),
+        "n_events",
+        "event_types",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56: watermarked APPEND-mode stream. With one availableNow batch the
+# final watermark is max(event time) - 2h and append emits exactly the
+# windows whose end the watermark has passed — deterministic, so the
+# late-data/eviction semantics get a value-level oracle too. Comparison
+# is in epoch millis (watermark precision).
+# ---------------------------------------------------------------------------
+
+_Q56_ORACLE = """
+WITH mx AS (SELECT MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events)
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, mx
+GROUP BY 1, 2, mx.max_ms
+HAVING epoch_ms(hour_start) + 3600000 <= mx.max_ms - 7200000
+"""
+
+
+@register(
+    "q56_stream_hourly_append", oracle=_Q56_ORACLE, tags=("streaming", "watermark")
+)
+def q56_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        spark, hourly_agg_watermarked(stream, "2 hours"), output_mode="append"
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -185,29 +328,59 @@ def sessionize_stateful(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
     def fn(key, pdf_iter, state: GroupState):
+        # Vectorized per-user sessionization: sort once, diff for gap
+        # flags, cumsum for session ids — no per-row Python loop (the
+        # only remaining loop is per *session*, a tiny count).
+        import numpy as np
+
         (user_id,) = key
-        rows = []
-        events = pd.concat(list(pdf_iter)).sort_values("ts")
+        events = pd.concat(list(pdf_iter))
+        if events.empty:
+            return
+        events = events.sort_values(["ts", "event_id"])
+        ts_s = events["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        types_arr = events["event_type"].astype(str).to_numpy()
         if state.exists:
-            start_s, end_s, n, types = state.get
-            types = set(types.split(",")) if types else set()
+            st_start, st_end, st_n, st_types_str = state.get
+            st_types = set(st_types_str.split(",")) if st_types_str else set()
         else:
-            start_s, end_s, n, types = None, None, 0, set()
-        for _, r in events.iterrows():
-            ts_s = int(r["ts"].timestamp())
-            if end_s is not None and ts_s - end_s > gap_s:
-                rows.append((user_id, pd.Timestamp(start_s, unit="s"),
-                             pd.Timestamp(end_s, unit="s"), n, ",".join(sorted(types))))
-                start_s, end_s, n, types = ts_s, ts_s, 0, set()
-            if start_s is None:
-                start_s = ts_s
-            end_s = max(end_s or ts_s, ts_s)
-            n += 1
-            types.add(str(r["event_type"]))
-        state.update((start_s, end_s, n, ",".join(sorted(types))))
+            st_start, st_end, st_n, st_types = None, None, 0, set()
+
+        prev = np.empty(len(ts_s), dtype="int64")
+        prev[1:] = ts_s[:-1]
+        prev[0] = st_end if st_end is not None else np.iinfo("int64").min // 2
+        new_flag = (ts_s - prev) > gap_s
+
+        rows = []
+        if st_end is not None and new_flag[0]:
+            # first incoming event does not continue the open session
+            rows.append((user_id, st_start, st_end, st_n, ",".join(sorted(st_types))))
+            st_start, st_end, st_n, st_types = None, None, 0, set()
+
+        sid = np.cumsum(new_flag)
+        sessions = []
+        for s in np.unique(sid):
+            mask = sid == s
+            seg = ts_s[mask]
+            sessions.append(
+                [int(seg[0]), int(seg[-1]), int(mask.sum()), set(types_arr[mask])]
+            )
+        if st_end is not None:  # open session continues into sessions[0]
+            sessions[0][0] = min(sessions[0][0], st_start)
+            sessions[0][2] += st_n
+            sessions[0][3] |= st_types
+        rows.extend(
+            (user_id, s0, s1, n, ",".join(sorted(tys)))
+            for s0, s1, n, tys in sessions[:-1]
+        )
+        last = sessions[-1]
+        state.update((last[0], last[1], last[2], ",".join(sorted(last[3]))))
         if rows:
             yield pd.DataFrame(
-                rows,
+                [
+                    (u, pd.Timestamp(a, unit="s"), pd.Timestamp(b, unit="s"), n, t)
+                    for u, a, b, n, t in rows
+                ],
                 columns=["user_id", "session_start", "session_end", "n_events", "event_types"],
             )
 
