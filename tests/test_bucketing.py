@@ -1,0 +1,85 @@
+"""Bucketed-table co-location (SURVEY.md §2.1 S7 scale path, §2.3 note).
+
+At 100 TB the dominant join cost is shuffling both sides of a big-big
+equi-join. Writing both tables bucketed on the join key makes every
+subsequent join on that key shuffle-FREE: Spark trusts the bucket
+layout and runs a zipped sort-merge per bucket. This test pins that
+claim: same results as the plain join, zero shuffle exchanges in the
+plan (broadcast disabled so the shuffle elision is what's measured).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import exchange_count
+from brazilian_e_commerce_data_pipeline_analytics_spark.sources.writers import write_bucketed_table
+
+from .conftest import SF_SMALL
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    write_bucketed_table(
+        load_table(spark, SF_SMALL, "lineitem"),
+        "bktest.lineitem_b",
+        bucket_by=["l_orderkey"],
+        n_buckets=N_BUCKETS,
+        sort_by=["l_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, SF_SMALL, "orders"),
+        "bktest.orders_b",
+        bucket_by=["o_orderkey"],
+        n_buckets=N_BUCKETS,
+        sort_by=["o_orderkey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS bktest.lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
+    spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def _joined(spark):
+    li = spark.table("bktest.lineitem_b")
+    o = spark.table("bktest.orders_b")
+    return li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+    )
+
+
+def test_bucketed_join_has_no_shuffle_on_join(spark, bucketed):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _joined(spark)
+        # the only exchange is the post-join aggregation on the 5 priority
+        # keys; the join itself is bucket-wise, shuffle-free
+        assert exchange_count(df) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    o = load_table(spark, SF_SMALL, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n"], r["qty"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        )
+        .collect()
+    }
+    bucketed_rows = {
+        r["o_orderpriority"]: (r["n"], r["qty"]) for r in _joined(spark).collect()
+    }
+    assert bucketed_rows == plain
