@@ -104,6 +104,77 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake 'resize': crop/cycle the byte stream to
+    width*height bytes. Real deployments swap in PIL's ``Image.resize``;
+    the Spark plumbing (binary in, binary out, metadata columns updated)
+    is what this validates."""
+    if payload is None:
+        raise NotImplementedError("real image resize requires codec libraries")
+    n = width * height
+    reps = -(-n // max(len(payload), 1))
+    return (payload * reps)[:n]
+
+
+def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Arrow-batched resize over binary payloads (mapInPandas)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize_stub(bytes(p), width, height) for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 64, max_frames: int = 4) -> DataFrame:
+    """Deterministic fake 'frame sampling': one fixed-size slice every
+    ``every`` bytes (stand-in for ffmpeg keyframe extraction). Output is
+    one row per (media, frame) — the explode-shaped schema a video
+    pipeline needs, produced inside Arrow batches."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p)
+                for i in range(min(max_frames, -(-len(data) // every))):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(data[i * every : i * every + every])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # q52: binary-column metadata, JVM-side only (no Python) — length, head
 # byte, md5 — grouped into payload-size buckets.
@@ -146,3 +217,18 @@ def q52_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("checksum").alias("min_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q58: the full multimodal decode pipeline — binary payloads through the
+# Arrow-batched mapInPandas feature extractor (stubbed codec). The
+# decode step is genuinely non-SQL-expressible, so this is registered
+# WITHOUT an oracle (driver records the weaker rows-only check); the
+# SQL-expressible parts of the same pipeline are value-checked by q52.
+# ---------------------------------------------------------------------------
+
+
+@register("q58_media_features", oracle=None, tags=("multimodal", "map-in-pandas", "llm"))
+def q58_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(with_payload(d)).orderBy("media_id")

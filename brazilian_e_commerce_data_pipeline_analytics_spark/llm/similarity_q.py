@@ -149,3 +149,52 @@ def q51_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bucketed(
         e, queries, id_col="vec_id", vec_col="embedding", k=3, n_planes=4
     )
+
+
+# ---------------------------------------------------------------------------
+# q57: the same k-NN as q48 but scored by an Arrow-vectorized pandas_udf
+# — the "when Python is unavoidable" path done right: one Arrow batch per
+# task, numpy matrix arithmetic, never per-row Python. The row-wise
+# cumulative sum reproduces the left-to-right fold of the JVM/SQL
+# versions exactly, so all three implementations share one oracle.
+# ---------------------------------------------------------------------------
+
+
+@register("q57_knn_pandas_udf", oracle=_Q48_ORACLE, tags=("similarity", "pandas-udf", "llm"))
+def q57_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, breaking pandas_udf eval-type inference on local names
+    @pandas_udf("double", functionType=None)
+    def cos6(q, c):
+        qm = np.stack(q.to_numpy()).astype("float64")
+        cm = np.stack(c.to_numpy()).astype("float64")
+        # cumsum = sequential left-to-right accumulation, matching
+        # F.aggregate's fold (np.dot's pairwise/SIMD order would not)
+        dots = (qm * cm).cumsum(axis=1)[:, -1]
+        qn = np.sqrt((qm * qm).cumsum(axis=1)[:, -1])
+        cn = np.sqrt((cm * cm).cumsum(axis=1)[:, -1])
+        return pd.Series(np.round(dots / (qn * cn), 6))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cos6("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

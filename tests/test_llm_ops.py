@@ -20,6 +20,8 @@ from brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal import (
 )
 from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import knn_bruteforce
 
+from .conftest import SF_SMALL
+
 
 BASE = "the quick brown fox jumps over the lazy dog and runs far away tonight"
 
@@ -120,3 +122,31 @@ def test_binary_roundtrip_schema(spark):
     assert dict(media.dtypes)["payload"] == "binary"
     row = media.collect()[0]
     assert bytes(row["payload"]) == b"payload"
+
+
+def test_resize_media_plumbing(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal import resize_media, with_payload
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").limit(10)
+    out = resize_media(with_payload(d), width=8, height=4).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4
+
+
+def test_sample_frames_plumbing(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal import sample_frames, with_payload
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").limit(5)
+    media = with_payload(d)
+    frames = sample_frames(media, every=64, max_frames=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    sizes = {r["media_id"]: len(bytes(r[1])) for r in media.select("media_id", "payload").collect()}
+    for mid, rows in by_id.items():
+        expected = min(3, -(-sizes[mid] // 64))
+        assert len(rows) == expected
+        assert sorted(r["frame_no"] for r in rows) == list(range(expected))
