@@ -1,0 +1,100 @@
+"""Property-based checks (SURVEY.md §5): algebraic invariants that must
+hold for ANY input, run over hypothesis-generated micro-tables. Example
+counts are kept small — each example is a real Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.operators.dedup import key_dedup
+from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_agg
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=50),  # tiebreaker / spreader
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_key_dedup_idempotent_and_deterministic(spark, rows):
+    df = spark.createDataFrame([Row(k=k, t=t, v=v) for k, t, v in rows])
+    once = key_dedup(df, keys=["k"], order_by=["t", "v"])
+    twice = key_dedup(once, keys=["k"], order_by=["t", "v"])
+    got = sorted((r["k"], r["t"], r["v"]) for r in once.collect())
+    assert got == sorted((r["k"], r["t"], r["v"]) for r in twice.collect())
+    # one row per key, and it is the minimum under the (t, v) total order
+    expected = {}
+    for k, t, v in rows:
+        if k not in expected or (t, v) < expected[k]:
+            expected[k] = (t, v)
+    assert got == sorted((k, t, v) for k, (t, v) in expected.items())
+
+
+@given(rows=rows_strategy, n_salts=st.sampled_from([1, 2, 7]))
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
+    df = spark.createDataFrame([Row(k=k, rid=t, v=v) for k, t, v in rows])
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "s": ("v", "sum"),
+                "n": ("v", "count"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            spreader=["rid"],
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(rows=rows_strategy, cut=st.integers(min_value=-100, max_value=100))
+@settings(**SETTINGS)
+def test_filter_monotonicity(spark, rows, cut):
+    """Tightening a predicate can only shrink the result; the tighter
+    result is a subset of the looser one."""
+    df = spark.createDataFrame([Row(k=k, t=t, v=v) for k, t, v in rows])
+    loose = {tuple(r) for r in df.filter(F.col("v") >= cut).collect()}
+    tight = {tuple(r) for r in df.filter(F.col("v") >= cut + 10).collect()}
+    assert tight <= loose
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_setop_partition_identity(spark, rows):
+    """distinct(a) == (a EXCEPT b) ∪ (a INTERSECT b) for any b ⊆ rows."""
+    a = spark.createDataFrame([Row(k=k, t=t, v=v) for k, t, v in rows])
+    b = a.filter(F.col("v") % 2 == 0)
+    lhs = {tuple(r) for r in a.distinct().collect()}
+    rhs = {tuple(r) for r in a.exceptAll(b).union(a.intersect(b)).distinct().collect()}
+    assert lhs == rhs
