@@ -58,6 +58,12 @@ def main() -> None:
     # Warm the JVM/codegen paths with a trivial job so q1 doesn't pay
     # session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # JIT-warm the vectorized parquet reader + hash-agg codegen paths on
+    # the smallest SF so the first measured query reflects steady-state
+    # throughput, not first-call JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        qs["q01_pricing_summary"](spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

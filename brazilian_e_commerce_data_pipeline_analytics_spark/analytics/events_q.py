@@ -223,6 +223,41 @@ def q35_union_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q37: SLIDING windows (1h length, 30min hop) — each event lands in two
+# overlapping windows. Spark expands via its window() generator; the
+# oracle replays the expansion with unnest of the two candidate starts.
+# Streaming twin: the same expression under readStream (hourly_agg shape);
+# batch parity pins the semantics.
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+SELECT ws AS win_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT unnest([
+           time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+           time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+             - INTERVAL '30 minutes'
+         ]) AS ws,
+         CAST(ts AS TIMESTAMP) AS ts,
+         event_type
+  FROM events
+)
+WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes'
+GROUP BY 1, 2
+"""
+
+
+@register("q37_sliding_windows", oracle=_Q37_ORACLE, tags=("events", "window-agg", "sliding"))
+def q37_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q36: skew-safe two-phase salted aggregation (operators/skew.py). The
 # oracle is the PLAIN group-by — salting is a physical rewrite and must
 # not change a single value. The spreader is the unique event_id, so the

@@ -178,3 +178,17 @@ def test_salted_join_left_keeps_unmatched(spark):
         for r in salted_join(big, small, ["k"], ["rid"], n_salts=4, how="left").collect()
     }
     assert out == {("a", "A"), ("x", None)}
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """The 100-TB substitute for exact countDistinct: HLL++ within its
+    configured relative error on a real table."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from .conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders")
+    exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    approx = o.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
