@@ -29,10 +29,14 @@ CORE = [
     "q02_items_per_order",
     "q03_region_revenue",
     "q08_dedup_first_line",
+    "q19_grouping_sets",
     "q20_monthly_revenue_yoy",
     "q21_top10_customers",
     "q22_top3_parts_per_brand",
+    "q27_price_percentiles",
     "q30_events_hourly",
+    "q36_salted_user_agg",
+    "q37_sliding_windows",
     "q40_token_stats",
     "q44_exact_dedup",
     "q45_ngram_jaccard_pairs",
@@ -40,7 +44,15 @@ CORE = [
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
     "q52_blob_meta",
+    "q54_sessions_batch",
 ]
+
+
+def test_salted_agg_spreads_then_merges(spark):
+    """q36's plan: exactly two exchanges — (key, salt) partial then key
+    final — the documented skew shape, not a single hot-key shuffle."""
+    df = QUERIES["q36_salted_user_agg"].builder(spark, SF_SMALL)
+    assert exchange_count(df) == 2
 
 
 @pytest.mark.parametrize("name", CORE)
