@@ -32,13 +32,18 @@ BENCH_QUERIES = (
     "q21_top10_customers",
     "q22_top3_parts_per_brand",
     "q24_moving_avg_7d",
+    "q27_price_percentiles",
     "q30_events_hourly",
+    "q36_salted_user_agg",
+    "q37_sliding_windows",
     "q40_token_stats",
     "q44_exact_dedup",
     "q45_ngram_jaccard_pairs",
     "q46_minhash_lsh_pairs",
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
+    "q54_sessions_batch",
+    "q57_knn_pandas_udf",
     "q53_stream_hourly",
 )
 

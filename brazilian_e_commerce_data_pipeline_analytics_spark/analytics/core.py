@@ -571,3 +571,41 @@ def q18_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice", "total_retail"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q38: the reference's P5 negated-regex filter with its NULL-semantics
+# trap (transformation.py:96-97): ~rlike(NULL) is NULL, so NULL text is
+# DROPPED, not kept. The oracle must spell the NULL propagation out
+# (SURVEY.md §7.8b) — `text IS NOT NULL AND NOT regexp_matches(...)` —
+# because SQL WHERE drops NULL predicates the same way only when written
+# explicitly. Also exercises P3 (length equality) and P6 (anchored
+# prefix regex) in the same shape the silver cleanser uses.
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE text IS NOT NULL
+  AND NOT regexp_matches(text, '[^a-zA-Z0-9\s.,!?]')
+  AND length(source) >= 4
+GROUP BY lang
+"""
+
+
+@register("q38_negated_rlike_filter", oracle=_Q38_ORACLE, tags=("filter", "regex", "null-semantics"))
+def q38_negated_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(~F.col("text").rlike(r"[^a-zA-Z0-9\s.,!?]"))  # drops NULL text
+        .filter(F.length("source") >= 4)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
