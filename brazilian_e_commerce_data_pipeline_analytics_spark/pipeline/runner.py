@@ -37,3 +37,29 @@ def run_pipeline(spark: SparkSession, paths: PipelinePaths) -> None:
     }
     silver_gate(silver)
     run_gold(spark, paths.silver_dir, paths.gold_dir)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI twin of the reference's three spark-submit jobs:
+    ``python -m brazilian_e_commerce_data_pipeline_analytics_spark.pipeline.runner <csv_dir> <out_dir>``
+    runs the full medallion into ``<out_dir>/{bronze,silver,gold}``."""
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("csv_dir", help="directory of Olist-shaped CSVs")
+    ap.add_argument("out_dir", help="output root for bronze/silver/gold parquet")
+    args = ap.parse_args(argv)
+    paths = PipelinePaths(
+        csv_dir=args.csv_dir,
+        bronze_dir=f"{args.out_dir}/bronze",
+        silver_dir=f"{args.out_dir}/silver",
+        gold_dir=f"{args.out_dir}/gold",
+    )
+    spark = get_spark(app_name="bedpa-pipeline")
+    run_pipeline(spark, paths)
+
+
+if __name__ == "__main__":
+    main()
