@@ -609,3 +609,44 @@ def q38_negated_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q39: grouped-map applyInPandas — per-priority top-3 orders. The
+# arbitrary-Python-per-group escape hatch (the others are mapInPandas in
+# q58 and applyInPandasWithState in q55), on a task that produces only
+# sorted/ranked originals — no float arithmetic — so the pandas path is
+# value-exact against the window-SQL oracle. Shuffle: one exchange on
+# the group key, same as the window version; each pandas group sees
+# O(rows/group), so partition memory is bounded by the largest group.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+@register("q39_grouped_map_topk", oracle=_Q39_ORACLE, tags=("grouped-map", "pandas", "topk"))
+def q39_grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def top3(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out
+
+    schema = "o_orderpriority string, o_orderkey bigint, o_totalprice double, rank int"
+    return o.groupBy("o_orderpriority").applyInPandas(top3, schema=schema)

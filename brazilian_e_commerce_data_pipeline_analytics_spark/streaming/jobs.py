@@ -268,6 +268,59 @@ def q56_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# foreachBatch gold upsert (SURVEY.md §7.6): micro-batch maintenance of a
+# partitioned gold table from a stream.
+# ---------------------------------------------------------------------------
+
+
+def upsert_hourly_gold(spark: SparkSession, sf_dir: str, gold_dir: str) -> None:
+    """Stream → hourly aggregate → idempotent partition-level upsert.
+
+    Update-mode aggregation emits only the groups each micro-batch
+    changed; ``foreachBatch`` merges them into the gold parquet by
+    anti-joining the existing rows of the touched date partitions and
+    rewriting ONLY those partitions (dynamic partition overwrite) — work
+    per batch is O(changed partitions), not O(table). On a lakehouse
+    table format (Delta/Iceberg) the merge step becomes a single MERGE
+    INTO; plain parquet needs the read-merge-write spelled out, with a
+    localCheckpoint to break lineage before overwriting what was read.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        batch = batch.withColumn("d", F.col("hour_start").cast("date"))
+        touched = [r["d"] for r in batch.select("d").distinct().collect()]
+        try:
+            existing = sess.read.parquet(gold_dir).filter(F.col("d").isin(touched))
+            merged = existing.join(
+                batch.select("hour_start", "event_type"),
+                ["hour_start", "event_type"],
+                "left_anti",
+            ).unionByName(batch)
+        except Exception:  # first batch: nothing to merge  # noqa: BLE001
+            merged = batch
+        (
+            merged.localCheckpoint()  # break lineage: we overwrite what we read
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(gold_dir)
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        hourly_agg(stream)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),

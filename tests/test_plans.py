@@ -103,3 +103,14 @@ def test_single_agg_query_has_one_exchange(spark):
     # q01: partial agg map-side, one exchange on the tiny group key, final agg
     df = QUERIES["q01_pricing_summary"].builder(spark, SF_SMALL)
     assert exchange_count(df) == 1
+
+
+def test_global_topk_is_distributed_take_ordered(spark):
+    """q21's global top-10 must plan as TakeOrderedAndProject (per-
+    partition top-k then merge on the driver-side heap), NOT a global
+    single-partition window sort — the difference between O(k) and
+    O(table) on one task at 100 TB."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
+    df = QUERIES["q21_top10_customers"].builder(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
