@@ -49,3 +49,32 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 1000,
+    isolation_level: str = "NONE",
+    **options: str,
+) -> None:
+    """JDBC sink, kept for parity with the reference's Postgres layer
+    (``ingestion.py:15-22``; tuned options ``reporting.py:411-424``:
+    batchsize + no transaction isolation). The reference's manual
+    3-attempt retry loop is intentionally absent — Spark task retries
+    (``spark.task.maxFailures``) already cover transient write failures.
+    Untested in-repo (no database in the container); parquet is the
+    primary sink."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("isolationLevel", isolation_level)
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
