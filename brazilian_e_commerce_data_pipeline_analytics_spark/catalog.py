@@ -35,9 +35,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we did not build (the driver
+    passes its own): UTC so timestamp semantics match the DuckDB oracle,
+    Arrow for the pandas paths. Both are runtime-settable.
+
+    Scope note: session timeZone governs SQL semantics (window
+    boundaries, casts, date_trunc) — the part that must be UTC for
+    oracle parity. The datetime objects ``collect()`` hands back are
+    rendered via the OS timezone by PySpark itself; both engines are
+    compared inside one process, so that rendering cancels out."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_conf(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
