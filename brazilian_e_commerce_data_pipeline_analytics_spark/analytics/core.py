@@ -650,3 +650,31 @@ def q39_grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "o_orderpriority string, o_orderkey bigint, o_totalprice double, rank int"
     return o.groupBy("o_orderpriority").applyInPandas(top3, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# q29: the SQL entry surface. ONE dialect-portable SQL string is both the
+# Spark plan (spark.sql over catalog.register_views) and the DuckDB
+# oracle, verbatim — pinning that the engine's SQL front door gives the
+# same answers as its DataFrame front door (q03 is the DataFrame twin of
+# this shape).
+# ---------------------------------------------------------------------------
+
+_Q29_PORTABLE_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+@register("q29_sql_api", oracle=_Q29_PORTABLE_SQL, tags=("sql-api", "join", "agg"))
+def q29_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer", "nation"))
+    return spark.sql(_Q29_PORTABLE_SQL)
