@@ -83,3 +83,37 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         r["o_orderpriority"]: (r["n"], r["qty"]) for r in _joined(spark).collect()
     }
     assert bucketed_rows == plain
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned gold layout + a partition-key predicate → the
+    scan lists ONLY the matching partition directories (the 100-TB date-
+    range pattern: touch 1 day of 3 years, read 1/1000th)."""
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.writers import write_parquet
+
+    o = load_table(spark, SF_SMALL, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_parquet(o, path, partition_by=("o_year",))
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # correctness of the pruned read
+    expected = {
+        (r["o_orderstatus"], r["n"])
+        for r in o.filter(F.col("o_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["o_orderstatus"], r["n"]) for r in df.collect()} == expected
