@@ -223,6 +223,75 @@ def q35_union_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q28: event funnel — signup → first view after signup → first purchase
+# after that view. The staged conditional-min chain (agg → join →
+# filtered agg) is the canonical product-analytics shape; each stage
+# shrinks the key set, so the joins get cheaper as the funnel deepens.
+# ---------------------------------------------------------------------------
+
+_Q28_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+vw AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t1
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= su.t0
+  GROUP BY e.user_id
+),
+py AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN vw ON e.user_id = vw.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= vw.t1
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'signup' AS stage, (SELECT COUNT(*) FROM su) AS n_users
+UNION ALL
+SELECT 2, 'view_after_signup', (SELECT COUNT(*) FROM vw)
+UNION ALL
+SELECT 3, 'purchase_after_view', (SELECT COUNT(*) FROM py)
+"""
+
+
+@register("q28_event_funnel", oracle=_Q28_ORACLE, tags=("events", "funnel", "join", "agg"))
+def q28_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    vw = (
+        ev.filter(F.col("event_type") == "view")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    py = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(vw, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(1, "signup", su)
+        .unionAll(stage(2, "view_after_signup", vw))
+        .unionAll(stage(3, "purchase_after_view", py))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q37: SLIDING windows (1h length, 30min hop) — each event lands in two
 # overlapping windows. Spark expands via its window() generator; the
 # oracle replays the expansion with unnest of the two candidate starts.

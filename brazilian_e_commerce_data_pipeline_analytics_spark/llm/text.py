@@ -84,3 +84,21 @@ def content_hash(col: Column | str) -> Column:
     """Exact-content hash for byte-identical dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs — each optionally preceded by one space.
+# Kept to RE2-compatible syntax (no lookarounds) so the DuckDB oracle
+# runs the identical pattern.
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pre-tokens (array<string>) — the unit LLM token
+    budgeting counts, as opposed to whitespace words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)
+
+
+def subword_token_count(col: Column | str) -> Column:
+    return F.size(subword_tokens(col))

@@ -8,12 +8,14 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .text import (
+    BPE_ISH_RE,
     LANG_STOPWORDS,
     bow_fingerprint,
     content_hash,
     lang_scores,
     predict_lang,
     quality_score,
+    subword_token_count,
     token_char_sum,
     tokens,
 )
@@ -182,4 +184,34 @@ def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("content_hash", content_hash("text"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61: subword (BPE-ish) token budgeting vs whitespace words — the count
+# an LLM data pipeline actually bills by. One regex, verified to
+# tokenize identically in Spark (Java regex) and DuckDB (RE2).
+# ---------------------------------------------------------------------------
+
+_DUCK_BPE = BPE_ISH_RE.replace("'", "''")
+
+_Q61_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_DUCK_BPE}'))) AS BIGINT) AS total_subwords,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_words,
+       CAST(MAX(len(regexp_extract_all(text, '{_DUCK_BPE}'))) AS INT) AS max_subwords
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q61_subword_token_stats", oracle=_Q61_ORACLE, tags=("text", "tokenize", "llm"))
+def q61_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(subword_token_count("text")).cast("bigint").alias("total_subwords"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_words"),
+        F.max(subword_token_count("text")).cast("int").alias("max_subwords"),
     )

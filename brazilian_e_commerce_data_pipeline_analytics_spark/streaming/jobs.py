@@ -447,3 +447,54 @@ def sessionize_stateful(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q60: Spark's NATIVE gap-based session operator (session_window) — the
+# built-in counterpart to the hand-rolled q54/q55 sessionizers, usable
+# identically in batch and streaming groupBy. Semantics probed and
+# encoded in the oracle: events merge while the gap is <= 30 min at full
+# microsecond precision; window end = last event + gap.
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq
+  FROM seq
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM ids
+GROUP BY user_id, session_seq
+"""
+
+
+@register("q60_native_session_window", oracle=_Q60_ORACLE, tags=("sessionize", "window-agg", "events"))
+def q60_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -192,3 +192,17 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The bounded-memory percentile for 100 TB (SCALING.md): t-digest
+    approx within 1% relative of the exact interpolated value."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from .conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders")
+    row = o.select(
+        F.percentile("o_totalprice", F.lit(0.9)).alias("exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
