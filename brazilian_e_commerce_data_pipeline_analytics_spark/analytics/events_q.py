@@ -223,6 +223,49 @@ def q35_union_daily_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q62: range (theta) join — events banded into value tiers by
+# BETWEEN-join against a tier table. The broadcast makes the non-equi
+# condition a per-row scan of a tiny table (never a shuffled theta
+# join); the oracle inlines the identical tier rows as VALUES.
+# ---------------------------------------------------------------------------
+
+_TIERS = (
+    ("free", 0.0, 10.0),
+    ("basic", 10.0, 25.0),
+    ("plus", 25.0, 40.0),
+    ("premium", 40.0, 1e9),
+)
+
+_Q62_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)}
+)
+SELECT t.tier,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e
+JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+"""
+
+
+@register("q62_range_join_tiers", oracle=_Q62_ORACLE, tags=("join", "range", "events"))
+def q62_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(t, lo, hi) for t, lo, hi in _TIERS], ["tier", "lo", "hi"]
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q28: event funnel — signup → first view after signup → first purchase
 # after that view. The staged conditional-min chain (agg → join →
 # filtered agg) is the canonical product-analytics shape; each stage
