@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "q22_top3_parts_per_brand",
     "q24_moving_avg_7d",
     "q27_price_percentiles",
+    "q28_event_funnel",
     "q30_events_hourly",
     "q36_salted_user_agg",
     "q37_sliding_windows",
@@ -44,6 +45,9 @@ BENCH_QUERIES = (
     "q51_ann_lsh_bucketed",
     "q54_sessions_batch",
     "q57_knn_pandas_udf",
+    "q60_native_session_window",
+    "q61_subword_token_stats",
+    "q62_range_join_tiers",
     "q53_stream_hourly",
 )
 
