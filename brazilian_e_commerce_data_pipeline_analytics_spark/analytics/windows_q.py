@@ -340,3 +340,89 @@ def q27_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q63: decomposition tree (the reference's Region → Product → City
+# drill-down visual, Readme.md:163) — region → nation → market segment
+# in ONE grouping-sets pass, each row carrying its % of parent. Parent
+# totals come from a window over the siblings (children partition their
+# parent exactly), summed in DECIMAL so the window accumulation is
+# order-independent on both engines.
+# ---------------------------------------------------------------------------
+
+_Q63_ORACLE = """
+WITH cells AS (
+  SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+         CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name),
+                          (r.r_name, n.n_name, c.c_mktsegment))
+),
+lv AS (
+  SELECT *, 3 - g_nation - g_segment AS lvl FROM cells
+)
+SELECT lvl, region, nation, segment, n_orders, revenue,
+       ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER (
+         PARTITION BY lvl,
+                      CASE WHEN lvl >= 2 THEN region END,
+                      CASE WHEN lvl = 3 THEN nation END
+       ) AS DOUBLE), 6) AS pct_of_parent
+FROM lv
+"""
+
+
+@register("q63_decomposition_tree", oracle=_Q63_ORACLE, tags=("grouping-sets", "window", "pct", "join", "bi"))
+def q63_decomposition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+        )
+    )
+    cells = joined.groupingSets(
+        [["region"], ["region", "nation"], ["region", "nation", "segment"]],
+        "region",
+        "nation",
+        "segment",
+    ).agg(
+        F.grouping("nation").cast("int").alias("g_nation"),
+        F.grouping("segment").cast("int").alias("g_segment"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    lv = cells.withColumn(
+        "lvl", F.lit(3) - F.col("g_nation") - F.col("g_segment")
+    )
+    w = Window.partitionBy(
+        "lvl",
+        F.when(F.col("lvl") >= 2, F.col("region")),
+        F.when(F.col("lvl") == 3, F.col("nation")),
+    )
+    parent = F.sum(F.col("revenue").cast("decimal(28,6)")).over(w).cast("double")
+    return lv.select(
+        "lvl",
+        "region",
+        "nation",
+        "segment",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / parent, 6).alias("pct_of_parent"),
+    )
