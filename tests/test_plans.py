@@ -114,3 +114,42 @@ def test_global_topk_is_distributed_take_ordered(spark):
 
     df = QUERIES["q21_top10_customers"].builder(spark, SF_SMALL)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew handling — the default defense SCALING.md
+    leans on before explicit salting — actually splits a hot partition:
+    thresholds lowered so local-scale data triggers it, then the final
+    adaptive plan must show SortMergeJoin(skew=true)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = (
+            spark.range(300000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 250000, F.lit(0)).otherwise(
+                    (F.col("id") % 100) + 1
+                ),
+            )
+            .withColumn("pad", F.lit("x" * 80))
+        )
+        small = spark.range(101).select(
+            F.col("id").alias("k"), F.concat(F.lit("n_"), F.col("id")).alias("name")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
