@@ -406,3 +406,36 @@ def q36_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# q64: weekday x hour activity heatmap + IsWeekend classification — the
+# reference's dim_date/dim_time breakdown semantics (reporting.py:84-87
+# weekend flag, Readme.md:166-167 daily/hourly patterns) as one
+# aggregation. Convention note pinned by the oracle: Spark dayofweek is
+# 1=Sunday..7, DuckDB dayofweek is 0=Sunday..6 (+1 aligns them).
+# ---------------------------------------------------------------------------
+
+_Q64_ORACLE = """
+SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS weekday,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+       dayofweek(CAST(ts AS TIMESTAMP)) + 1 IN (1, 7) AS is_weekend,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q64_weekday_hour_heatmap", oracle=_Q64_ORACLE, tags=("events", "datetime", "agg", "bi"))
+def q64_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wd = F.dayofweek("ts")
+    return (
+        ev.groupBy(
+            wd.alias("weekday"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            wd.isin(1, 7).alias("is_weekend"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )

@@ -98,3 +98,36 @@ def test_setop_partition_identity(spark, rows):
     lhs = {tuple(r) for r in a.distinct().collect()}
     rhs = {tuple(r) for r in a.exceptAll(b).union(a.intersect(b)).distinct().collect()}
     assert lhs == rhs
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lrows=asof_left, rrows=asof_right)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_oracle(spark, lrows, rrows):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.asof import asof_join
+
+    # unique left ids so rows are comparable
+    left = spark.createDataFrame(
+        [Row(k=k, t=t, lid=i) for i, (k, t) in enumerate(lrows)]
+    )
+    if rrows:
+        right = spark.createDataFrame([Row(k=k, t=t, p=p) for k, t, p in rrows])
+    else:
+        right = spark.createDataFrame([], "k int, t int, p int")
+    got = {
+        r["lid"]: r["p"]
+        for r in asof_join(left, right, ["k"], "t", "t", ["p"]).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None  # ties -> max payload
+        assert got[i] == expected, (i, k, t, cands)
