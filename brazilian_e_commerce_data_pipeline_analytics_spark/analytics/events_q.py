@@ -439,3 +439,27 @@ def q64_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q65: unpivot (wide -> long) — the inverse of q31's pivot: per-day
+# event-type columns melted back to (d, event_type, n) rows. Spark's
+# unpivot == DuckDB's UNPIVOT; dropping the zero-count cells makes the
+# round trip exactly the long-form GROUP BY.
+# ---------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q65_unpivot_daily", oracle=_Q65_ORACLE, tags=("events", "unpivot", "reshape"))
+def q65_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q31_events_daily_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("d", list(EVENT_TYPES), "event_type", "n")
+        .filter(F.col("n") > 0)
+        .select("d", "event_type", F.col("n").cast("bigint").alias("n"))
+    )
