@@ -161,3 +161,46 @@ def test_quality_gate_failure_mode(spark, warehouse):
     )
     with pytest.raises(ValueError, match="null_product_id"):
         silver_gate(poisoned)
+
+
+def test_dashboard_query_over_gold_star(spark, warehouse):
+    """The BI layer the reference delegates to Power BI, run in-engine
+    against the pipeline's own gold output: fact ⋈ dim_date broadcast
+    join, monthly revenue + pct-of-total — and the answer must reconcile
+    exactly with an independent computation from silver."""
+    paths, _ = warehouse
+    fact = _read(spark, paths, "gold", "fact_sales")
+    dim_date = _read(spark, paths, "gold", "dim_date")
+
+    monthly = (
+        fact.join(
+            F.broadcast(dim_date.select("Date_SK", "Year", "Month")),
+            fact.Order_Date_SK == F.col("Date_SK"),
+        )
+        .groupBy("Year", "Month")
+        .agg(F.sum(F.col("Sales_Amount").cast("decimal(18,4)")).alias("rev"))
+    )
+    total = monthly.agg(F.sum("rev").alias("t")).collect()[0]["t"]
+    got = {
+        (r["Year"], r["Month"]): (r["rev"], float(r["rev"] / total) * 100.0)
+        for r in monthly.collect()
+    }
+
+    # independent silver-side reconciliation
+    items = _read(spark, paths, "silver", "order_items")
+    orders = _read(spark, paths, "silver", "orders")
+    payments = _read(spark, paths, "silver", "order_payments")
+    silver = (
+        items.join(orders, "Ord_ID")
+        .join(payments.select("Ord_ID").distinct(), "Ord_ID")
+        .groupBy(
+            F.year("Ord_Purchase_Time").alias("Year"),
+            F.month("Ord_Purchase_Time").alias("Month"),
+        )
+        .agg(F.sum(F.col("Price").cast("decimal(18,4)")).alias("rev"))
+    )
+    expected = {(r["Year"], r["Month"]): r["rev"] for r in silver.collect()}
+    assert set(got) == set(expected)
+    for k, (rev, pct) in got.items():
+        assert rev == expected[k], k
+        assert 0.0 <= pct <= 100.0
