@@ -42,6 +42,26 @@ def assert_quality(df: DataFrame, checks: Mapping[str, Column]) -> None:
         raise ValueError(f"quality gate failed: {failures}")
 
 
+def observe_quality(df: DataFrame, checks: Mapping[str, Column]):
+    """Quality metrics as a BYPRODUCT of whatever job consumes ``df`` —
+    ``Dataset.observe`` accumulates the conditional counts during the
+    main pass, so at 100 TB the gate costs zero extra scans (the
+    ``quality_check`` probe is a full second read of the table).
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    first action on the returned frame. Works identically inside
+    Structured Streaming (per-batch metrics via the listener).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in checks.items()
+    ]
+    return df.observe(obs, *aggs), obs
+
+
 def two_level_daily_avg(
     df: DataFrame,
     day_col: Column,
