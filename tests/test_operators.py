@@ -232,3 +232,14 @@ def test_observe_quality_piggybacks_on_main_pass(spark):
     assert got["n_rows"] == probe["n_rows"]
     for k in checks:
         assert got[k] == probe[k], k
+
+
+def test_pct_of_total_sums_to_100(spark):
+    """SURVEY §5 self-consistency property: the region percentages of
+    q23 partition the whole — they must sum to exactly 100."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+    from .conftest import SF_SMALL
+
+    df = all_queries()["q23_region_pct_of_total"].builder(spark, SF_SMALL)
+    total_pct = sum(r["pct_of_total"] for r in df.collect())
+    assert abs(total_pct - 100.0) < 1e-9
