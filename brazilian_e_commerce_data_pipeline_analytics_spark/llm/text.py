@@ -102,3 +102,26 @@ def subword_tokens(col: Column | str) -> Column:
 
 def subword_token_count(col: Column | str) -> Column:
     return F.size(subword_tokens(col))
+
+
+# Polynomial rolling hash: order-SENSITIVE document fingerprint
+# (Rabin-Karp form), vs bow_fingerprint's order-insensitive set hash.
+# Token values come from an md5 prefix (not xxhash64) and the modulus
+# keeps every intermediate in bigint range under ANSI mode — both
+# choices so any SQL engine can replay the fold bit-for-bit.
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def _token_val(t: Column) -> Column:
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive rolling-hash fingerprint of the token stream."""
+    toks = tokens(col)
+    return F.aggregate(
+        F.transform(toks, _token_val),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.pmod(acc * ROLL_BASE + v, F.lit(ROLL_MOD)),
+    )

@@ -215,3 +215,39 @@ def q61_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens("text"))).cast("bigint").alias("total_words"),
         F.max(subword_token_count("text")).cast("int").alias("max_subwords"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66: rolling-hash fingerprint groups — the order-sensitive dedup key
+# (reordered tokens fingerprint differently, unlike q43's bag-of-words
+# hash). The DuckDB oracle replays the identical Rabin-Karp fold with
+# list_reduce over the same md5-derived token values.
+# ---------------------------------------------------------------------------
+
+_DUCK_ROLL = f"""
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform({_DUCK_TOKS},
+      t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+  (acc, v) -> (acc * 131 + v) % 1000000007)
+"""
+
+_Q66_ORACLE = f"""
+SELECT {_DUCK_ROLL} AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q66_rolling_fingerprint", oracle=_Q66_ORACLE, tags=("text", "fingerprint", "llm"))
+def q66_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", rolling_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )

@@ -150,3 +150,21 @@ def test_sample_frames_plumbing(spark):
         expected = min(3, -(-sizes[mid] // 64))
         assert len(rows) == expected
         assert sorted(r["frame_no"] for r in rows) == list(range(expected))
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    """The rolling hash distinguishes reordered token streams (the
+    bag-of-words fingerprint deliberately does not)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.text import bow_fingerprint, rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
+    )
+    rows = df.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("roll"),
+        bow_fingerprint("text").alias("bow"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["roll"] != by_id[2]["roll"]
+    assert by_id[1]["bow"] == by_id[2]["bow"]
