@@ -678,3 +678,33 @@ def q29_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders", "customer", "nation"))
     return spark.sql(_Q29_PORTABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q67: null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
+# match each other instead of vanishing from the join, the semantics
+# dim-conformance joins need when the key is genuinely absent. The NULL
+# group is synthesized with nullif so the test data exercises it.
+# ---------------------------------------------------------------------------
+
+_Q67_ORACLE = """
+WITH d AS (SELECT doc_id, nullif(lang, 'en') AS k FROM documents),
+g AS (SELECT k, COUNT(*) AS grp_n FROM d GROUP BY k)
+SELECT d.k, g.grp_n, COUNT(*) AS n_docs
+FROM d JOIN g ON d.k IS NOT DISTINCT FROM g.k
+GROUP BY d.k, g.grp_n
+"""
+
+
+@register("q67_null_safe_join", oracle=_Q67_ORACLE, tags=("join", "null-semantics"))
+def q67_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("k")
+    )
+    g = d.groupBy("k").agg(F.count(F.lit(1)).alias("grp_n"))
+    return (
+        d.alias("d")
+        .join(g.alias("g"), F.col("d.k").eqNullSafe(F.col("g.k")))
+        .groupBy(F.col("d.k").alias("k"), "grp_n")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -96,7 +96,9 @@ def shingle_pairs_exact(
     an integer, so the Jaccard division is bit-identical across engines.
     """
     ex = exploded_shingles(df, id_col, text_col, n).cache()
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # cached: referenced twice (doc_a and doc_b side) — one row per doc,
+    # so the cache is tiny and saves a second full aggregation over ex
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).cache()
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
