@@ -98,7 +98,15 @@ def salted_join(
     small side is exploded once per salt value so each (key, salt)
     bucket finds its match. Output equals ``big.join(small, on, how)``
     exactly; only the shuffle distribution changes.
+
+    Only big-side-preserving join types are allowed: right/full outer
+    would emit each unmatched small row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: the replicated small side "
+            "would duplicate its unmatched rows n_salts times"
+        )
     big_salted = big.withColumn(_SALT, _salt_col(spreader, n_salts))
     small_rep = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

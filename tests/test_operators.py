@@ -243,3 +243,12 @@ def test_pct_of_total_sums_to_100(spark):
     df = all_queries()["q23_region_pct_of_total"].builder(spark, SF_SMALL)
     total_pct = sum(r["pct_of_total"] for r in df.collect())
     assert abs(total_pct - 100.0) < 1e-9
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([Row(k="a", rid=1)])
+    small = spark.createDataFrame([Row(k="a", name="A")])
+    with pytest.raises(ValueError, match="duplicate its unmatched rows"):
+        salted_join(big, small, ["k"], ["rid"], how="full")
