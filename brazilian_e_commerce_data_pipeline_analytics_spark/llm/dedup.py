@@ -88,19 +88,37 @@ def shingle_pairs_exact(
     text_col: str,
     n: int = 3,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shared-shingle join.
 
     |A ∩ B| falls out of the join's group count; |A| and |B| come from the
     per-doc shingle counts; union = |A| + |B| - |A ∩ B|. Every quantity is
     an integer, so the Jaccard division is bit-identical across engines.
+
+    ``max_df`` is the corpus-scale knob: the join cost is
+    sum_over_shingles(df_s choose 2), quadratic in the hottest shingle's
+    document frequency. Capping drops shingles with df > max_df from the
+    JOIN side only (per-doc sizes still count them), which makes the
+    computed intersection a lower bound — pairs can only be missed, never
+    over-scored, and only pairs whose entire overlap is stop-shingles are
+    affected. Default None = exact.
     """
     ex = exploded_shingles(df, id_col, text_col, n).cache()
     # cached: referenced twice (doc_a and doc_b side) — one row per doc,
     # so the cache is tiny and saves a second full aggregation over ex
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).cache()
-    a = ex.alias("a")
-    b = ex.alias("b")
+    join_ex = ex
+    if max_df is not None:
+        keep = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        join_ex = ex.join(F.broadcast(keep), "shingle")
+    a = join_ex.alias("a")
+    b = join_ex.alias("b")
     common = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

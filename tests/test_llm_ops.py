@@ -168,3 +168,29 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["roll"] != by_id[2]["roll"]
     assert by_id[1]["bow"] == by_id[2]["bow"]
+
+
+def test_shingle_frequency_cap_is_conservative(docs):
+    """max_df results are a subset of the exact pairs with never-higher
+    jaccard (the cap can only lose intersection, not invent it)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_exact(docs, "doc_id", "text", threshold=0.01).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_exact(
+            docs, "doc_id", "text", threshold=0.01, max_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair]
+    # a generous cap changes nothing
+    uncapped_equiv = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_exact(
+            docs, "doc_id", "text", threshold=0.01, max_df=10**6
+        ).collect()
+    }
+    assert uncapped_equiv == exact
