@@ -9,6 +9,7 @@ the exact variant instead).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
@@ -67,3 +68,57 @@ def q46_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(d, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# q68: SimHash with a VALUE-level oracle. q47's production SimHash hashes
+# tokens with xxhash64 (JVM-only), so it gets a rows-only check; this
+# twin derives 60-bit token values from an md5 prefix — replayable in
+# any SQL engine — and DuckDB recomputes all 60 bit votes exactly.
+# 60 bits (15 hex chars) keeps the value inside BIGINT on both sides.
+# ---------------------------------------------------------------------------
+
+_N_BITS = 60
+_DUCK_TOKVAL = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+_DUCK_BITS = " || ".join(
+    f"(CASE WHEN SUM(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for b in range(_N_BITS - 1, -1, -1)
+)
+
+_Q68_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKVAL} AS v
+  FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS t
+    FROM documents
+  )
+)
+SELECT doc_id, {_DUCK_BITS} AS sh
+FROM tok
+GROUP BY doc_id
+"""
+
+
+@register("q68_simhash_portable", oracle=_Q68_ORACLE, tags=("dedup", "simhash", "llm"))
+def q68_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    tok_val = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+    exploded = d.select("doc_id", F.explode(toks).alias("__tok")).withColumn(
+        "__v", tok_val
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__v"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_N_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(_N_BITS - 1, -1, -1)
+    ]
+    return votes.select("doc_id", F.concat(*bits).alias("sh"))
