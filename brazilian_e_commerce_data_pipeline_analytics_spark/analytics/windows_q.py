@@ -426,3 +426,64 @@ def q63_decomposition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / parent, 6).alias("pct_of_parent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69: distribution-position windows — NTILE quartiles, percent_rank,
+# cume_dist over per-customer revenue (customer segmentation semantics).
+# The order is total (revenue desc, custkey) so every position function
+# is deterministic and both engines agree exactly. Scale note: a global
+# position window serializes its input through one task — fine here
+# because the input is the per-customer rollup, not raw orders; for
+# 10^8+ entities switch to approx quantile cutpoints + a bucketing join.
+# ---------------------------------------------------------------------------
+
+_Q69_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT quartile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS quartile_revenue,
+       MIN(pr) AS min_pct_rank,
+       MAX(cd) AS max_cume_dist
+FROM (
+  SELECT c_custkey, revenue,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+  FROM per_cust
+  WINDOW w AS (ORDER BY revenue DESC, c_custkey)
+)
+GROUP BY quartile
+"""
+
+
+@register("q69_ntile_quartiles", oracle=_Q69_ORACLE, tags=("window", "ntile", "segmentation"))
+def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    positioned = per_cust.select(
+        "c_custkey",
+        "revenue",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return positioned.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("quartile_revenue"),
+        F.min("pr").alias("min_pct_rank"),
+        F.max("cd").alias("max_cume_dist"),
+    )
