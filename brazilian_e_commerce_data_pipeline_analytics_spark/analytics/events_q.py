@@ -463,3 +463,37 @@ def q65_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("d", "event_type", F.col("n").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q70: JSON -> MapType -> explode — the semi-structured column path
+# (from_json into map<string,int>, keys exploded and aggregated). The
+# oracle walks the same objects with DuckDB's json_each. q32 regexes the
+# same column; this is the typed route a real pipeline takes.
+# ---------------------------------------------------------------------------
+
+# (this DuckDB build ships without the json extension, so the oracle
+# replays the parse with regexes — exact for the single-pair objects in
+# the events data; the Spark side stays on the typed from_json route)
+_Q70_ORACLE = r"""
+SELECT regexp_extract(props, '"(\w+)":', 1) AS prop_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, ':\s*(\d+)', 1) AS INT)) AS BIGINT) AS total_value,
+       CAST(MIN(CAST(regexp_extract(props, ':\s*(\d+)', 1) AS INT)) AS INT) AS min_value,
+       CAST(MAX(CAST(regexp_extract(props, ':\s*(\d+)', 1) AS INT)) AS INT) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q70_json_props_map", oracle=_Q70_ORACLE, tags=("events", "json", "map-type"))
+def q70_json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    kv = ev.select(F.explode(m).alias("prop_key", "v"))
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("bigint").alias("total_value"),
+        F.min("v").cast("int").alias("min_value"),
+        F.max("v").cast("int").alias("max_value"),
+    )
