@@ -515,3 +515,49 @@ def q60_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71: STREAMING dedup — dropDuplicatesWithinWatermark over a source
+# that delivers every event twice (at-least-once delivery simulated with
+# two files of the same data). The watermark bounds dedup state to the
+# 2h horizon instead of all history; the oracle is simply the 1x batch
+# relation, proving exactly-once output from at-least-once input.
+# ---------------------------------------------------------------------------
+
+_Q71_ORACLE = """
+SELECT event_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
+
+@register("q71_stream_dedup", oracle=_Q71_ORACLE, tags=("streaming", "dedup", "watermark"))
+def q71_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..catalog import table_path
+
+    # stream dir with TWO links to the same file = duplicated delivery
+    path = table_path(sf_dir, "events")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    dup_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"events_dup_{sf_name}",
+    )
+    os.makedirs(dup_dir, exist_ok=True)
+    for link in ("a.parquet", "b.parquet"):
+        target = os.path.join(dup_dir, link)
+        if not os.path.exists(target):
+            os.symlink(path, target)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", F.col("value").cast("double").alias("value"))
+    )
+    return run_stream_to_memory(spark, deduped, output_mode="append")
