@@ -708,3 +708,45 @@ def q67_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.k").alias("k"), "grp_n")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q72: multiset set-ops — EXCEPT ALL / INTERSECT ALL (the bag semantics
+# q11/q12's distinct variants don't cover: a customer with 3 urgent and
+# 1 low order keeps 2 copies under EXCEPT ALL). Both results tagged into
+# one relation.
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+GROUP BY 2
+"""
+
+
+@register("q72_multiset_setops", oracle=_Q72_ORACLE, tags=("setop", "multiset"))
+def q72_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "o_custkey", "n"
+        )
+
+    return counted(urgent.exceptAll(low), "except_all").unionAll(
+        counted(urgent.intersectAll(low), "intersect_all")
+    )
