@@ -497,3 +497,57 @@ def q70_json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("int").alias("min_value"),
         F.max("v").cast("int").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q73: value-position windows — first_value / nth_value / last_value
+# over per-user timelines. last_value uses an explicit full-partition
+# frame (the default running frame makes it just "current row", the
+# classic trap); aggregated per user so the output is compact.
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+SELECT user_id, first_type, second_type, final_type, n_events
+FROM (
+  SELECT user_id,
+         first_value(event_type) OVER w AS first_type,
+         nth_value(event_type, 2) OVER w AS second_type,
+         last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS final_type,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+WHERE rn = 1
+"""
+
+
+@register("q73_value_position_windows", oracle=_Q73_ORACLE, tags=("events", "window", "nth-value"))
+def q73_value_position_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+            F.last("event_type").over(w_full).alias("final_type"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+            F.row_number().over(w_run).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
