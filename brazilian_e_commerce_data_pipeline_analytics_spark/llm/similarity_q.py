@@ -198,3 +198,48 @@ def q57_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74: per-dimension embedding statistics via posexplode — the
+# index-aware explode (array -> (pos, value) rows). The embedding-QC
+# query a training pipeline runs to catch dead or exploding dimensions.
+# Parity trap: FLOAT -> DECIMAL casts differ between engines (Spark goes
+# through the widened double, DuckDB through the float's shortest
+# decimal), so means round the DOUBLE to 6 digits before the exact
+# decimal sum — identical on both sides and order-independent.
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = """
+SELECT pos,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS mean_x,
+       MIN(CAST(x AS DOUBLE)) AS min_x,
+       MAX(CAST(x AS DOUBLE)) AS max_x
+FROM (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+GROUP BY pos
+"""
+
+
+@register("q74_embedding_dim_stats", oracle=_Q74_ORACLE, tags=("similarity", "posexplode", "llm"))
+def q74_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x"),
+            F.min(F.col("x").cast("double")).alias("min_x"),
+            F.max(F.col("x").cast("double")).alias("max_x"),
+        )
+    )
