@@ -139,6 +139,167 @@ def lsh_bucket(vec_d: Column, n_planes: int = 4) -> Column:
     return bucket
 
 
+def _codebook_row(cent: DataFrame) -> DataFrame:
+    """Collapse a (cell, cv) centroid table to ONE row holding the whole
+    codebook as array<struct<cell,cv>> — tiny (n_cells x dims doubles), so
+    a crossJoin(broadcast(...)) against it ships the codebook to every
+    task with no shuffle and no driver-side collect in the plan."""
+    return cent.agg(F.collect_list(F.struct("cell", "cv")).alias("__cents"))
+
+
+def _cell_scores(v: Column, cents: Column) -> Column:
+    """array<struct<score,cell>>: round-6 cosine of ``v`` vs each centroid."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            cosine(v, c["cv"]).alias("score"), c["cell"].alias("cell")
+        ),
+    )
+
+
+def _best_cell(v: Column, cents: Column) -> Column:
+    """argmax cell by (score desc, cell asc) — pure array expression, no
+    shuffle: struct max compares score first, then -cell breaks ties
+    toward the smallest cell id, replayable by any SQL engine's
+    row_number()."""
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            cosine(v, c["cv"]).alias("score"), (-c["cell"]).alias("neg_cell")
+        ),
+    )
+    return (-F.array_max(scored)["neg_cell"]).cast("bigint")
+
+
+def _top_cells(v: Column, cents: Column, n_probe: int) -> Column:
+    """The ``n_probe`` nearest cell ids, ordered (score desc, cell asc)."""
+    srt = F.array_sort(
+        _cell_scores(v, cents),
+        lambda l, r: F.when(l["score"] > r["score"], F.lit(-1))
+        .when(l["score"] < r["score"], F.lit(1))
+        .when(l["cell"] < r["cell"], F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("int"),
+    )
+    return F.transform(F.slice(srt, 1, n_probe), lambda s: s["cell"])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer: one deterministic Lloyd iteration.
+
+    Seeds are the ``n_cells`` lowest-id vectors (distributed top-k, no
+    driver sort); every vector is assigned to its nearest seed by round-6
+    cosine (ties to the lowest seed id); the returned centroids are the
+    per-cell per-dimension means. Means go through exact DECIMAL sums of
+    round-6 components, so the centroid doubles are bit-identical in any
+    engine that replays the same arithmetic — which is what makes the
+    *approximate* IVF search value-checkable by a SQL oracle.
+
+    Scale shape: seeds are O(n_cells) rows; assignment is a narrow map
+    against the broadcast codebook (no shuffle, no per-row explosion);
+    the mean aggregation map-side-combines to n_cells x dims doubles.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("__v")
+    )
+    seeds = (
+        e.orderBy("__vid")
+        .limit(n_cells)
+        .select(F.col("__vid").alias("cell"), F.col("__v").alias("cv"))
+    )
+    a1 = e.crossJoin(F.broadcast(_codebook_row(seeds))).select(
+        "__vid", "__v", _best_cell(F.col("__v"), F.col("__cents")).alias("cell")
+    )
+    means = [
+        (
+            F.sum(
+                F.round(F.element_at(F.col("__v"), j + 1), 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(f"__m{j}")
+        for j in range(dims)
+    ]
+    return (
+        a1.groupBy("cell")
+        .agg(*means)
+        .select("cell", F.array(*[f"__m{j}" for j in range(dims)]).alias("cv"))
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file partition + multi-cell probe.
+
+    The corpus is partitioned into ``n_cells`` inverted lists by the
+    :func:`ivf_centroids` quantizer; each query scores only the lists of
+    its ``n_probe`` nearest centroids. Recall follows the IVF tradeoff
+    (n_probe/n_cells of the corpus scanned per query, misses neighbors
+    quantized into unprobed cells); every step is deterministic, so exact
+    output — cells included — is reproducible by a SQL oracle.
+
+    Output: (query_id, cell, neighbor_id, score, rank), self-matches
+    excluded, rank by (score desc, neighbor_id asc) across all probed
+    cells of a query.
+
+    100 TB shape: centroid table is tiny and broadcast; corpus assignment
+    is a narrow map (no shuffle); probes explode to |queries| x n_probe
+    rows and broadcast into the cell join, so the only real shuffle is
+    the final per-query top-k window over candidate rows — |corpus| x
+    n_probe / n_cells in expectation.
+    """
+    # cache: the codebook (one row) is referenced by both the corpus
+    # assignment and the query probes; without it the quantizer training —
+    # a full corpus pass — would run twice
+    cents = _codebook_row(
+        ivf_centroids(corpus, id_col, vec_col, n_cells, dims)
+    ).cache()
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    assigned = e.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "c_vec",
+        _best_cell(F.col("c_vec"), F.col("__cents")).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    probes = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        F.explode(_top_cells(F.col("q_vec"), F.col("__cents"), n_probe)).alias(
+            "cell"
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "score", "rank")
+    )
+
+
 def ann_bucketed(
     corpus: DataFrame,
     queries: DataFrame,

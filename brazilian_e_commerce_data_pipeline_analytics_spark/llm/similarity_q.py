@@ -15,6 +15,7 @@ from ..catalog import load_table
 from ..registry import register
 from .similarity import (
     ann_bucketed,
+    ivf_ann,
     knn_bruteforce,
     l2_norm,
     as_double,
@@ -148,6 +149,95 @@ def q51_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return ann_bucketed(
         e, queries, id_col="vec_id", vec_col="embedding", k=3, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75: IVF ANN — the brief's "IVF or LSH" scale path, IVF variant. The
+# coarse quantizer is one deterministic Lloyd iteration (seeds = lowest
+# n_cells vec_ids, per-dim means via exact DECIMAL sums of round-6
+# components), so the oracle replays training AND search value-for-value:
+# the approximation is deterministic, not random. n_cells=8, n_probe=2,
+# k=3 over the same vec_id % 100 = 0 query set as q48/q51.
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+_IVF_K = 3
+_IVF_DIMS = 64
+
+_MEAN_EXPRS = ", ".join(
+    f"CAST(SUM(CAST(round(v[{j + 1}], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    for j in range(_IVF_DIMS)
+)
+
+_Q75_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell, [{_MEAN_EXPRS}] AS cv FROM a1 GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE e.vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_PROBE}
+)
+SELECT query_id, cell, neighbor_id, score, rank FROM (
+  SELECT p.query_id, a2.cell AS cell, a2.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.q_vec, a2.v), 6) AS score,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(p.q_vec, a2.v), 6) DESC, a2.vec_id
+         ) AS rank
+  FROM a2 JOIN probes p USING (cell)
+  WHERE a2.vec_id <> p.query_id
+) WHERE rank <= {_IVF_K}
+"""
+
+
+@register("q75_ann_ivf", oracle=_Q75_ORACLE, tags=("similarity", "ivf", "llm"))
+def q75_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann(
+        e,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_IVF_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        dims=_IVF_DIMS,
     )
 
 

@@ -194,3 +194,60 @@ def test_shingle_frequency_cap_is_conservative(docs):
         ).collect()
     }
     assert uncapped_equiv == exact
+
+
+def test_ivf_ann_clusters_and_recall(spark):
+    """IVF on 2 well-separated clusters: every query's neighbors come from
+    its own cluster, scores/ranks match brute force restricted to the
+    probed cells, and the plan is deterministic across runs."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import ivf_ann
+
+    dims = 8
+    # cluster A around e_0, cluster B around e_1 (orthogonal -> cosine 0)
+    def vec(axis, vid):
+        v = [0.01 * ((vid * 7) % 5)] * dims
+        v[axis] = 10.0 + 0.1 * (vid % 3)
+        return [float(x) for x in v]
+
+    rows = [Row(vec_id=i, embedding=vec(0, i)) for i in range(10)] + [
+        Row(vec_id=10 + i, embedding=vec(1, i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    queries = df.filter(F.col("vec_id").isin(0, 15))
+    out = ivf_ann(
+        df, queries, k=3, n_cells=2, n_probe=1, dims=dims
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 15}
+    # neighbors of the axis-0 query are axis-0 vectors; axis-1 likewise
+    assert all(r["neighbor_id"] < 10 for r in by_q[0])
+    assert all(r["neighbor_id"] >= 10 for r in by_q[15])
+    for rs in by_q.values():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3]
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+    # determinism: identical output on a rebuilt plan
+    again = ivf_ann(df, queries, k=3, n_cells=2, n_probe=1, dims=dims).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(out, key=key) == sorted(again, key=key)
+
+
+def test_ivf_probe_all_cells_matches_bruteforce(spark):
+    """With n_probe = n_cells every cell is scanned, so IVF must equal the
+    exact brute-force top-k (same scores, same ranks)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import ivf_ann
+
+    dims = 6
+    rows = [
+        Row(vec_id=i, embedding=[float((i * j + 3) % 7 + 1) for j in range(dims)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 4 == 0)
+    ivf = ivf_ann(df, queries, k=4, n_cells=3, n_probe=3, dims=dims).collect()
+    bf = knn_bruteforce(df, queries, k=4).collect()
+    ivf_set = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in ivf}
+    bf_set = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in bf}
+    assert ivf_set == bf_set
