@@ -487,3 +487,79 @@ def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pr").alias("min_pct_rank"),
         F.max("cd").alias("max_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76: decomposition tree — the reference dashboard's Region -> Product ->
+# City drill-down (Readme.md:163, Doc/…md:526-529) generalized to
+# region -> nation -> market segment with pct-of-parent at every node.
+# ONE pass computes all levels (rollup = single Expand + Aggregate; no
+# per-level rescans), then one window derives pct-of-parent: within a
+# level, children partitioned by their parent's keys sum to exactly the
+# parent's total, so pct = revenue / window-sum. Parent keys are masked
+# per level (CASE WHEN lvl >= d THEN key) so level-1 rows share the
+# grand-total partition. Window sums go through DECIMAL to stay
+# accumulation-order-independent across engines.
+# ---------------------------------------------------------------------------
+
+_Q76_ORACLE = """
+WITH base AS (
+  SELECT r_name, n_name, c_mktsegment, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+agg AS (
+  SELECT r_name, n_name, c_mktsegment,
+         CAST(3 - (GROUPING(r_name) + GROUPING(n_name) + GROUPING(c_mktsegment)) AS INT) AS lvl,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM base
+  GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+)
+SELECT r_name, n_name, c_mktsegment, lvl, n_orders, revenue,
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+         PARTITION BY lvl,
+           CASE WHEN lvl >= 2 THEN r_name END,
+           CASE WHEN lvl >= 3 THEN n_name END
+       ) AS DOUBLE) AS pct_of_parent
+FROM agg
+"""
+
+
+@register("q76_decomposition_tree", oracle=_Q76_ORACLE, tags=("rollup", "window", "bi"))
+def q76_decomposition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    cust = customer.join(F.broadcast(dims), customer.c_nationkey == dims.n_nationkey)
+    full = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    agg = full.rollup("r_name", "n_name", "c_mktsegment").agg(
+        (
+            F.lit(3)
+            - (
+                F.grouping("r_name")
+                + F.grouping("n_name")
+                + F.grouping("c_mktsegment")
+            )
+        )
+        .cast("int")
+        .alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    w = Window.partitionBy(
+        "lvl",
+        F.when(F.col("lvl") >= 2, F.col("r_name")),
+        F.when(F.col("lvl") >= 3, F.col("n_name")),
+    )
+    return agg.withColumn(
+        "pct_of_parent",
+        F.col("revenue")
+        / F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double"),
+    )

@@ -252,3 +252,37 @@ def test_salted_join_rejects_small_side_preserving_types(spark):
     small = spark.createDataFrame([Row(k="a", name="A")])
     with pytest.raises(ValueError, match="duplicate its unmatched rows"):
         salted_join(big, small, ["k"], ["rid"], how="full")
+
+
+def test_decomposition_tree_is_self_consistent(spark):
+    """q76 invariants: every parent's children sum to the parent's revenue
+    exactly (decimal-exact aggregation), children's pct_of_parent sums to
+    1 per parent, and the grand total covers all orders once."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+    from .conftest import SF_SMALL
+
+    rows = all_queries()["q76_decomposition_tree"].builder(spark, SF_SMALL).collect()
+    by_lvl = {}
+    for r in rows:
+        by_lvl.setdefault(r["lvl"], []).append(r)
+    assert set(by_lvl) == {0, 1, 2, 3}
+    [grand] = by_lvl[0]
+    # level-1 revenues partition the grand total
+    assert sum(r["revenue"] for r in by_lvl[1]) == pytest.approx(grand["revenue"], abs=1e-6)
+    # each region's nations sum to the region; each nation's segments to the nation
+    for child_lvl, parent_key in ((2, ("r_name",)), (3, ("r_name", "n_name"))):
+        parents = {
+            tuple(p[k] for k in parent_key): p["revenue"] for p in by_lvl[child_lvl - 1]
+        }
+        sums: dict[tuple, float] = {}
+        pcts: dict[tuple, float] = {}
+        for r in by_lvl[child_lvl]:
+            key = tuple(r[k] for k in parent_key)
+            sums[key] = sums.get(key, 0.0) + r["revenue"]
+            pcts[key] = pcts.get(key, 0.0) + r["pct_of_parent"]
+        assert set(sums) == set(parents)
+        for key in parents:
+            assert sums[key] == pytest.approx(parents[key], abs=1e-6), key
+            assert pcts[key] == pytest.approx(1.0, abs=1e-9), key
+    # n_orders at the leaves covers every joined order exactly once
+    assert sum(r["n_orders"] for r in by_lvl[3]) == grand["n_orders"]
