@@ -117,39 +117,55 @@ def test_global_topk_is_distributed_take_ordered(spark):
 
 
 def test_aqe_splits_skewed_join_partition(spark):
-    """AQE's runtime skew handling — the default defense SCALING.md
-    leans on before explicit salting — actually splits a hot partition:
-    thresholds lowered so local-scale data triggers it, then the final
-    adaptive plan must show SortMergeJoin(skew=true)."""
+    """AQE skew-join handling is the engine's no-code-change answer to
+    hot keys (the salted operators are the explicit answer). Pin that it
+    actually fires: a sort-merge join with one dominant key, under
+    test-sized thresholds, must show ``skew=true`` in the FINAL adaptive
+    plan — i.e. the hot partition was split into multiple reader tasks,
+    which is exactly what rescues a 1000-executor join from one straggler
+    task at 100 TB."""
     from pyspark.sql import functions as F
 
     confs = {
+        # make the hot partition count as skewed at test scale
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # force a sort-merge join: broadcast would dodge the shuffle
         "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    old = {k: spark.conf.get(k) for k in confs}
+    saved = {k: spark.conf.get(k, None) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        big = (
-            spark.range(300000)
-            .withColumn(
-                "k",
-                F.when(F.col("id") < 250000, F.lit(0)).otherwise(
-                    (F.col("id") % 100) + 1
-                ),
-            )
-            .withColumn("pad", F.lit("x" * 80))
+        hot = spark.range(200_000).select(F.lit(99).alias("k"), F.col("id").alias("v"))
+        uniform = spark.range(3_200).select(
+            (F.col("id") % 32).alias("k"), F.col("id").alias("v")
         )
-        small = spark.range(101).select(
-            F.col("id").alias("k"), F.concat(F.lit("n_"), F.col("id")).alias("name")
+        big = hot.union(uniform)
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("p")
         )
-        j = big.join(small, "k")
-        assert len(j.collect()) == 300000
-        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        # a GLOBAL agg, deliberately: a groupBy("k") downstream would
+        # require hash partitioning on k, and AQE (correctly) refuses to
+        # split the skewed partition when that breaks a required
+        # distribution. The partial global agg is distribution-agnostic.
+        # sum(v) keeps the wide column through the shuffle (otherwise
+        # column pruning leaves 200k copies of the constant key, which
+        # compress below any realistic skew threshold)
+        joined = big.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p").alias("sp"), F.sum("v").alias("sv")
+        )
+        row = joined.collect()[0]
+        assert row["n"] == 203_200
+        assert row["sp"] == 200_000 * 990 + sum(k * 10 * 100 for k in range(32))
+        assert row["sv"] == sum(range(200_000)) + sum(range(3_200))
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
     finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -131,3 +131,42 @@ def test_asof_join_matches_python_oracle(spark, lrows, rrows):
         cands = [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]
         expected = max(cands)[1] if cands else None  # ties -> max payload
         assert got[i] == expected, (i, k, t, cands)
+
+
+join_big = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+)
+join_small = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=0, max_size=8
+)
+
+
+@given(
+    brows=join_big,
+    srows=join_small,
+    n_salts=st.sampled_from([1, 3, 8]),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, brows, srows, n_salts, how):
+    """salted_join is a pure physical rewrite: its multiset of output
+    rows equals the plain join's for every allowed join type, any key
+    distribution (incl. keys present on only one side), and any salt
+    count."""
+    from collections import Counter
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([Row(k=k, rid=t) for k, t in brows])
+    if srows:
+        small = spark.createDataFrame([Row(k=k, p=p) for k, p in srows])
+    else:
+        small = spark.createDataFrame([], "k int, p int")
+    plain = Counter(tuple(r) for r in big.join(small, on=["k"], how=how).collect())
+    salted = Counter(
+        tuple(r)
+        for r in salted_join(
+            big, small, on=["k"], spreader=["rid"], n_salts=n_salts, how=how
+        ).collect()
+    )
+    assert salted == plain
