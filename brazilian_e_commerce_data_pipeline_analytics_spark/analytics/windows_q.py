@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.compat import dmoney, dsum
+from ..operators.datespine import gap_fill_ffill
 from ..operators.windows import moving_sum_avg, top_k_per_group, yoy
 from ..registry import register
 
@@ -562,4 +563,69 @@ def q76_decomposition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pct_of_parent",
         F.col("revenue")
         / F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77: gap-fill + forward-fill — densify sparse per-key daily series onto
+# a calendar spine, LOCF the daily value, and accumulate revenue-to-date.
+# The reference's dim_date join (reporting.py:56-92) leaves gap days
+# absent entirely; every "as of day X" BI visual needs this dense form.
+# Decimal stays decimal THROUGH the window sum (exact, association-free),
+# cast to double only at the output boundary — a windowed double sum
+# would disagree with DuckDB's segment-tree accumulation order.
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders
+  GROUP BY 1, 2
+),
+b AS (SELECT o_orderpriority, MIN(d) AS mn FROM daily GROUP BY 1),
+g AS (SELECT MAX(d) AS mx FROM daily),
+spine AS (
+  SELECT b.o_orderpriority, CAST(gs AS DATE) AS d
+  FROM b, g,
+  LATERAL (SELECT unnest(generate_series(b.mn::TIMESTAMP, g.mx::TIMESTAMP,
+                                         INTERVAL 1 DAY)) AS gs) s
+)
+SELECT spine.o_orderpriority,
+       spine.d,
+       CAST(last_value(daily.rev_dec IGNORE NULLS) OVER w AS DOUBLE) AS rev_filled,
+       CAST(SUM(COALESCE(daily.rev_dec, 0)) OVER w AS DOUBLE) AS rev_to_date,
+       daily.rev_dec IS NOT NULL AS was_observed
+FROM spine
+LEFT JOIN daily
+  ON spine.o_orderpriority = daily.o_orderpriority AND spine.d = daily.d
+WINDOW w AS (PARTITION BY spine.o_orderpriority ORDER BY spine.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q77_gap_fill_ffill",
+    oracle=_Q77_ORACLE,
+    tags=("spine", "window", "ffill", "bi"),
+)
+def q77_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(dmoney("o_totalprice")).alias("rev_dec"))
+    dense = gap_fill_ffill(
+        daily,
+        keys=["o_orderpriority"],
+        date_col="d",
+        value_cols=["rev_dec"],
+        running_total_cols=["rev_dec"],
+    )
+    return dense.select(
+        "o_orderpriority",
+        "d",
+        F.col("rev_dec").cast("double").alias("rev_filled"),
+        F.col("rev_dec_cum").cast("double").alias("rev_to_date"),
+        "was_observed",
     )

@@ -286,3 +286,39 @@ def test_decomposition_tree_is_self_consistent(spark):
             assert pcts[key] == pytest.approx(1.0, abs=1e-9), key
     # n_orders at the leaves covers every joined order exactly once
     assert sum(r["n_orders"] for r in by_lvl[3]) == grand["n_orders"]
+
+
+def test_gap_fill_ffill_densifies_and_carries_forward(spark):
+    """Hand-checked micro-case: keys start on different days, gaps are
+    filled from each key's first observation through the GLOBAL max,
+    LOCF carries the last value across gaps, running totals treat gap
+    days as zero."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.datespine import gap_fill_ffill
+
+    d = datetime.date
+    daily = spark.createDataFrame(
+        [
+            Row(k="a", d=d(2024, 1, 1), v=10),
+            Row(k="a", d=d(2024, 1, 4), v=5),
+            Row(k="b", d=d(2024, 1, 3), v=7),
+        ]
+    )
+    out = gap_fill_ffill(
+        daily, keys=["k"], date_col="d", value_cols=["v"], running_total_cols=["v"]
+    )
+    got = sorted(
+        (r["k"], str(r["d"]), r["v"], r["v_cum"], r["was_observed"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", "2024-01-01", 10, 10, True),
+        ("a", "2024-01-02", 10, 10, False),   # gap: LOCF=10, cum unchanged
+        ("a", "2024-01-03", 10, 10, False),
+        ("a", "2024-01-04", 5, 15, True),
+        ("b", "2024-01-03", 7, 7, True),      # b starts at ITS first obs
+        ("b", "2024-01-04", 7, 7, False),     # extended to global max
+    ]
