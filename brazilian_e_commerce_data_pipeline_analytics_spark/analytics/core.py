@@ -750,3 +750,194 @@ def q72_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted(urgent.exceptAll(low), "except_all").unionAll(
         counted(urgent.intersectAll(low), "intersect_all")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78: RFM customer segmentation — the canonical e-commerce customer
+# analysis the reference delegates to Power BI (its gold fact_sales/
+# dim_customer star exists to feed exactly this). Recency / Frequency /
+# Monetary each quartiled with ntile(4); determinism requires a TOTAL
+# order under every ntile (metric + c_custkey tiebreaker), or bucket
+# boundaries are run-dependent in both engines.
+# Scale: one shuffle to the per-customer grain, then three window
+# functions over the SAME global ordering-free partitioning (ntile's
+# single partition is fine: the per-customer relation is |customers|
+# rows, and ntile is O(n) streaming — but at true 100 TB scale the
+# per-customer rollup, not the ntile, dominates).
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC,   o_custkey) AS f_score,
+       ntile(4) OVER (ORDER BY monetary  DESC,   o_custkey) AS m_score
+FROM per_cust
+"""
+
+
+@register("q78_rfm_segmentation", oracle=_Q78_ORACLE, tags=("bi", "window", "ntile", "agg"))
+def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    asof = o.agg(F.max(d).alias("__asof"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(d).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .join(F.broadcast(asof))
+        .select(
+            "o_custkey",
+            F.datediff("__asof", "__last").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_cust.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79: co-purchase pairs (market-basket co-occurrence) — parts bought
+# together in the same order, the "frequently bought together" feed.
+# (order, part) is deduped FIRST so a part ordered on two lines counts
+# once per order; pair explosion is bounded by (items-per-order choose 2)
+# per order — the self-join key is l_orderkey, whose fan-out is the
+# order's line count (~7), so the blowup is a small constant, not a
+# hot-key hazard. Top-k via TakeOrderedAndProject keeps the driver
+# result O(k) at any corpus size.
+# ---------------------------------------------------------------------------
+
+_Q79_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders,
+       ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rank
+FROM pairs
+ORDER BY rank
+LIMIT 500
+"""
+
+
+@register("q79_copurchase_pairs", oracle=_Q79_ORACLE, tags=("bi", "join", "self-join", "topk"))
+def q79_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import top_k
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return top_k(pairs, [F.desc("n_orders"), "part_a", "part_b"], k=500)
+
+
+# ---------------------------------------------------------------------------
+# q80: cohort retention — customers grouped by first-order month, counted
+# per months-elapsed, with retention vs the cohort's month-0 size.
+# Month arithmetic via (year*12 + month) integers: exact and identical
+# in both engines (months_between/datediff('month') have subtly
+# different day-of-month semantics across engines — integer month
+# indices sidestep that entirely).
+# Scale: two shuffles — per-customer first-order (partial-agg friendly),
+# then the (cohort, months_since) rollup; the month-0 size joins back
+# broadcast (rows = distinct months, tiny forever).
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH om AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS mi
+  FROM orders
+),
+firsts AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM om GROUP BY o_custkey),
+activity AS (
+  SELECT f.cohort_mi, om.mi - f.cohort_mi AS months_since,
+         COUNT(DISTINCT om.o_custkey) AS n_active
+  FROM om JOIN firsts f ON om.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+base AS (SELECT cohort_mi, n_active AS cohort_size FROM activity WHERE months_since = 0)
+SELECT CAST(a.cohort_mi // 12 AS INT) AS cohort_year,
+       a.cohort_mi % 12 + 1 AS cohort_month,
+       a.months_since, a.n_active, b.cohort_size,
+       ROUND(CAST(a.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+FROM activity a JOIN base b ON a.cohort_mi = b.cohort_mi
+"""
+
+
+@register("q80_cohort_retention", oracle=_Q80_ORACLE, tags=("bi", "window", "agg", "retention"))
+def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    om = o.select(
+        "o_custkey", (F.year(d) * 12 + F.month(d) - 1).alias("mi")
+    )
+    # cohort via window min (ONE shuffle on custkey) instead of the
+    # textbook agg+self-join, which scans orders twice
+    cohort = F.min("mi").over(Window.partitionBy("o_custkey"))
+    activity = (
+        om.withColumn("cohort_mi", cohort)
+        .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("months_since"))
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    # month-0 size via window over the tiny rollup — no base self-join,
+    # no duplicated activity subtree; every cohort has a month-0 row by
+    # construction (the first order IS month 0)
+    size_w = Window.partitionBy("cohort_mi")
+    return (
+        activity.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("months_since") == 0, F.col("n_active"))).over(size_w),
+        )
+        .select(
+            # floor division on BOTH sides: DuckDB rounds float->int
+            # casts while Spark truncates, so "/ 12 then cast" diverges
+            F.floor(F.col("cohort_mi") / 12).cast("int").alias("cohort_year"),
+            (F.col("cohort_mi") % 12 + 1).alias("cohort_month"),
+            "months_since",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
