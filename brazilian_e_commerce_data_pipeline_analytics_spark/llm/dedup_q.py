@@ -122,3 +122,59 @@ def q68_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_N_BITS - 1, -1, -1)
     ]
     return votes.select("doc_id", F.concat(*bits).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# q81: df-capped exact Jaccard — the corpus-scale configuration of q45.
+# Shingles appearing in more than max_df documents are dropped from PAIR
+# GENERATION (per-doc sizes still count them), so every reported score is
+# a conservative lower bound. Physically this takes the per-shingle
+# doc-list plan (one shuffle of the exploded relation; pair arrays
+# bounded by the cap) instead of q45's self-join — see llm/dedup.py.
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1
+),
+qualified AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM qualified)
+  GROUP BY 1, 2
+)
+SELECT doc_a,
+       doc_b,
+       n_common,
+       sa.n_sh + sb.n_sh - n_common AS n_union,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+"""
+
+
+@register("q81_ngram_jaccard_capped", oracle=_Q81_ORACLE, tags=("dedup", "llm", "scale-knob"))
+def q81_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.05, max_df=20)
