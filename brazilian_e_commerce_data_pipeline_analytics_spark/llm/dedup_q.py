@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.graph import canonical_docs
 from ..registry import register
 from .dedup import minhash_near_dups, shingle_pairs_exact, simhash_near_dups
 
@@ -178,3 +179,79 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 def q81_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.05, max_df=20)
+
+
+# ---------------------------------------------------------------------------
+# q82: duplicate-cluster assignment — the stage AFTER pair detection.
+# Near-dup pairs (exact Jaccard >= 0.4) become an undirected graph;
+# iterative min-label propagation (operators/graph.py) assigns every
+# document the min doc_id of its transitive duplicate cluster, singletons
+# map to themselves. This is the keep/drop decision of a corpus dedup
+# pipeline: keep doc_id == canonical_id. Oracle replays the transitive
+# closure with a recursive CTE — exact, including singleton handling.
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS label FROM walk GROUP BY a
+),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS canonical_id
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT a.doc_id, a.canonical_id, s.cluster_size
+FROM assigned a
+JOIN (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1
+) s USING (canonical_id)
+"""
+
+
+@register("q82_dup_clusters", oracle=_Q82_ORACLE, tags=("dedup", "graph", "llm"))
+def q82_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.4)
+    return canonical_docs(d, pairs, "doc_id", "doc_a", "doc_b")

@@ -251,3 +251,37 @@ def q66_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q83: deterministic train/valid/test split (operators/sampling.py).
+# Assignment is a pure function of (doc_id, seed) via a portable
+# md5-prefix bucket, so it is stable across runs, partitionings, and
+# engines — the DuckDB oracle recomputes every bucket and split
+# byte-identically. 90/5/5 split, seed 42.
+# ---------------------------------------------------------------------------
+
+_Q83_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("q83_hash_split", oracle=_Q83_ORACLE, tags=("sampling", "llm"))
+def q83_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket, split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_assign(d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, seed=42)
+    return out.select(
+        "doc_id", portable_bucket("doc_id", 42).alias("bucket"), "split"
+    )

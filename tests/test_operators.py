@@ -322,3 +322,54 @@ def test_gap_fill_ffill_densifies_and_carries_forward(spark):
         ("b", "2024-01-03", 7, 7, True),      # b starts at ITS first obs
         ("b", "2024-01-04", 7, 7, False),     # extended to global max
     ]
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-node chain (worst-case diameter) and a triangle both collapse
+    to their min id; an isolated pair stays its own cluster."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.graph import (
+        canonical_docs,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(a=s, b=d) for s, d in [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]]
+    )
+    comp = {r["node"]: r["label"] for r in connected_components(edges, "a", "b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]])
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in canonical_docs(docs, edges, "doc_id", "a", "b").collect()
+    }
+    assert out[99] == (99, 1)          # singleton: maps to itself
+    assert out[4] == (1, 4)            # chain end reaches min via propagation
+    assert out[12] == (10, 3)
+    assert out[21] == (20, 2)
+
+
+def test_hash_sample_stable_and_unbiased(spark):
+    """Same (key, seed) set survives any repartitioning; fraction is
+    within a loose tolerance; disjoint seeds give different sets."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.sampling import (
+        hash_sample,
+        split_assign,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, "k", 0.2, seed=7).collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(13), "k", 0.2, seed=7).collect()}
+    assert s1 == s2                      # partitioning-independent
+    assert abs(len(s1) / 5000 - 0.2) < 0.03
+    s3 = {r["k"] for r in hash_sample(df, "k", 0.2, seed=8).collect()}
+    assert s3 != s1                      # seed actually matters
+
+    out = split_assign(df, "k", {"train": 8, "valid": 1, "test": 1}, seed=7)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, non-overlapping
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # per-key consistency: a key's split never depends on the rest of the data
+    sub = split_assign(df.filter("k < 100"), "k", {"train": 8, "valid": 1, "test": 1}, seed=7)
+    full = {r["k"]: r["split"] for r in out.filter("k < 100").collect()}
+    assert {r["k"]: r["split"] for r in sub.collect()} == full
