@@ -170,3 +170,41 @@ def test_salted_join_equals_plain_join(spark, brows, srows, n_salts, how):
         ).collect()
     )
     assert salted == plain
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+)
+
+
+@given(edges=edge_strategy)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation agrees with a driver-side union-find on any
+    graph shape hypothesis produces (self-loops, parallel edges, cycles)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+    got = {
+        r["node"]: r["label"] for r in connected_components(df, "a", "b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        comps[root] = min(comps.get(root, node), node)
+    expected = {node: comps[find(node)] for node in parent}
+    assert got == expected
