@@ -77,3 +77,20 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view for spark.sql() access."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure >= min_parts partitions before CPU-heavy per-row work.
+
+    Small single-file inputs arrive as ONE scan partition (a parquet
+    row-group can't be split by config), which serializes everything up
+    to the first exchange — fatal for tokenize/shingle/hash explodes
+    where per-row CPU, not IO, dominates. One cheap shuffle of the raw
+    rows buys full parallelism for the expensive stage. At corpus scale
+    the input already has >= cores splits and this is a no-op — the
+    check costs one plan->RDD conversion at build time, no job.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

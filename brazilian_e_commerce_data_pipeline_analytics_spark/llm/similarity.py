@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import spread
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -58,7 +60,10 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     )
-    c = corpus.select(
+    # spread: the O(corpus x queries) cosine arithmetic runs in the scan
+    # stage of the corpus side — a single-partition input would serialize
+    # all of it on one core (no-op at real scale)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (

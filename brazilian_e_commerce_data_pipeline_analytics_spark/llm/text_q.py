@@ -285,3 +285,45 @@ def q83_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", portable_bucket("doc_id", 42).alias("bucket"), "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# q84: blocked fuzzy string matching (edit distance) — the entity-
+# resolution / catalog-normalization primitive. Works on the DISTINCT
+# name vocabulary (fuzzy-matching raw rows explodes on repeated names:
+# m copies x n copies of two near-identical strings is m*n pairs for
+# zero new information), blocks on the first character so the self-join
+# is an equi-join (standard blocking: bounded recall loss — a typo in
+# position 1 lands in another block — in exchange for never running the
+# O(V^2) cross join), then scores survivors with exact Levenshtein <= 4.
+# Both engines implement textbook edit distance, so values match.
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a
+JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("q84_fuzzy_part_names", oracle=_Q84_ORACLE, tags=("fuzzy", "text"))
+def q84_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
