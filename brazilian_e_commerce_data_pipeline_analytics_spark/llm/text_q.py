@@ -327,3 +327,113 @@ def q84_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .select("name_a", "name_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: corpus-derived stopword filtering — the boilerplate-removal pass
+# of a training-data pipeline. The stopword list is not a constant: it
+# is the corpus's own top-20 tokens by total occurrences (tie-broken
+# lexicographically so the list is deterministic), which then filters
+# the exploded token relation via a broadcast anti-join. Per document:
+# total tokens, kept (content) tokens, distinct kept tokens, and the
+# kept ratio rounded to 6 digits. Exercises a derived dimension (top-k
+# becomes a filter), anti-join, and two-level aggregation in one plan.
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+stop AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS n,
+           row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+    FROM tok GROUP BY t
+  ) WHERE rn <= 20
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(*) FILTER (WHERE t NOT IN (SELECT t FROM stop)) AS n_kept,
+         COUNT(DISTINCT t) FILTER (WHERE t NOT IN (SELECT t FROM stop))
+           AS n_kept_distinct
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_kept, n_kept_distinct,
+       round(n_kept / n_tokens, 6) AS kept_ratio
+FROM per_doc
+"""
+
+
+@register("q85_stopword_filtered_stats", oracle=_Q85_ORACLE, tags=("text", "llm"))
+def q85_stopword_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("t"),
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    stop = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("t"))),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("t")
+    )
+    flagged = tok.join(
+        F.broadcast(stop.withColumn("__stop", F.lit(1))), "t", "left"
+    )
+    kept = F.when(F.col("__stop").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(kept).alias("n_kept"),
+        F.countDistinct(F.when(F.col("__stop").isNull(), F.col("t"))).alias(
+            "n_kept_distinct"
+        ),
+        F.round(
+            F.sum(kept) / F.count(F.lit(1)),
+            6,
+        ).alias("kept_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86: stratified deterministic sampling — rebalance a multilingual
+# corpus by keeping per-language fractions (downsample the dominant
+# language, keep the rest whole). Same portable md5-bucket as q83, so
+# DuckDB recomputes membership exactly; stable per (doc_id, seed)
+# regardless of partitioning or corpus growth.
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM b
+WHERE bucket < CASE lang
+  WHEN 'en' THEN 3000
+  WHEN 'zh' THEN 8000
+  ELSE 10000 END
+"""
+
+
+@register("q86_stratified_sample", oracle=_Q86_ORACLE, tags=("sampling", "llm"))
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_hash_sample(
+        d,
+        "doc_id",
+        "lang",
+        fractions={"en": 0.3, "zh": 0.8},
+        default_fraction=1.0,
+        seed=7,
+    )

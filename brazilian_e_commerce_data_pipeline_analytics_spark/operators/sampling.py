@@ -48,6 +48,35 @@ def hash_sample(
     return df.filter(portable_bucket(key_col, seed) < int(fraction * N_BUCKETS))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. rebalance by language).
+
+    Each stratum gets its own keep-fraction; rows in strata missing from
+    ``fractions`` keep ``default_fraction``. Same hash-bucket mechanics
+    as :func:`hash_sample`, so the kept set is stable per (key, seed)
+    and independent across strata — a narrow filter, no shuffle, no
+    per-stratum pass (unlike ``df.sampleBy``, which is also RNG-seeded
+    per partition and not reproducible under repartitioning).
+    """
+    bucket = portable_bucket(key_col, seed)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        lim = F.lit(int(frac * N_BUCKETS))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    limit = F.lit(int(default_fraction * N_BUCKETS)) if expr is None else expr.otherwise(
+        int(default_fraction * N_BUCKETS)
+    )
+    return df.filter(bucket < limit)
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -373,3 +373,26 @@ def test_hash_sample_stable_and_unbiased(spark):
     sub = split_assign(df.filter("k < 100"), "k", {"train": 8, "valid": 1, "test": 1}, seed=7)
     full = {r["k"]: r["split"] for r in out.filter("k < 100").collect()}
     assert {r["k"]: r["split"] for r in sub.collect()} == full
+
+
+def test_stratified_hash_sample_per_stratum_and_consistency(spark):
+    """Per-stratum fractions hold; kept set is per-key stable: a row's
+    fate depends only on (key, seed), not on its stratum's other rows."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(6000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_hash_sample(
+        df, "k", "g", fractions={"0": 0.5, "1": 0.1}, default_fraction=1.0, seed=3
+    )
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["0"] / 2000 - 0.5) < 0.05
+    assert abs(counts["1"] / 2000 - 0.1) < 0.04
+    assert counts["2"] == 2000                     # default keeps everything
+    # stratum "0" at fraction f keeps exactly the keys hash_sample(f) keeps
+    expect = {r["k"] for r in hash_sample(df.filter("g = '0'"), "k", 0.5, seed=3).collect()}
+    assert {r["k"] for r in out.filter("g = '0'").collect()} == expect
