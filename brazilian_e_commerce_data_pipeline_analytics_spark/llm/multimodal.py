@@ -88,12 +88,13 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            # zip over columns, not iterrows: iterrows materializes a
+            # pandas Series per row (~10x slower for narrow rows)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 vec = decode_stub(bytes(payload))
                 feats.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "n_bytes": len(payload),
                         "checksum": hashlib.md5(bytes(payload)).hexdigest(),
                         "feat_mean": f"{sum(vec) / len(vec):.6f}",

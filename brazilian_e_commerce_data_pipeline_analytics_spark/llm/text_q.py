@@ -437,3 +437,69 @@ def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=1.0,
         seed=7,
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: sliding-window document chunking — the standard LLM-pretraining
+# preprocessing step (fixed-size token windows with overlap, e.g. for
+# context-length packing or embedding indexing). Pure JVM array
+# expressions: one sequence() of chunk starts, posexplode, slice — no
+# UDF, no Python. Chunk text is fingerprinted with md5 so the output
+# stays narrow and the DuckDB oracle can replay every chunk boundary
+# and its content byte-exactly. Window 50 tokens, stride 25.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 50, 25
+
+_Q87_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         unnest(starts) AS start_tok,
+         t
+  FROM (SELECT doc_id, t, generate_series(1, len(t), {_STRIDE}) AS starts FROM toks)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       least({_CHUNK}, len(t) - start_tok + 1) AS n_tok,
+       md5(array_to_string(t[start_tok : start_tok + {_CHUNK} - 1], ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+@register("q87_doc_chunks", oracle=_Q87_ORACLE, tags=("text", "chunking", "llm"))
+def q87_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    with_starts = d.select(
+        "doc_id",
+        F.col("text"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        # guard: Spark's sequence(1, 0) raises where DuckDB returns
+        # empty — zero-token docs must yield zero chunks, not an error
+        F.when(
+            F.size("t") > 0,
+            F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("starts"),
+    )
+    exploded = with_starts.select(
+        "doc_id",
+        "t",
+        F.posexplode("starts").alias("chunk_idx", "start_tok"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(_CHUNK), F.size("t") - F.col("start_tok") + 1).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("start_tok"), _CHUNK))
+        ).alias("chunk_md5"),
+    )
