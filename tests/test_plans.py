@@ -169,3 +169,45 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When a selective filter sits on one side of a shuffle join, Spark
+    injects a runtime bloom filter on the other side (row-level runtime
+    filtering) — at scale this skips shuffling probe rows that cannot
+    match. Pin that the rewrite fires under the documented thresholds."""
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-scale thresholds: prod defaults (10MB creation / 10GB
+        # application side) only fire on real table sizes
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan      # built on the filtered side
+        assert "might_contain" in plan.lower() # probed on the big side
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
