@@ -503,3 +503,62 @@ def q87_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("t", F.col("start_tok"), _CHUNK))
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: sequence packing — the "concat then chop" step that turns a
+# tokenized corpus into fixed-length training rows (budget 512 tokens).
+# Documents are laid out in doc_id order; a running token total places
+# each document at a global offset, and integer division by the budget
+# yields the training-sequence ids its tokens land in. Pure window
+# arithmetic: ONE cumulative-sum window, no iteration, no Python. A doc
+# straddling a boundary reports both the first and last sequence it
+# touches (n_seqs = how many rows it spans).
+# ---------------------------------------------------------------------------
+
+_PACK = 512
+
+_Q88_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_offset
+  FROM toks
+)
+SELECT doc_id, n_tok, tok_offset,
+       tok_offset // {_PACK} AS first_seq,
+       (tok_offset + n_tok - 1) // {_PACK} AS last_seq,
+       (tok_offset + n_tok - 1) // {_PACK} - tok_offset // {_PACK} + 1 AS n_seqs
+FROM placed
+WHERE n_tok > 0
+"""
+
+
+@register("q88_sequence_packing", oracle=_Q88_ORACLE, tags=("text", "packing", "llm"))
+def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import distributed_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("n_tok"),
+    )
+    # NOT Window.orderBy(doc_id) — a global unpartitioned window is one
+    # task; the distributed prefix sum keeps the layout parallel
+    placed = distributed_cumsum(
+        toks, "doc_id", "n_tok", out="tok_offset", exclusive=True
+    )
+    first_seq = F.floor(F.col("tok_offset") / _PACK)
+    last_seq = F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / _PACK)
+    return placed.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        "tok_offset",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )

@@ -109,3 +109,55 @@ def moving_sum_avg(
     return df.withColumn(sum_alias, msum).withColumn(
         avg_alias, F.col(sum_alias) / mcount
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cum",
+    exclusive: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global running total WITHOUT a global single-task window.
+
+    ``Window.orderBy(x)`` with no partitionBy funnels every row through
+    ONE task — fine at test scale, fatal at 100 TB. This is the classic
+    two-level distributed prefix sum instead:
+
+    1. range-partition by ``order_col`` (global order becomes
+       (partition_id, within-partition order)),
+    2. per-partition running totals — parallel windows,
+    3. per-partition totals (one row each) get a prefix via a window
+       over n_parts rows — trivially single-task,
+    4. broadcast-join the prefix back: cum = prefix + local.
+
+    Output values are independent of where the range boundaries land,
+    so the result is deterministic even though range partitioning
+    samples. ``exclusive=True`` gives the sum of all STRICTLY preceding
+    rows (0 for the first row) — the packing/offset convention.
+    """
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    r = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = r.withColumn("__local", F.sum(value_col).over(w_in))
+    w_pid = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptotal"))
+        .withColumn("__prefix", F.coalesce(F.sum("__ptotal").over(w_pid), F.lit(0)))
+        .select("__pid", "__prefix")
+    )
+    joined = local.join(F.broadcast(prefixes), "__pid")
+    cum = F.col("__prefix") + F.col("__local")
+    if exclusive:
+        cum = cum - F.col(value_col)
+    return joined.withColumn(out, cum).drop("__pid", "__local", "__prefix")

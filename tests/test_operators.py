@@ -396,3 +396,29 @@ def test_stratified_hash_sample_per_stratum_and_consistency(spark):
     # stratum "0" at fraction f keeps exactly the keys hash_sample(f) keeps
     expect = {r["k"] for r in hash_sample(df.filter("g = '0'"), "k", 0.5, seed=3).collect()}
     assert {r["k"] for r in out.filter("g = '0'").collect()} == expect
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    """Two-level prefix sum == the single-task global window, inclusive
+    and exclusive, regardless of input partitioning."""
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import distributed_cumsum
+
+    df = (
+        spark.range(500)
+        .select(F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v"))
+        .repartition(11)
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        (r["k"]): r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {r["k"]: r["cum"] for r in distributed_cumsum(df, "k", "v", n_parts=8).collect()}
+    assert got == expect
+    got_ex = {
+        r["k"]: r["cum"]
+        for r in distributed_cumsum(df, "k", "v", exclusive=True, n_parts=8).collect()
+    }
+    assert got_ex == {k: c - (k % 7 + 1) for k, c in expect.items()}
