@@ -941,3 +941,70 @@ def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q90: robust outlier detection — per-segment median + MAD (median
+# absolute deviation), flagging orders beyond 3*MAD. The robust twin of
+# z-scores: immune to the outliers it hunts. Two exact-percentile
+# passes (grouped median, then median of absolute deviations) and a
+# count of flagged rows; every quantity derives from the same doubles
+# with the same interpolation on both engines (exact-percentile parity
+# is pinned by q27), so the comparison is value-exact.
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+WITH seg_orders AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+med AS (
+  SELECT segment, quantile_cont(price, 0.5) AS median_price
+  FROM seg_orders GROUP BY segment
+),
+dev AS (
+  SELECT s.segment, s.price, m.median_price,
+         abs(s.price - m.median_price) AS adev
+  FROM seg_orders s JOIN med m USING (segment)
+),
+mad AS (
+  SELECT segment, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY segment
+)
+SELECT d.segment,
+       COUNT(*) AS n_orders,
+       MIN(d.median_price) AS median_price,
+       MIN(m.mad) AS mad,
+       SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad m USING (segment)
+GROUP BY d.segment
+"""
+
+
+@register("q90_mad_outliers", oracle=_Q90_ORACLE, tags=("robust-stats", "quality"))
+def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    med = seg.groupBy("segment").agg(
+        F.percentile("price", F.lit(0.5)).alias("median_price")
+    )
+    dev = seg.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("price") - F.col("median_price"))
+    )
+    mad = dev.groupBy("segment").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("median_price").alias("median_price"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -561,3 +561,72 @@ def q71_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.col("value").cast("double").alias("value"))
     )
     return run_stream_to_memory(spark, deduped, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q89: STREAM-STREAM inner join — last-touch-style attribution: each
+# purchase joined to the same user's views from the preceding hour.
+# Both sides are real file-source streams (the same source filtered two
+# ways — a streaming self-join); each is watermarked and the join
+# carries an event-time range condition, which is exactly what lets
+# Spark bound the join state: view state older than (purchase watermark
+# - 1 hour) is evicted. availableNow processes the backlog in one pass;
+# the emitted matches equal the batch join, which the DuckDB oracle
+# checks value-for-value. lag_seconds stays in integer microsecond
+# arithmetic so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_seconds
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("q89_stream_stream_join", oracle=_Q89_ORACLE, tags=("streaming", "join"))
+def q89_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")
