@@ -20,8 +20,9 @@ Scale notes (100 TB design):
   alternation (Kiveris et al., "Connected Components in MapReduce and
   Beyond", SoCC'14) on constant factors; for adversarial long-chain
   graphs raise ``max_iters`` or switch to that alternation.
-- Convergence test is ``isEmpty()`` on the changed-label set: a
-  short-circuit job that stops at the first changed row.
+- Convergence probe is a scalar ``sum(label)`` per round: labels only
+  ever decrease, so an unchanged sum means a fixed point — no
+  join-based row comparison needed.
 """
 
 from __future__ import annotations
@@ -47,32 +48,33 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
 
+    # seed with min(node, direct neighbors) — the first propagation
+    # round folded into initialization for free
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("a"), F.min("b")).alias("label"))
         .localCheckpoint(eager=True)
     )
 
+    # Convergence probe: labels only ever DECREASE (min of a set that
+    # includes the old label), so any change strictly lowers
+    # sum(label) — one scalar aggregate per round on the checkpointed
+    # relation, cheaper than the old join-and-compare-rows check.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-        )
-        done = changed.isEmpty()
-        labels = new_labels
-        if done:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -630,3 +630,49 @@ def q89_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_seconds"),
     )
     return run_stream_to_memory(spark, out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q91: STREAM-STATIC join — enrich a live event stream with a batch
+# dimension (the lakehouse-native replacement for the reference's
+# "silver lookup" pattern). The static side joins per micro-batch with
+# a broadcast hash join (no stream state at all — only the windowed agg
+# keeps state), so the dim can be refreshed between micro-batches
+# without restarting the stream. Output: hourly revenue by customer
+# market segment; value-exact against the batch join.
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+SELECT date_trunc('hour', e.ts) AS hour_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("q91_stream_static_enrich", oracle=_Q91_ORACLE, tags=("streaming", "join", "dim"))
+def q91_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dmoney("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(spark, agg)

@@ -208,3 +208,39 @@ def test_connected_components_matches_union_find(spark, edges):
         comps[root] = min(comps.get(root, node), node)
     expected = {node: comps[find(node)] for node in parent}
     assert got == expected
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=130), min_size=1, max_size=8)
+)
+@settings(**SETTINGS)
+def test_doc_chunks_match_python_oracle(spark, n_toks):
+    """q87's chunk layout (window 50 / stride 25) equals a plain-Python
+    chunker for any document lengths, including 0 and sub-window docs."""
+    import hashlib
+
+    import brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q as tq
+
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs], "doc_id long, text string"
+    )
+    orig = tq.load_table
+    tq.load_table = lambda s, sd, n: df
+    try:
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_md5"])
+            for r in tq.q87_doc_chunks(spark, "ignored").collect()
+        )
+    finally:
+        tq.load_table = orig
+    expect = []
+    for i, text in docs:
+        toks = text.split()
+        for ci, start in enumerate(range(0, len(toks), 25)):
+            chunk = toks[start : start + 50]
+            expect.append(
+                (i, ci, start + 1, len(chunk),
+                 hashlib.md5(" ".join(chunk).encode()).hexdigest())
+            )
+    assert got == sorted(expect)
