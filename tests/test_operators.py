@@ -422,3 +422,16 @@ def test_distributed_cumsum_equals_global_window(spark):
         for r in distributed_cumsum(df, "k", "v", exclusive=True, n_parts=8).collect()
     }
     assert got_ex == {k: c - (k % 7 + 1) for k, c in expect.items()}
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    """spread() must not inject a shuffle when the input already has
+    enough partitions — at real scale it has to be free."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import spread
+
+    df = spark.range(1000).repartition(8)
+    assert spread(df, 8) is df                       # no new plan node at all
+    small = spark.range(10).coalesce(1)
+    out = spread(small, 8)
+    assert out.rdd.getNumPartitions() >= 8
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
