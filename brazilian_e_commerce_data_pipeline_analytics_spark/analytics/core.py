@@ -1008,3 +1008,38 @@ def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q92: EXISTS-style semi-join aggregate (the TPC-H Q4 shape): count
+# orders per priority having ANY lineitem shipped more than 90 days
+# after the order date. The semi join carries a residual non-equi
+# condition alongside the key equality — each order counted once no
+# matter how many late items it has (the trap a plain inner join +
+# count falls into).
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q92_late_ship_orders", oracle=_Q92_ORACLE, tags=("semi-join", "classic"))
+def q92_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
