@@ -629,3 +629,58 @@ def q77_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec_cum").cast("double").alias("rev_to_date"),
         "was_observed",
     )
+
+
+# ---------------------------------------------------------------------------
+# q93: RANGE-framed window (value-based frame) — trailing 7-day revenue
+# per day. Unlike q24's ROWS frame, a RANGE frame is gap-correct: a day
+# following a 10-day quiet period sums only itself, instead of reaching
+# back over 6 calendar-unrelated rows. Spark expresses the interval
+# bound as rangeBetween over an integer day number; DuckDB uses the
+# native RANGE BETWEEN INTERVAL — same semantics, value-exact.
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS revenue_7d
+FROM daily
+"""
+
+
+@register("q93_range_frame_7d", oracle=_Q93_ORACLE, tags=("window", "range-frame"))
+def q93_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    # integer day number carries the calendar distance for rangeBetween.
+    # The unpartitioned window is deliberate and scale-safe HERE: the
+    # input is one row per day (thousands of rows for years of data) —
+    # the heavy lifting happened in the daily groupBy above.
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_7d"),
+    )
