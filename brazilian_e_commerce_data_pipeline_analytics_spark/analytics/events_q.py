@@ -551,3 +551,83 @@ def q73_value_position_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94: higher-order MAP functions. The reference has no map/array types
+# at all (SURVEY.md §1); at training-corpus scale per-entity feature
+# maps (event_type -> count) are the natural pre-aggregated shape, and
+# the map stays JVM-side the whole way: map_from_entries ->
+# map_filter -> transform_values -> explode, all whole-stage-codegen
+# expressions, no UDF. The oracle states the same result relationally
+# (GROUP BY + HAVING + arithmetic), which is exactly the point of the
+# differential test: the map round-trip must be semantically free.
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = """
+SELECT user_id, event_type,
+       n_type_events,
+       n_type_events * 10 + length(event_type) AS score,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS INT) AS n_kept_types
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n_type_events
+  FROM events
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+"""
+
+
+@register("q94_map_ops", oracle=_Q94_ORACLE, tags=("events", "map-type", "higher-order"))
+def q94_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    kept = maps.select(
+        "user_id",
+        F.map_filter("m", lambda _k, v: v >= 3).alias("m"),
+    ).filter(F.size("m") > 0)
+    scored = kept.select(
+        "user_id",
+        F.size("m").cast("int").alias("n_kept_types"),
+        F.transform_values("m", lambda k, v: F.struct(v.alias("n"), (v * 10 + F.length(k)).alias("s"))).alias("m"),
+    )
+    return scored.select(
+        "user_id",
+        F.explode("m").alias("event_type", "v"),
+        "n_kept_types",
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("v.n").alias("n_type_events"),
+        F.col("v.s").alias("score"),
+        "n_kept_types",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97: approximate distinct (HyperLogLog++). SURVEY.md §2.4 A8 names
+# approx_count_distinct as the scale path for "distinct city count"-style
+# KPIs: exact COUNT(DISTINCT) shuffles every distinct value, HLL ships a
+# fixed few-KB sketch per partition regardless of cardinality — at 100 TB
+# that is the difference between a full shuffle and a metadata exchange.
+# The sketch estimate is engine-specific (DuckDB's approx_count_distinct
+# uses its own HLL), so no value-exact oracle exists: the driver records
+# the weaker rows-only check, and tests/test_operators.py pins the
+# estimate within 3*rsd of exact on the same data.
+# ---------------------------------------------------------------------------
+
+
+@register("q97_approx_distinct_users", oracle=None, tags=("events", "approx", "sketch"))
+def q97_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        )
+        .orderBy("event_type")
+    )

@@ -58,15 +58,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long and floor-convert to
-    microsecond timestamps (same floor DuckDB applies going ns -> us)."""
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to session-tz TimestampType across the physical
+    schemas the driver has shipped: TIMESTAMP(NANOS) (Spark's reader
+    rejects it; read nanos as long, floor-convert to micros — same floor
+    DuckDB applies going ns -> us), TIMESTAMP_NTZ, or plain TIMESTAMP.
+    With the session tz pinned to UTC the NTZ -> TZ cast is value-exact,
+    so every downstream window/watermark sees one consistent type.
+    Works on batch and streaming DataFrames alike (type-only logic)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -562,3 +562,212 @@ def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95: repetition-based quality signals (Gopher-style filters): the
+# duplicate-word fraction and the top-bigram mass fraction per document.
+# Bigrams are built JVM-side with zip_with over the token array and its
+# own 1-shifted slice (no UDF, no Python), then exploded once; both
+# fractions come from one groupBy over the exploded relation with
+# map-side partial aggregation, so at corpus scale the shuffle carries
+# (doc_id, bigram) pairs already combined per map task.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total_bg FROM cnt GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       1.0 - len(list_distinct(t.t)) / len(t.t) AS dup_word_frac,
+       agg.top_cnt / agg.total_bg AS top_bigram_frac
+FROM toks t JOIN agg ON t.doc_id = agg.doc_id
+WHERE len(t.t) >= 2
+"""
+
+
+@register("q95_repetition_stats", oracle=_Q95_ORACLE, tags=("text", "llm", "quality"))
+def q95_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    toks = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    n = F.size("t")
+    bigrams = toks.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("t")) / n).alias("dup_word_frac"),
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.slice("t", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "n_tokens", "dup_word_frac", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cnt.groupBy("doc_id", "n_tokens", "dup_word_frac").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    ).select("doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac")
+
+
+# ---------------------------------------------------------------------------
+# q96: BM25 keyword search — the classic ranked retrieval the reference
+# delegates to its BI tool's search box, done engine-side. Document
+# frequencies and corpus stats are tiny aggregates (broadcast), term
+# frequencies come from one explode+filter+groupBy over the corpus; the
+# per-term partial scores are rounded then decimal-summed (functions/
+# compat.py) so the ranking is order-independent and oracle-exact.
+# Top-k goes through orderBy+limit => TakeOrderedAndProject (per-
+# partition heads + driver merge), not a single-task global window.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_Q96_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('spark', 'join', 'window', 'hash')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln((stats.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+         6) AS DECIMAL(28,8))) AS DOUBLE) AS score
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("q96_bm25_search", oracle=_Q96_ORACLE, tags=("text", "llm", "search"))
+def q96_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.compat import roundsum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    part = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = part.groupBy("doc_id").agg(roundsum("s", 6, alias="score"))
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# q98: benchmark decontamination — flag corpus documents sharing any
+# word 8-gram with a held-out "benchmark" slice (doc_id % 97 == 0),
+# the standard train/eval overlap check for training corpora. 8-grams
+# are built with one sequence+slice transform per document (JVM-side),
+# deduplicated per doc, and joined on xxhash64(gram) so the shuffle
+# carries 8-byte keys instead of long strings (same trick as the
+# shingle joins in llm/dedup.py). The benchmark side is a distinct
+# hash set — small relative to the corpus, marked broadcast here; at
+# larger benchmark sizes drop the hint and let AQE pick.
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT grams.doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS contamination_frac
+FROM grams LEFT JOIN bench ON grams.g = bench.g
+WHERE grams.doc_id % 97 <> 0
+GROUP BY grams.doc_id
+HAVING SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register("q98_decontamination", oracle=_Q98_ORACLE, tags=("text", "llm", "dedup"))
+def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
+            ).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hit = F.when(F.col("hit_gh").isNotNull(), 1).otherwise(0)
+    joined = corpus.join(
+        F.broadcast(bench.withColumnRenamed("gh", "hit_gh")),
+        corpus["gh"] == F.col("hit_gh"),
+        "left",
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+            (F.sum(hit) / F.count(F.lit(1))).alias("contamination_frac"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+    )

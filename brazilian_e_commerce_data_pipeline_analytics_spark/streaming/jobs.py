@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..catalog import table_path
+from ..catalog import normalize_events_ts, table_path
 from ..functions.compat import dmoney
 from ..registry import register
 
@@ -124,9 +124,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as long
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def hourly_agg_watermarked(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -552,9 +550,7 @@ def q71_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(path, target)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(dup_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(spark.readStream.schema(schema).parquet(dup_dir))
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
