@@ -948,9 +948,11 @@ def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # absolute deviation), flagging orders beyond 3*MAD. The robust twin of
 # z-scores: immune to the outliers it hunts. Two exact-percentile
 # passes (grouped median, then median of absolute deviations) and a
-# count of flagged rows; every quantity derives from the same doubles
-# with the same interpolation on both engines (exact-percentile parity
-# is pinned by q27), so the comparison is value-exact.
+# count of flagged rows. Both medians are rounded to 6 decimals at the
+# source (registry determinism contract) so every downstream quantity —
+# adev, the 3*MAD boundary, the output columns — derives from identical
+# values on both engines; interpolated percentiles agree only to ~1 ulp
+# between Spark and DuckDB, which is what broke the unrounded version.
 # ---------------------------------------------------------------------------
 
 _Q90_ORACLE = """
@@ -959,7 +961,7 @@ WITH seg_orders AS (
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ),
 med AS (
-  SELECT segment, quantile_cont(price, 0.5) AS median_price
+  SELECT segment, ROUND(quantile_cont(price, 0.5), 6) AS median_price
   FROM seg_orders GROUP BY segment
 ),
 dev AS (
@@ -968,7 +970,7 @@ dev AS (
   FROM seg_orders s JOIN med m USING (segment)
 ),
 mad AS (
-  SELECT segment, quantile_cont(adev, 0.5) AS mad
+  SELECT segment, ROUND(quantile_cont(adev, 0.5), 6) AS mad
   FROM dev GROUP BY segment
 )
 SELECT d.segment,
@@ -990,12 +992,14 @@ def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.o_custkey == c.c_custkey,
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
     med = seg.groupBy("segment").agg(
-        F.percentile("price", F.lit(0.5)).alias("median_price")
+        F.round(F.percentile("price", F.lit(0.5)), 6).alias("median_price")
     )
     dev = seg.join(F.broadcast(med), "segment").withColumn(
         "adev", F.abs(F.col("price") - F.col("median_price"))
     )
-    mad = dev.groupBy("segment").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    mad = dev.groupBy("segment").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
     return (
         dev.join(F.broadcast(mad), "segment")
         .groupBy("segment")

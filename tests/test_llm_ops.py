@@ -251,3 +251,59 @@ def test_ivf_probe_all_cells_matches_bruteforce(spark):
     ivf_set = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in ivf}
     bf_set = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"]) for r in bf}
     assert ivf_set == bf_set
+
+
+def test_q98_decontamination_injected_overlap(spark, tmp_path):
+    """q98 on a corpus with KNOWN cross-doc 4-gram overlap: one benchmark
+    doc (doc_id % 97 == 0) whose grams partially appear in two corpus
+    docs. Pins exact n_grams / n_contaminated / contamination_frac so the
+    hit counting and HAVING filter are exercised independently of what
+    overlap the synthetic fixtures happen to contain (ADVICE r1)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q import q98_decontamination
+
+    rows = [
+        # benchmark doc (0 % 97 == 0): grams include "alpha beta gamma delta"
+        Row(doc_id=0, text="alpha beta gamma delta epsilon", lang="en",
+            source="bench", n_chars=30),
+        # corpus doc with exactly one contaminated gram out of three
+        Row(doc_id=1, text="zzz alpha beta gamma delta qqq", lang="en",
+            source="web", n_chars=30),
+        # corpus doc fully contained in the benchmark doc's gram set
+        Row(doc_id=2, text="beta gamma delta epsilon", lang="en",
+            source="web", n_chars=24),
+        # clean corpus doc -> filtered out by HAVING n_contaminated > 0
+        Row(doc_id=3, text="one two three four five six", lang="en",
+            source="web", n_chars=27),
+        # too short for any 4-gram -> contributes nothing
+        Row(doc_id=4, text="tiny doc", lang="en", source="web", n_chars=8),
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in q98_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 1, pytest.approx(1 / 3)),
+        2: (1, 1, pytest.approx(1.0)),
+    }
+
+
+def test_q46_config_recall_floor(spark):
+    """The chosen q46 config (k=32, bands=8, rows=4) must keep finding
+    EVERY j>=0.8 exact pair, with zero candidates below the j<0.1 band
+    (the measured property that selected it — SCALING.md recall study)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q import minhash_recall_portable
+
+    d = load_table(spark, SF_SMALL, "documents")
+    rec = {
+        r["jacc_band"]: (r["n_hit"], r["n_exact"])
+        for r in minhash_recall_portable(
+            d, "doc_id", "text", n=3, k=32, bands=8
+        ).collect()
+    }
+    for band, (hit, n) in rec.items():
+        if band >= 8:
+            assert hit == n, f"recall loss in band {band}: {hit}/{n}"
+        if band == 0:
+            assert hit == 0, f"spurious low-jaccard candidates: {hit}"

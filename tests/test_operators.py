@@ -194,6 +194,28 @@ def test_approx_count_distinct_error_bound(spark):
     assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
 
 
+def test_q97_estimate_within_error_bound(spark):
+    """q97's actual output (events.user_id, rsd=0.01) pinned within
+    3*rsd of exact per event_type — the registered query itself, not a
+    different table/rsd standing in for it (ADVICE r1)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.events_q import q97_approx_distinct_users
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from .conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = q97_approx_distinct_users(spark, SF_SMALL).collect()
+    assert {r["event_type"] for r in got} == set(exact)
+    for r in got:
+        e = exact[r["event_type"]]
+        assert abs(r["n_users_approx"] - e) / e < 0.03, r["event_type"]
+
+
 def test_approx_percentile_close_to_exact(spark):
     """The bounded-memory percentile for 100 TB (SCALING.md): t-digest
     approx within 1% relative of the exact interpolated value."""

@@ -99,6 +99,21 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     assert plan_has_broadcast
 
 
+def test_q57_cogroup_no_driver_collect(spark):
+    """q57's query side must reach Python workers through the cogrouped
+    applyInPandas plan, never a driver-side collect-and-broadcast (the
+    round-1 shape: corpus/100 rows through the driver — fatal at 100 TB).
+    Pins both the plan node and the absence of .collect( in the module."""
+    import inspect
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm import similarity_q
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
+    df = QUERIES["q57_knn_pandas_udf"].builder(spark, SF_SMALL)
+    assert "FlatMapCoGroupsInPandas" in formatted_plan(df)
+    assert ".collect(" not in inspect.getsource(similarity_q)
+
+
 def test_single_agg_query_has_one_exchange(spark):
     # q01: partial agg map-side, one exchange on the tiny group key, final agg
     df = QUERIES["q01_pricing_summary"].builder(spark, SF_SMALL)

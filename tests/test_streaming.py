@@ -113,6 +113,11 @@ def test_foreachbatch_gold_upsert(spark, tmp_path):
         for r in spark.read.parquet(gold).collect()
     }
     assert again == batch
+    # no driver round-trip per micro-batch: touched partitions come from
+    # a broadcast semi-join (runtime DPP), never a distinct().collect()
+    import inspect
+
+    assert ".collect(" not in inspect.getsource(upsert_hourly_gold)
 
 
 def test_checkpoint_incremental_exactly_once(spark, tmp_path):
