@@ -457,3 +457,33 @@ def test_spread_is_noop_when_already_parallel(spark):
     out = spread(small, 8)
     assert out.rdd.getNumPartitions() >= 8
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
+
+
+def test_star_cc_matches_propagation_on_mixed_graph(spark):
+    """algorithm='star' must produce identical labels to propagation on
+    the chain+triangle+pair graph."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(a=s, b=d) for s, d in [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]]
+    )
+    comp = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "a", "b", algorithm="star").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_cc_path_graph_log_rounds(spark):
+    """A 1000-node PATH graph — diameter 999, propagation's worst case —
+    must fully collapse to label 0 within 12 large/small-star
+    alternations (O(log^2 n), vs ~999 propagation rounds). max_iters=12
+    makes the round bound itself the assertion: if alternation needed
+    more rounds, labels would come back wrong."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(999)])
+    comp = connected_components(edges, "a", "b", max_iters=12, algorithm="star")
+    rows = comp.collect()
+    assert len(rows) == 1000
+    assert all(r["label"] == 0 for r in rows)
