@@ -783,3 +783,123 @@ def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_contaminated") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q102: corpus token-frequency (Zipf) profile — the vocabulary head a
+# training pipeline inspects for tokenizer coverage and boilerplate
+# detection. Explode -> token groupBy (map-side combine shrinks the
+# shuffle to the vocabulary, not the corpus) -> distributed top-k
+# (TakeOrderedAndProject: per-partition heap, never a global sort) ->
+# rank/cumulative-share window over the surviving 30 rows only, so the
+# single-partition window is O(k) at any corpus size. Shares are
+# round-6 + decimal-cumulated: order-independent, value-exact vs DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q102_ORACLE = f"""
+WITH ex AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+agg AS (SELECT tok, COUNT(*) AS freq FROM ex GROUP BY tok),
+tot AS (SELECT SUM(freq) AS total FROM agg),
+ranked AS (
+  SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM agg
+)
+SELECT rank, tok, freq,
+       ROUND(freq / total, 6) AS share,
+       CAST(SUM(CAST(ROUND(freq / total, 6) AS DECIMAL(18,6)))
+            OVER (ORDER BY rank) AS DOUBLE) AS cum_share
+FROM ranked, tot
+WHERE rank <= 30
+"""
+
+
+@register("q102_token_zipf", oracle=_Q102_ORACLE, tags=("text", "llm", "zipf"))
+def q102_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.windows import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("total"))
+    top = top_k(tf, [F.col("freq").desc(), F.col("tok")], k=30)
+    w = Window.orderBy("rank")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("freq") / F.col("total"), 6))
+        .withColumn(
+            "cum_share",
+            F.sum(F.col("share").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .select("rank", "tok", "freq", "share", "cum_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103: per-document token-distribution Shannon entropy — the
+# "word-salad vs natural prose vs degenerate repetition" quality signal
+# (low entropy = repetitive/templated text, a standard pretraining
+# filter). Two shuffles: (doc, token) term frequencies, then a per-doc
+# window for length + final agg. Each -p*ln(p) term is rounded to 6
+# decimals and decimal-summed (functions/compat.py pattern), so the
+# entropy double is bit-identical across engines despite libm-vs-Math
+# ln() ulp differences; normalized entropy divides by ln(n_distinct)
+# and rounds again.
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = f"""
+WITH ex AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+wd AS (
+  SELECT doc_id, tf, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+),
+ent AS (
+  SELECT doc_id,
+         CAST(MAX(dl) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(CAST(ROUND(-(tf / dl) * ln(tf / dl), 6) AS DECIMAL(28,8)))
+              AS DOUBLE) AS entropy
+  FROM wd GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, entropy,
+       CASE WHEN n_distinct > 1 THEN ROUND(entropy / ln(n_distinct), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM ent
+"""
+
+
+@register("q103_token_entropy", oracle=_Q103_ORACLE, tags=("text", "llm", "quality"))
+def q103_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.compat import roundsum
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wd = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    p = F.col("tf") / F.col("dl")
+    ent = wd.groupBy("doc_id").agg(
+        F.max("dl").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        roundsum(-p * F.log(p), 6, alias="entropy"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("entropy") / F.log(F.col("n_distinct").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -307,3 +307,26 @@ def test_q46_config_recall_floor(spark):
             assert hit == n, f"recall loss in band {band}: {hit}/{n}"
         if band == 0:
             assert hit == 0, f"spurious low-jaccard candidates: {hit}"
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII ops on injected fixtures: counts per category and full
+    redaction (no residual match of any pattern after redact_pii)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.text import PII_PATTERNS, pii_counts, redact_pii
+
+    rows = [
+        Row(id=1, text="contact bob.smith+a@example.co.uk or +1 (415) 555-0000 now"),
+        Row(id=2, text="server at 10.0.12.7 rebooted; mail root@host.org"),
+        Row(id=3, text="nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["id"]: (r["n_email"], r["n_phone"], r["n_ipv4"])
+        for r in df.select("id", *[c.alias(n) for n, c in pii_counts("text").items()]).collect()
+    }
+    assert got == {1: (1, 1, 0), 2: (1, 0, 1), 3: (0, 0, 0)}
+    red = df.select("id", redact_pii("text").alias("t")).collect()
+    for r in red:
+        for pat in PII_PATTERNS.values():
+            assert not __import__("re").search(pat, r["t"]), (r["id"], pat)
+    assert "[PII]" in [r["t"] for r in red if r["id"] == 1][0]
