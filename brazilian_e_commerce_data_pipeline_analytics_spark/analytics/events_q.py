@@ -632,3 +632,40 @@ def q97_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: Spark 4 VARIANT ingestion of semi-structured props — the
+# schema-on-read path for JSON event payloads. q32 regex-extracts and
+# q70 converts to a typed map; VARIANT is the modern third way: parse
+# once into the binary variant encoding, extract typed values by path
+# at query time (no schema declaration, no per-field regex). The
+# extraction stays JVM-side (variant_get is a codegen expression);
+# DuckDB replays it with its JSON extraction.
+# ---------------------------------------------------------------------------
+
+_Q106_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q106_variant_props", oracle=_Q106_ORACLE, tags=("events", "variant", "semi-structured"))
+def q106_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -35,6 +35,8 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal",
     "brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs",
     "brazilian_e_commerce_data_pipeline_analytics_spark.pipeline.gold_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.sources.jdbc_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.sources.pyds",
 )
 
 
@@ -117,6 +119,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # medallion-pipeline queries (bronze→silver→gold on Olist fixtures)
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
+    # -- 50-entry window boundary (if the driver's cap is a count) --
+    # positions 51+: next in line if the cap is time-based or >50; else
+    # rotate these into the window next round in place of green rows
+    "q104_jdbc_roundtrip",
+    "q101_minhash_recall",
+    "q102_token_zipf",
+    "q103_token_entropy",
+    "q105_python_datasource",
+    "q106_variant_props",
 )
 
 

@@ -76,8 +76,9 @@ def write_jdbc(
     batchsize + no transaction isolation). The reference's manual
     3-attempt retry loop is intentionally absent — Spark task retries
     (``spark.task.maxFailures``) already cover transient write failures.
-    Untested in-repo (no database in the container); parquet is the
-    primary sink."""
+    Executable in-repo against embedded Derby (Spark's bundled
+    metastore jars — q104_jdbc_roundtrip, tests/test_jdbc.py); parquet
+    remains the primary sink."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
