@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
+    SimpleDataSourceStreamReader,
 )
 
 _MULT = 2654435761
@@ -67,6 +68,33 @@ class SequenceReader(DataSourceReader):
             yield (i, i % 10, ((i * _MULT) % 1000) / 4.0)
 
 
+class SequenceStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same generator: offset = next unread
+    id. ``read(start)`` emits one ``batchSize`` slice and the advanced
+    offset; past ``n`` it returns empty batches, so an availableNow run
+    drains exactly [0, n) — each id exactly once across batches (the
+    offset log, not this reader, is what makes restarts exactly-once)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batchSize", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch, self.n)
+        # iter(list), not a generator: the runner wants an iterator it
+        # can advance, but the batch also gets pickled to executors and
+        # generators don't pickle — a list_iterator does both
+        rows = [(i, i % 10, ((i * _MULT) % 1000) / 4.0) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SequenceDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -77,6 +105,9 @@ class SequenceDataSource(DataSource):
 
     def reader(self, schema) -> SequenceReader:
         return SequenceReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SequenceStreamReader:
+        return SequenceStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------

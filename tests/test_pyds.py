@@ -46,3 +46,31 @@ def test_seqgen_filter_pushdown_prunes_partitions(spark):
         (i, i % 10, ((i * _MULT) % 1000) / 4.0) for i in range(1200, 4800)
     )
     assert got == expect
+
+
+def test_seqgen_streaming_source_drains_exactly_once(spark, tmp_path):
+    """The custom STREAMING source (SimpleDataSourceStreamReader):
+    draining n=500/batchSize=120 takes >= 5 micro-batches whose union is
+    exactly [0, 500) — every id exactly once, offsets advancing through
+    the checkpoint log. processAllAvailable() returns once the reader's
+    offset stops advancing at n (empty batch, same offset)."""
+    ensure_registered(spark)
+    q = (
+        spark.readStream.format("seqgen")
+        .option("n", 500)
+        .option("batchSize", 120)
+        .load()
+        .writeStream.format("memory")
+        .queryName("seq_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT id, bucket, value FROM seq_stream").collect()
+    assert sorted(r["id"] for r in rows) == list(range(500))
+    for r in rows:
+        assert r["bucket"] == r["id"] % 10
+        assert r["value"] == ((r["id"] * _MULT) % 1000) / 4.0
