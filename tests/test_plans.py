@@ -129,6 +129,27 @@ def test_global_topk_is_distributed_take_ordered(spark):
 
     df = QUERIES["q21_top10_customers"].builder(spark, SF_SMALL)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+    # q102's vocabulary head takes the same distributed-heap plan: the
+    # rank/cum-share window runs over the 30 survivors, never the corpus
+    zipf = QUERIES["q102_token_zipf"].builder(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in formatted_plan(zipf)
+
+
+def test_jdbc_scan_is_partitioned(spark):
+    """q104's read-back must plan a PARTITIONED JDBC scan (8 concurrent
+    range slices), never the silent 1-task whole-table pull."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
+    df = QUERIES["q104_jdbc_roundtrip"].builder(spark, SF_SMALL)
+    assert "JDBCRelation(orders_rt) [numPartitions=8]" in formatted_plan(df)
+
+
+def test_gold_pipeline_queries_broadcast_dims(spark):
+    """q99/q100: every join in the medallion rollups broadcasts (dims and
+    per-order aggregates are small next to the item fact)."""
+    for name in ("q99_gold_monthly_state_sales", "q100_gold_payment_mix"):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert uses_broadcast_join(df), name
 
 
 def test_aqe_splits_skewed_join_partition(spark):
