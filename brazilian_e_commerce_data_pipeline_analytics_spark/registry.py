@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.pipeline.gold_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.sources.jdbc_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.sources.pyds",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.functions.python_q",
 )
 
 
@@ -128,6 +129,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q103_token_entropy",
     "q105_python_datasource",
     "q106_variant_props",
+    "q107_udtf_token_positions",
+    "q108_udaf_xor_signature",
 )
 
 
