@@ -1,0 +1,109 @@
+"""SURVEY §2.10 closure: Python UDTF and grouped-agg UDAF under the
+differential gate.
+
+The reference calls no UDFs (§2.10's row exists because its API surface
+does); the modern-Spark counterparts are demonstrated the Spark-4 way:
+
+- q107: a Python UDTF (table function) lateral-joined per document —
+  the one Python boundary whose OUTPUT is rows, not scalars. Arrow-
+  optimized (``useArrow=True``); the oracle replays the expansion with
+  DuckDB unnest + generate_subscripts. Downstream aggregation keeps the
+  compared result compact.
+- q108: a pandas grouped-agg UDAF computing a per-group XOR set
+  signature over 60-bit md5 values. XOR is associative, commutative and
+  exact on integers — the rare custom aggregate that is deterministic
+  under ANY partitioning/order — and DuckDB's bit_xor replays it
+  value-exactly (the md5-prefix trick from llm/dedup_q). Scale note:
+  grouped-agg pandas UDFs do not partial-aggregate; at fact scale use
+  Spark's built-in ``bit_xor`` (JVM, map-side combine) for this exact
+  signature — q108 exists to exercise the CUSTOM-UDAF path.
+
+Both run Python where Python pays (row-generating expansion; a fold
+numpy does in one reduce); the hash inputs themselves are computed
+JVM-side so Arrow traffic is one long per row, not the text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module scope: pandas_udf resolves string type hints
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..catalog import load_table
+from ..registry import register
+
+_Q107_ORACLE = """
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos,
+         unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+)
+SELECT length(tok) AS tok_len,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos,
+       MIN(doc_id) AS min_doc
+FROM ex
+GROUP BY 1
+"""
+
+
+@udtf(returnType="pos int, tok string", useArrow=True)
+class TokenPositions:
+    """(1-based position, token) per whitespace token of the input."""
+
+    def eval(self, text: str):
+        if text:
+            for i, t in enumerate(text.split()):
+                yield i + 1, t
+
+
+@register("q107_udtf_token_positions", oracle=_Q107_ORACLE, tags=("udtf", "python"))
+def q107_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("token_positions", TokenPositions)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__q107_docs")
+    return spark.sql(
+        """
+        SELECT length(tp.tok) AS tok_len,
+               COUNT(*) AS n_tokens,
+               SUM(tp.pos) AS sum_pos,
+               MIN(d.doc_id) AS min_doc
+        FROM __q107_docs d, LATERAL token_positions(d.text) tp
+        GROUP BY 1
+        """
+    )
+
+
+_Q108_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+         AS xor_signature
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q108_udaf_xor_signature", oracle=_Q108_ORACLE, tags=("udaf", "python"))
+def q108_udaf_xor_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("long")
+    def xor_agg(h: pd.Series) -> int:
+        return int(np.bitwise_xor.reduce(h.to_numpy(dtype=np.int64)))
+
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas agg too
+    @pandas_udf("long")
+    def count_agg(h: pd.Series) -> int:
+        return len(h)
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return (
+        d.select("lang", h.alias("h"))
+        .groupBy("lang")
+        .agg(count_agg("h").alias("n_docs"), xor_agg("h").alias("xor_signature"))
+    )
