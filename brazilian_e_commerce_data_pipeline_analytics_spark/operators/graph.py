@@ -131,15 +131,18 @@ def _star_components(
     Convergence = the directed edge set reaches a fixed point (stars):
     checked exactly via count equality + one-sided EXCEPT, no
     probabilistic hash probe."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # nodes BEFORE dropping self-loops: a node whose only edge is (x, x)
+    # must still appear in the output as its own singleton (parity with
+    # the propagation algorithm, which symmetrizes without the filter)
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionByName(e.select(F.col("b").alias("node")))
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -208,6 +208,12 @@ def test_connected_components_matches_union_find(spark, edges):
         comps[root] = min(comps.get(root, node), node)
     expected = {node: comps[find(node)] for node in parent}
     assert got == expected
+    # the star alternation must agree with propagation on every graph
+    star = {
+        r["node"]: r["label"]
+        for r in connected_components(df, "a", "b", algorithm="star").collect()
+    }
+    assert star == expected
 
 
 @given(
