@@ -486,3 +486,80 @@ def q101_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall_portable(
         d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
     )
+
+
+# ---------------------------------------------------------------------------
+# q109: cross-modal ensemble near-dup — the decision a production dedup
+# pipeline actually makes: candidate pairs from TEXT overlap (exact
+# 3-shingle Jaccard >= 0.05, q45's relation), enriched with the
+# EMBEDDING cosine of the same doc pair, and flagged where both signals
+# agree (cosine >= 0.99). Text overlap and embedding similarity fail
+# differently (paraphrase vs boilerplate), so the ensemble column is
+# what a keep/drop policy keys on. Plan shape: the pair relation is
+# tiny next to the corpus, so both embedding attachments broadcast the
+# pairs side (AQE); the embedding table streams once per side. round-6
+# cosine parity with DuckDB's list_cosine_similarity is pinned by q48.
+# ---------------------------------------------------------------------------
+
+_Q109_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 20 * n_common >= sa.n_sh + sb.n_sh - n_common
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cosine,
+       CASE WHEN round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[]), 6) >= 0.99
+            THEN 1 ELSE 0 END AS both_agree
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.doc_a
+JOIN embeddings eb ON eb.vec_id = p.doc_b
+"""
+
+
+@register("q109_ensemble_neardup", oracle=_Q109_ORACLE, tags=("dedup", "cross-modal", "llm"))
+def q109_ensemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import as_double, cosine
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.05).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), as_double(F.col("embedding")).alias("__va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), as_double(F.col("embedding")).alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cosine"),
+            F.when(cos >= 0.99, 1).otherwise(0).alias("both_agree"),
+        )
+    )

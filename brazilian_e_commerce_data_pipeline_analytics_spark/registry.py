@@ -131,6 +131,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q106_variant_props",
     "q107_udtf_token_positions",
     "q108_udaf_xor_signature",
+    "q109_ensemble_neardup",
 )
 
 
