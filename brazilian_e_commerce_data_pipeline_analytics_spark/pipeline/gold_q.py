@@ -36,7 +36,9 @@ from .silver import cleanse, silver_specs
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FIXTURE_DIR = os.path.join(_REPO, ".fixtures", "olist")
-_MARKER = os.path.join(FIXTURE_DIR, ".complete_v1")
+# marker version bumps when fixtures_gen changes (v2: geolocation
+# zips sample sellers too, so geo joins are non-vacuous)
+_MARKER = os.path.join(FIXTURE_DIR, ".complete_v2")
 
 
 def _ensure_fixtures() -> str:
@@ -50,7 +52,7 @@ def _ensure_fixtures() -> str:
 
         generate(FIXTURE_DIR)
         with open(_MARKER, "w", encoding="utf-8") as fh:
-            fh.write("seed=42 n_customers=150 n_orders=400\n")
+            fh.write("v2 seed=42 n_customers=150 n_orders=400\n")
     return FIXTURE_DIR
 
 
@@ -203,5 +205,120 @@ def q100_gold_payment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "items_value",
             "payment_value",
             "total_installments",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110: geo distance analytics — per-state customer-to-nearest-seller
+# haversine distance over the Olist geolocation fixture. Exercises the
+# geo scalar family (radians/sin/cos/asin identical formula text on both
+# engines; round-6 on the distance absorbs libm-vs-Math trig ulps), the
+# deterministic zip dedup from dim_geography, and a broadcast
+# cross-join (seller points are dim-sized). Two-level agg: min distance
+# per customer, then count/min/avg per state (decimal-summed round-6
+# terms, order-independent).
+#
+# Scale note: the cross-join is |customers| x |sellers| with sellers
+# broadcast — right for dim-sized seller sets. At millions of sellers
+# the plan becomes a grid-bucket join (join on rounded lat/lng cells +
+# neighbor cells) — same shape as the LSH bucketing in llm/dedup.py.
+# ---------------------------------------------------------------------------
+
+_HAV_KM = (
+    "2 * 6371.0 * asin(sqrt("
+    "sin((radians(s_lat) - radians(c_lat)) / 2) * sin((radians(s_lat) - radians(c_lat)) / 2)"
+    " + cos(radians(c_lat)) * cos(radians(s_lat))"
+    " * sin((radians(s_lng) - radians(c_lng)) / 2) * sin((radians(s_lng) - radians(c_lng)) / 2)"
+    "))"
+)
+
+_Q110_ORACLE = f"""
+WITH geo AS (
+  SELECT geolocation_zip_code_prefix AS zip, geolocation_lat AS lat,
+         geolocation_lng AS lng
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY geolocation_zip_code_prefix
+      ORDER BY geolocation_city NULLS FIRST, geolocation_state NULLS FIRST,
+               geolocation_lat NULLS FIRST, geolocation_lng NULLS FIRST
+    ) AS rn
+    FROM read_csv('{FIXTURE_DIR}/geolocation.csv', header=true)
+  ) WHERE rn = 1
+),
+cust AS (
+  SELECT c.customer_id, c.customer_state, g.lat AS c_lat, g.lng AS c_lng
+  FROM read_csv('{FIXTURE_DIR}/customers.csv', header=true) c
+  JOIN geo g ON c.customer_zip_code_prefix = g.zip
+),
+sell AS (
+  SELECT s.seller_id, g.lat AS s_lat, g.lng AS s_lng
+  FROM read_csv('{FIXTURE_DIR}/sellers.csv', header=true) s
+  JOIN geo g ON s.seller_zip_code_prefix = g.zip
+),
+nearest AS (
+  SELECT customer_id, customer_state,
+         MIN(ROUND({_HAV_KM}, 6)) AS min_km
+  FROM cust CROSS JOIN sell
+  GROUP BY 1, 2
+)
+SELECT customer_state,
+       COUNT(*) AS n_customers,
+       MIN(min_km) AS closest_km,
+       ROUND(CAST(SUM(CAST(min_km AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_min_km
+FROM nearest
+GROUP BY customer_state
+"""
+
+
+@register("q110_geo_nearest_seller", oracle=_Q110_ORACLE, tags=("pipeline", "geo"))
+def q110_geo_nearest_seller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_fixtures()
+    silver = _silver(spark, "customers", "sellers", "geolocation")
+    from ..operators.dedup import key_dedup
+
+    geo = key_dedup(
+        silver["geolocation"].select(
+            F.col("Geo_Zip_Code_Prefix").alias("zip"),
+            F.col("Geo_City").alias("city"),
+            F.col("Geo_State").alias("state"),
+            F.col("Geo_Lat").alias("lat"),
+            F.col("Geo_Lng").alias("lng"),
+        ),
+        ["zip"],
+        ["city", "state", "lat", "lng"],
+    ).select("zip", "lat", "lng")
+    cust = silver["customers"].join(
+        geo, silver["customers"]["Cus_Zip_Code_Prefix"] == geo["zip"]
+    ).select(
+        F.col("Cus_ID").alias("customer_id"),
+        F.col("customer_state"),
+        F.col("lat").alias("c_lat"),
+        F.col("lng").alias("c_lng"),
+    )
+    sell = silver["sellers"].join(
+        geo, silver["sellers"]["Sell_Zip_Code_Prefix"] == geo["zip"]
+    ).select(F.col("lat").alias("s_lat"), F.col("lng").alias("s_lng"))
+    dphi = (F.radians("s_lat") - F.radians("c_lat")) / 2
+    dlam = (F.radians("s_lng") - F.radians("c_lng")) / 2
+    hav = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians("c_lat")) * F.cos(F.radians("s_lat")) * F.sin(dlam) * F.sin(dlam)
+    )
+    km = F.round(F.lit(2 * 6371.0) * F.asin(F.sqrt(hav)), 6)
+    nearest = (
+        cust.crossJoin(F.broadcast(sell))
+        .groupBy("customer_id", "customer_state")
+        .agg(F.min(km).alias("min_km"))
+    )
+    from ..functions.compat import roundsum
+
+    return (
+        nearest.groupBy("customer_state")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("min_km").alias("closest_km"),
+            F.round(roundsum("min_km", 6) / F.count(F.lit(1)), 6).alias("avg_min_km"),
         )
     )

@@ -132,6 +132,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q107_udtf_token_positions",
     "q108_udaf_xor_signature",
     "q109_ensemble_neardup",
+    "q110_geo_nearest_seller",
 )
 
 

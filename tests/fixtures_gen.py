@@ -170,6 +170,7 @@ def generate(csv_dir: str, n_customers: int = 150, n_orders: int = 400, seed: in
             dict(
                 geolocation_zip_code_prefix=rng.choice(
                     [c["customer_zip_code_prefix"] for c in customers]
+                    + [s["seller_zip_code_prefix"] for s in sellers]
                 ),
                 geolocation_lat=round(rng.uniform(-33.0, 4.0), 6),
                 geolocation_lng=round(rng.uniform(-73.0, -35.0), 6),
