@@ -1047,3 +1047,86 @@ def q92_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q111: market-basket association metrics — q79's co-occurrence pairs
+# upgraded to the full support / confidence / lift triple, the numbers a
+# recommender or assortment analysis actually consumes. Per-item order
+# counts join onto the pair relation broadcast (items are dim-sized next
+# to pairs), the total basket count rides a one-row crossJoin, and all
+# three ratios are integer-derived doubles rounded to 6 — identical in
+# any engine. Same top-500 deterministic cut as q79.
+# ---------------------------------------------------------------------------
+
+_Q111_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT part_a, part_b, n_ab,
+         ROW_NUMBER() OVER (ORDER BY n_ab DESC, part_a, part_b) AS rank
+  FROM pairs
+)
+SELECT r.rank, r.part_a, r.part_b, r.n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(r.n_ab AS DOUBLE) / t.n_baskets, 6) AS support,
+       ROUND(CAST(r.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND(CAST(r.n_ab AS DOUBLE) * t.n_baskets / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM ranked r
+JOIN item ia ON ia.l_partkey = r.part_a
+JOIN item ib ON ib.l_partkey = r.part_b
+CROSS JOIN tot t
+WHERE r.rank <= 500
+"""
+
+
+@register("q111_basket_lift", oracle=_Q111_ORACLE, tags=("bi", "association", "topk"))
+def q111_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import top_k
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ranked = top_k(pairs, [F.desc("n_ab"), "part_a", "part_b"], k=500)
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    n_ab = F.col("n_ab").cast("double")
+    return (
+        ranked.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(n_ab / F.col("n_baskets"), 6).alias("support"),
+            F.round(n_ab / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                n_ab * F.col("n_baskets") / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

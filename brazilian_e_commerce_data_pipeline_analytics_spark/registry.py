@@ -133,6 +133,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q108_udaf_xor_signature",
     "q109_ensemble_neardup",
     "q110_geo_nearest_seller",
+    "q111_basket_lift",
 )
 
 
