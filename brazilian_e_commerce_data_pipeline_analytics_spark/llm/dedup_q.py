@@ -319,6 +319,9 @@ def minhash_recall_portable(
             ).alias("shingle"),
         )
     )
+    # cached: sh feeds the signature build and BOTH sides of the exact
+    # reference join — uncached, the tokenize+shingle explode runs 3x
+    sh = sh.cache()
     ex = sh.withColumn(
         "__v", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     )
@@ -326,7 +329,10 @@ def minhash_recall_portable(
         F.min((F.col("__v") % _MH_P * F.lit(a) + F.lit(b)) % _MH_P).alias(f"__h{s}")
         for s, (a, b) in enumerate(_mh_consts(k))
     ]
-    sigs = ex.groupBy(id_col).agg(*aggs)
+    # per-doc sizes ride the signature groupBy (the q46 fused-sizes
+    # rule): one aggregation pass over the exploded relation, not two
+    both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs)
+    sigs = both
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -357,7 +363,7 @@ def minhash_recall_portable(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = both.select(F.col(id_col), "n_sh")
     ea = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
