@@ -52,6 +52,26 @@ BENCH_QUERIES = (
 )
 
 
+def _spin_probe(n: int = 3) -> float:
+    """Median wall time of a fixed CPU-bound workload (~100 ms quiet).
+
+    The host shows 30-70% wall-clock swings from neighbor load
+    (TODO_NEXT r2); this probe calibrates how contended the box is
+    RIGHT NOW, so cross-round bench deltas can be read against it. The
+    workload is single-threaded pure Python — immune to Spark state,
+    sensitive to exactly the CPU stealing that skews the query timings.
+    """
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[n // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -95,6 +115,7 @@ def main() -> None:
     # second run of a caching query would skip its heaviest stage. Every
     # reported time is therefore a full scan->shuffle->agg execution,
     # just the less-interrupted of the two.
+    probe_pre = _spin_probe()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
@@ -114,6 +135,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-contention calibration: median wall time of a fixed
+                # single-thread CPU workload before/after the run. On a
+                # quiet host this is ~0.10s; readings far above that mean
+                # neighbor CPU steal inflated the query timings too —
+                # compare rounds only after normalizing by this floor.
+                "noise_probe_sec": {"pre": probe_pre, "post": _spin_probe()},
             }
         )
     )

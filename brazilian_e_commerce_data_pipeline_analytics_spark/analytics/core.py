@@ -952,7 +952,9 @@ def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source (registry determinism contract) so every downstream quantity —
 # adev, the 3*MAD boundary, the output columns — derives from identical
 # values on both engines; interpolated percentiles agree only to ~1 ulp
-# between Spark and DuckDB, which is what broke the unrounded version.
+# between Spark and DuckDB. That rounding was necessary but not
+# sufficient: the r02 driver red row came from n_outliers typing as
+# DuckDB HUGEINT (float64 after arrow), fixed by the BIGINT cast below.
 # ---------------------------------------------------------------------------
 
 _Q90_ORACLE = """
@@ -977,7 +979,10 @@ SELECT d.segment,
        COUNT(*) AS n_orders,
        MIN(d.median_price) AS median_price,
        MIN(m.mad) AS mad,
-       SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+       -- CAST: DuckDB SUM() over integers is HUGEINT, which the driver's
+       -- pandas/arrow path coerces to float64 (hash mismatch vs bigint)
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (segment)
 GROUP BY d.segment
 """

@@ -296,12 +296,22 @@ def _mh_consts(k: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_recall_portable(
-    d: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16,
-    bands: int = 8,
-) -> DataFrame:
-    """Recall of banded-LSH candidates vs exact Jaccard>=0.05 pairs,
-    grouped by Jaccard decile. Fully deterministic + SQL-replayable."""
+def _portable_minhash_relations(
+    d: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+):
+    """Shared portable-hash MinHash/LSH build (md5-prefix shingle values,
+    universal-hash permutations, banded candidates).
+
+    Returns ``(sh, both, cands)``:
+    - ``sh``: cached (id, shingle) exploded relation (feeds the signature
+      build AND both sides of exact-verify joins — 3 consumers);
+    - ``both``: per-doc (id, n_sh, __h0..__h{k-1}) — sizes fused into
+      the signature groupBy so the exploded relation aggregates once;
+    - ``cands``: distinct (doc_a, doc_b) banded-LSH candidate pairs.
+    Callers that materialize a plan derived from ``sh`` should
+    ``sh.unpersist()`` afterwards (ADVICE r2: caches accumulated across
+    the driver's 50+ queries per process).
+    """
     rows = k // bands
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     sh = (
@@ -361,8 +371,18 @@ def minhash_recall_portable(
             F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
         )
         .distinct()
-        .withColumn("__hit", F.lit(1))
     )
+    return sh, both, cands
+
+
+def minhash_recall_portable(
+    d: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Recall of banded-LSH candidates vs exact Jaccard>=0.05 pairs,
+    grouped by Jaccard decile. Fully deterministic + SQL-replayable."""
+    sh, both, cands = _portable_minhash_relations(d, id_col, text_col, n, k, bands)
+    cands = cands.withColumn("__hit", F.lit(1))
     sizes = both.select(F.col(id_col), "n_sh")
     ea = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -491,6 +511,126 @@ def q101_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_recall_portable(
         d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46p: the MinHash-LSH PAIRS pipeline with a VALUE-exact oracle — the
+# portable-hash twin of q46 (VERDICT r2 item 5). Same pipeline shape and
+# (k=32, bands=8) config as production q46 (signatures → banded
+# candidates → exact-verify join → threshold), but shingle values come
+# from the 60-bit md5 prefix + universal-hash permutations (q68/q101's
+# recipe) instead of xxhash64, so DuckDB replays every candidate pair
+# bit-for-bit and the driver records a hash-matched row for the LSH
+# family instead of rows-only. Output contract matches q45/q81:
+# (doc_a, doc_b, n_common, n_union, jaccard).
+# ---------------------------------------------------------------------------
+
+
+def _mh_pairs_oracle(n: int, k: int, bands: int, threshold_pct: int) -> str:
+    rows = k // bands
+    consts = _mh_consts(k)
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(consts)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(t) >= {n}
+),
+ex AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.n_common,
+       sa.n_sh + sb.n_sh - m.n_common AS n_union,
+       m.n_common / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+WHERE {threshold_pct} * m.n_common >= sa.n_sh + sb.n_sh - m.n_common
+"""
+
+
+@register(
+    "q46p_minhash_lsh_portable",
+    oracle=_mh_pairs_oracle(3, _Q101_K, _Q101_BANDS, 20),
+    tags=("dedup", "lsh", "llm"),
+)
+def q46p_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh, both, cands = _portable_minhash_relations(
+        d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )
+    # exact-verify ONLY the candidate pairs: shingles join restricted by
+    # the (small) candidate relation, not the q45 all-pairs self-join —
+    # this is the whole point of LSH at corpus scale
+    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = both.select("doc_id", "n_sh")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        # integer-arithmetic threshold (no float boundary): j >= 0.05
+        .filter(F.lit(20) * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            (F.col("n_common") / F.col("n_union")).alias("jaccard"),
+        )
     )
 
 

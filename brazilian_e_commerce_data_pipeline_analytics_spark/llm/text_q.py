@@ -529,10 +529,16 @@ placed AS (
          ), 0) AS tok_offset
   FROM toks
 )
-SELECT doc_id, n_tok, tok_offset,
-       tok_offset // {_PACK} AS first_seq,
-       (tok_offset + n_tok - 1) // {_PACK} AS last_seq,
-       (tok_offset + n_tok - 1) // {_PACK} - tok_offset // {_PACK} + 1 AS n_seqs
+SELECT doc_id, n_tok,
+       -- BIGINT casts: DuckDB types window SUM()/'//' over integers as
+       -- HUGEINT (INT128); the driver materializes oracles via
+       -- pandas/arrow, where HUGEINT coerces to float64 and hashes as
+       -- 1.0 against Spark's bigint 1 (CORRECTNESS_r02 red row)
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {_PACK} AS BIGINT) AS first_seq,
+       CAST((tok_offset + n_tok - 1) // {_PACK} AS BIGINT) AS last_seq,
+       CAST((tok_offset + n_tok - 1) // {_PACK} - tok_offset // {_PACK} + 1
+            AS BIGINT) AS n_seqs
 FROM placed
 WHERE n_tok > 0
 """
@@ -738,7 +744,8 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
 SELECT grams.doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
        SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) AS contamination_frac
 FROM grams LEFT JOIN bench ON grams.g = bench.g
 WHERE grams.doc_id % 97 <> 0

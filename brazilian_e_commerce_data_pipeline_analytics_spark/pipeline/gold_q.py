@@ -42,17 +42,44 @@ _MARKER = os.path.join(FIXTURE_DIR, ".complete_v2")
 
 
 def _ensure_fixtures() -> str:
-    """Generate the seeded Olist CSVs once; idempotent and cheap."""
+    """Generate the seeded Olist CSVs once; idempotent and cheap.
+
+    Concurrency-safe (ADVICE r2): generation happens in a unique temp
+    sibling directory that is atomically renamed into place, so a second
+    process importing mid-generation either sees the complete fixture
+    set (marker present) or none of it — never half-written CSVs.
+    """
     if not os.path.exists(_MARKER):
+        import shutil
         import sys
+        import tempfile
 
         if _REPO not in sys.path:  # driver may import the package directly
             sys.path.insert(0, _REPO)
         from tests.fixtures_gen import generate
 
-        generate(FIXTURE_DIR)
-        with open(_MARKER, "w", encoding="utf-8") as fh:
-            fh.write("v2 seed=42 n_customers=150 n_orders=400\n")
+        parent = os.path.dirname(FIXTURE_DIR)
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=".olist_tmp_", dir=parent)
+        try:
+            generate(tmp)
+            with open(os.path.join(tmp, os.path.basename(_MARKER)),
+                      "w", encoding="utf-8") as fh:
+                fh.write("v2 seed=42 n_customers=150 n_orders=400\n")
+            try:
+                os.rename(tmp, FIXTURE_DIR)  # atomic publish
+            except OSError:
+                # lost the race (or stale partial dir from a pre-fix run):
+                # someone else published; if their copy is complete, keep
+                # it, else replace the partial leftovers with ours
+                if os.path.exists(_MARKER):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(FIXTURE_DIR, ignore_errors=True)
+                    os.rename(tmp, FIXTURE_DIR)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return FIXTURE_DIR
 
 
@@ -240,7 +267,12 @@ WITH geo AS (
   FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY geolocation_zip_code_prefix
-      ORDER BY geolocation_city NULLS FIRST, geolocation_state NULLS FIRST,
+      -- lower() on both sides: the Spark relation carries the silver
+      -- cleanse's initcap'd Geo_City while this reads the raw CSV, and
+      -- lower(initcap(x)) == lower(x) — ordering on the raw city alone
+      -- could pick a different surviving (lat,lng) for any mixed-case
+      -- city sharing a zip (ADVICE r2; DuckDB has no initcap)
+      ORDER BY lower(geolocation_city) NULLS FIRST, geolocation_state NULLS FIRST,
                geolocation_lat NULLS FIRST, geolocation_lng NULLS FIRST
     ) AS rn
     FROM read_csv('{FIXTURE_DIR}/geolocation.csv', header=true)
@@ -287,7 +319,7 @@ def q110_geo_nearest_seller(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("Geo_Lng").alias("lng"),
         ),
         ["zip"],
-        ["city", "state", "lat", "lng"],
+        [F.lower(F.col("city")), "state", "lat", "lng"],
     ).select("zip", "lat", "lng")
     cust = silver["customers"].join(
         geo, silver["customers"]["Cus_Zip_Code_Prefix"] == geo["zip"]

@@ -62,67 +62,8 @@ _REGISTRY: dict[str, Query] = {}
 # already green in CORRECTNESS_r01.json keep their evidence and rotate
 # behind. Update this list each round as rows turn green.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # analytics/events extras — unchecked in r01
-    "q37_sliding_windows",
-    "q36_salted_user_agg",
-    "q64_weekday_hour_heatmap",
-    "q65_unpivot_daily",
-    "q70_json_props_map",
-    "q73_value_position_windows",
-    "q94_map_ops",
-    "q97_approx_distinct_users",
-    # llm/text — unchecked in r01
-    "q40_token_stats",
-    "q41_lang_id_confusion",
-    "q42_quality_score",
-    "q43_fingerprint_groups",
-    "q44_exact_dedup",
-    "q61_subword_token_stats",
-    "q66_rolling_fingerprint",
-    "q83_hash_split",
-    "q84_fuzzy_part_names",
-    "q85_stopword_filtered_stats",
-    "q86_stratified_sample",
-    "q87_doc_chunks",
-    "q88_sequence_packing",
-    "q95_repetition_stats",
-    "q96_bm25_search",
-    "q98_decontamination",
-    # llm/dedup — unchecked in r01
-    "q45_ngram_jaccard_pairs",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash_pairs",
-    "q68_simhash_portable",
-    "q81_ngram_jaccard_capped",
-    "q82_dup_clusters",
-    # llm/similarity — unchecked in r01
-    "q48_knn_bruteforce",
-    "q49_embedding_neardup",
-    "q50_label_norm_stats",
-    "q51_ann_lsh_bucketed",
-    "q75_ann_ivf",
-    "q57_knn_pandas_udf",
-    "q74_embedding_dim_stats",
-    # llm/multimodal — unchecked in r01
-    "q52_blob_meta",
-    "q58_media_features",
-    # streaming — unchecked in r01
-    "q53_stream_hourly",
-    "q54_sessions_batch",
-    "q55_stream_sessions_closed",
-    "q56_stream_hourly_append",
-    "q60_native_session_window",
-    "q71_stream_dedup",
-    "q89_stream_stream_join",
-    "q91_stream_static_enrich",
-    # round-1 red row, fixed (6-decimal rounding of both medians)
-    "q90_mad_outliers",
-    # medallion-pipeline queries (bronze→silver→gold on Olist fixtures)
-    "q99_gold_monthly_state_sales",
-    "q100_gold_payment_mix",
-    # -- 50-entry window boundary (if the driver's cap is a count) --
-    # positions 51+: next in line if the cap is time-based or >50; else
-    # rotate these into the window next round in place of green rows
+    # -- round-3 rotation --
+    # never driver-checked (registered at positions 51-61 in r02):
     "q104_jdbc_roundtrip",
     "q101_minhash_recall",
     "q102_token_zipf",
@@ -134,16 +75,77 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q109_ensemble_neardup",
     "q110_geo_nearest_seller",
     "q111_basket_lift",
+    # r02 red rows, fixed this round (oracle HUGEINT→BIGINT casts):
+    "q88_sequence_packing",
+    "q90_mad_outliers",
+    "q98_decontamination",
+    # new this round: value-exact portable twin of q46 (LSH pairs)
+    "q46p_minhash_lsh_portable",
+    # new round-3 queries needing a first driver row:
+    "q112_skew_salted_topk_join",
+    "q113_sessionized_funnel",
+    "q114_incremental_gold_merge",
+    "q115_scd2_customer_dim",
+    "q116_dim_lineage_checks",
+    "q117_quantile_sketch_merge",
+    "q118_bloom_join_prefilter",
+    "q119_iceberg_style_manifest_prune",
+    "q120_late_data_upsert_replay",
+    # -- remaining window slots: greens from r01/r02 re-verify --
+    "q99_gold_monthly_state_sales",
+    "q100_gold_payment_mix",
+    "q45_ngram_jaccard_pairs",
+    "q46_minhash_lsh_pairs",
+    "q47_simhash_pairs",
+    "q68_simhash_portable",
+    "q81_ngram_jaccard_capped",
+    "q82_dup_clusters",
+    "q48_knn_bruteforce",
+    "q49_embedding_neardup",
+    "q51_ann_lsh_bucketed",
+    "q75_ann_ivf",
+    "q57_knn_pandas_udf",
+    "q52_blob_meta",
+    "q53_stream_hourly",
+    "q55_stream_sessions_closed",
+    "q56_stream_hourly_append",
+    "q60_native_session_window",
+    "q71_stream_dedup",
+    "q89_stream_stream_join",
+    "q91_stream_static_enrich",
+    "q87_doc_chunks",
+    "q96_bm25_search",
+    "q36_salted_user_agg",
+    "q37_sliding_windows",
 )
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator registering a query builder under ``name``."""
+    """Decorator registering a query builder under ``name``.
+
+    Builders are wrapped to ``spark.catalog.clearCache()`` on entry:
+    several queries ``.cache()`` relations that feed multiple consumers
+    inside ONE query plan (llm/dedup.py, dedup_q.py), and a long-lived
+    session running 50+ registered queries (the driver) would otherwise
+    accumulate every query's cached relations (ADVICE r2). Caches are
+    perf hints, never correctness, so clearing between builds is safe;
+    it bounds live cache to one query's worth.
+    """
 
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle, tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — never fail a build on cleanup
+                pass
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name, wrapped, oracle, tags)
         return fn
 
     return deco

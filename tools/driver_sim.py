@@ -7,6 +7,16 @@ Runs, in a fresh SparkSession:
 and compares row count + sorted column names + order-insensitive
 values, printing one status line per query and a summary.
 
+Oracle results are materialized through DuckDB's ARROW export, NOT
+``fetchall()``: the driver compares dataframe materializations, and
+arrow has no int128, so DuckDB HUGEINT (any SUM() over integers)
+degrades to float64 on that path — ``i:1`` hashes against ``f:1.0``.
+``fetchall()`` (HUGEINT → Python int) silently masks that class; round
+2 shipped 3 red rows (q88/q90/q98) this sim called green for exactly
+that reason. Decimal128/date32 survive arrow intact, so everything
+else stays an exact compare. A schema-level sweep additionally
+hard-fails any oracle whose output type list contains HUGEINT at all.
+
 Usage: python tools/driver_sim.py [sf_dir]
 """
 
@@ -33,6 +43,45 @@ def canon(v):
     return f"s:{v}"
 
 
+def oracle_rows_arrow_path(con, sql):
+    """Materialize an oracle the way the driver does: via arrow.
+
+    Returns (colnames, sorted canonical row tuples). Arrow preserves
+    decimal128/date32/timestamps exactly but has no int128, so HUGEINT
+    columns arrive as float64 — the same degradation the driver's
+    comparison sees.
+    """
+    tbl = con.sql(sql).arrow()
+    cols = list(tbl.column_names)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(
+        tuple(canon(rec[cols[i]]) for i in order) for rec in tbl.to_pylist()
+    )
+    return cols, rows
+
+
+_HUGE = ("HUGEINT", "INT128", "UHUGEINT")
+
+
+def hugeint_sweep(con, oracles) -> list[str]:
+    """Return oracle names whose output schema contains an INT128 type.
+
+    DuckDB types SUM()/product()/'//' over integers as HUGEINT; the
+    driver's arrow materialization degrades that to float64 and the
+    value hash diverges from Spark's bigint. Every oracle must cast
+    such columns to BIGINT explicitly.
+    """
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            types = [str(t).upper() for t in con.sql(sql).types]
+        except Exception:  # noqa: BLE001 — execution errors surface later
+            continue
+        if any(h in t for t in types for h in _HUGE):
+            bad.append(name)
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as e
@@ -57,6 +106,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
     n_pass = n_fail = 0
+    huge = hugeint_sweep(con, oracles)
+    if huge:
+        n_fail += len(huge)
+        for name in huge:
+            print(f"  {name:32s} HUGEINT: oracle emits INT128 columns — "
+                  f"cast them to BIGINT (driver arrow path → float64)")
     for name in sorted(qs):
         t0 = time.time()
         try:
@@ -70,12 +125,7 @@ def main() -> int:
                       f"[{time.time() - t0:.1f}s]")
                 n_pass += 1
                 continue
-            cur = con.execute(oracles[name])
-            d_colnames = [d[0] for d in cur.description]
-            d_order = sorted(range(len(d_colnames)), key=lambda i: d_colnames[i])
-            d_rows = sorted(
-                tuple(canon(r[i]) for i in d_order) for r in cur.fetchall()
-            )
+            d_colnames, d_rows = oracle_rows_arrow_path(con, oracles[name])
             ok_cols = s_cols == sorted(d_colnames)
             ok = ok_cols and s_rows == d_rows
             if ok:
