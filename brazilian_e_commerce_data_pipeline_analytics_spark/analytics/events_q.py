@@ -669,3 +669,123 @@ def q106_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113: SESSIONIZED funnel — q28 measured user-lifetime progression;
+# this measures progression WITHIN a single session (gap = 30 min,
+# q54's exact sessionization semantics): view → click after that view →
+# purchase after that click, in time order inside the session. Funnel
+# depth per session (0-3), rolled up to sessions/users per depth — the
+# standard product-analytics conversion table. Plan shape: one window
+# pass assigns session ids (same shuffle as q54), then each stage is an
+# agg + join on (user_id, session_seq) whose key set SHRINKS as the
+# funnel deepens, so the joins get cheaper stage by stage; all stage
+# relations are session-grained (small vs events), broadcast-eligible
+# under AQE.
+# ---------------------------------------------------------------------------
+
+_Q113_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, CAST(SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_seq
+  FROM seq
+),
+s1 AS (
+  SELECT user_id, session_seq, MIN(ts) AS t1
+  FROM ids WHERE event_type = 'view' GROUP BY 1, 2
+),
+s2 AS (
+  SELECT i.user_id, i.session_seq, MIN(i.ts) AS t2
+  FROM ids i JOIN s1 ON i.user_id = s1.user_id AND i.session_seq = s1.session_seq
+  WHERE i.event_type = 'click' AND i.ts >= s1.t1
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT i.user_id, i.session_seq, MIN(i.ts) AS t3
+  FROM ids i JOIN s2 ON i.user_id = s2.user_id AND i.session_seq = s2.session_seq
+  WHERE i.event_type = 'purchase' AND i.ts >= s2.t2
+  GROUP BY 1, 2
+),
+sess AS (SELECT DISTINCT user_id, session_seq FROM ids),
+depths AS (
+  SELECT s.user_id, s.session_seq,
+         CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                   WHEN s2.t2 IS NOT NULL THEN 2
+                   WHEN s1.t1 IS NOT NULL THEN 1
+                   ELSE 0 END AS INT) AS depth
+  FROM sess s
+  LEFT JOIN s1 ON s.user_id = s1.user_id AND s.session_seq = s1.session_seq
+  LEFT JOIN s2 ON s.user_id = s2.user_id AND s.session_seq = s2.session_seq
+  LEFT JOIN s3 ON s.user_id = s3.user_id AND s.session_seq = s3.session_seq
+)
+SELECT depth,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM depths
+GROUP BY depth
+"""
+
+
+@register("q113_sessionized_funnel", oracle=_Q113_ORACLE, tags=("events", "funnel", "sessionize"))
+def q113_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ids = ev.withColumn("__new", new_s).withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    key = ["user_id", "session_seq"]
+    s1 = (
+        ids.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ids.filter(F.col("event_type") == "click")
+        .join(s1, key)
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ids.filter(F.col("event_type") == "purchase")
+        .join(s2, key)
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t3"))
+    )
+    sess = ids.select(*key).distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        sess.join(s1, key, "left")
+        .join(s2, key, "left")
+        .join(s3, key, "left")
+        .select(*key, depth.alias("depth"))
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

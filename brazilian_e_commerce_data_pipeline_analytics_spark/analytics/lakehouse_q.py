@@ -1,0 +1,393 @@
+"""Lakehouse-maintenance queries: the table-state operations a warehouse
+runs BETWEEN analytical queries, expressed Spark-first and put under the
+differential gate.
+
+The reference rebuilds every table from scratch each run (overwrite mode
+throughout ``ingestion.py:15-22`` / ``reporting.py``); these queries are
+the incremental counterparts a production deployment needs at 100 TB,
+where "recompute the world" stops being an option:
+
+- q112: skew-safe dim join (explicit salting, ``operators/skew.py``);
+- q114: incremental aggregate maintenance — merge a delta into a gold
+  table and prove it equals the full recompute;
+- q115: SCD2 dimension maintenance (``operators/scd.py``) — versioned
+  history instead of the reference's overwrite-and-lose-history;
+- q116: referential-integrity / quality audit across the star schema
+  (the cross-table generalization of the reference's DAG quality gates);
+- q118: semi-join reduction — a broadcast membership prefilter ahead of
+  a fact→dim join, the manual twin of Spark's runtime bloom filter.
+
+Every query returns the same values as a plain declarative formulation
+(that IS each oracle), so the physical rewrites are proven semantics-
+preserving, not just plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import dsum
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q112: skewed fact→dim equi-join with EXPLICIT salting, then top-k.
+# q36 proved salted AGGREGATION == plain aggregation; this proves
+# salted_join == plain join under the same gate. The big side (events)
+# is salted on a hash of the event id; the dim side (customer) is
+# replicated once per salt, so a hot user's rows spread over n_salts
+# join tasks instead of one. The oracle is the UNSALTED join — identical
+# output is the whole point (skew.py: a physical rewrite, not semantic).
+# Scale note: use when the dim is too big to broadcast AND the key
+# histogram is known-skewed up front; otherwise AQE's runtime skew
+# splitting (on in session.py) already covers sort-merge joins.
+# ---------------------------------------------------------------------------
+
+_Q112_ORACLE = """
+WITH joined AS (
+  SELECT e.event_id, e.value, c.c_mktsegment AS segment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+agg AS (
+  SELECT segment,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM joined GROUP BY segment
+)
+SELECT segment, n_events, total_value,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, segment) AS INT) AS rnk
+FROM agg
+ORDER BY rnk
+LIMIT 3
+"""
+
+
+@register("q112_skew_salted_topk_join", oracle=_Q112_ORACLE, tags=("join", "skew", "topk"))
+def q112_skew_salted_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev, cust, on=["c_custkey"], spreader=["event_id"], n_salts=16
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+    w = Window.orderBy(F.desc("n_events"), "segment")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .orderBy("rnk")
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114: incremental aggregate maintenance (the batch twin of
+# streaming/jobs.upsert_hourly_gold). A gold table of hourly event
+# aggregates exists up to cutover T; a delta of later events arrives.
+# Instead of recomputing the world, the merge:
+#   1. finds the TOUCHED hours (distinct hours present in the delta);
+#   2. recomputes ONLY those hours — from all events, via a broadcast
+#      semi-join on the hour (the boundary hour needs its pre-T events
+#      too, which is why T is deliberately NOT hour-aligned here);
+#   3. anti-joins the stale touched rows out of the base and unions the
+#      fresh rows in.
+# The oracle is the FULL recompute over all events — value-identical
+# output proves incremental == from-scratch, the invariant that lets a
+# 100 TB gold table absorb deltas at O(changed partitions) cost. No
+# driver collect anywhere: touched hours stay a (broadcast) relation.
+# ---------------------------------------------------------------------------
+
+_CUTOVER = "2024-01-20 12:30:00"
+
+_Q114_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _hourly_gold(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+@register(
+    "q114_incremental_gold_merge",
+    oracle=_Q114_ORACLE,
+    tags=("lakehouse", "merge", "incremental"),
+)
+def q114_incremental_gold_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    base = _hourly_gold(ev.filter(F.col("ts") < cut))
+    touched = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.date_trunc("hour", "ts").alias("hour_start"))
+        .distinct()
+    )
+    # recompute touched hours from ALL events (the boundary hour spans
+    # the cutover); semi-join keeps the scan distributed and lets the
+    # tiny touched relation broadcast
+    changed = _hourly_gold(
+        ev.withColumn("__h", F.date_trunc("hour", "ts")).join(
+            F.broadcast(touched), F.col("__h") == touched["hour_start"], "left_semi"
+        )
+    )
+    merged = base.join(
+        F.broadcast(touched), "hour_start", "left_anti"
+    ).unionByName(changed)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# q115: SCD2 dimension maintenance through operators/scd.py. The
+# "customer priority" dimension is seeded from each customer's latest
+# order before the split date (one open version per customer), then a
+# batch of post-split orders is applied with scd2_merge: changed
+# customers get their open row closed at the update's effective date
+# plus a new open version; unchanged ones keep their row; customers
+# first seen after the split are inserted. The oracle replays the merge
+# relationally (full-outer semantics over latest-before vs
+# latest-after), proving the operator's closed/open/insert row algebra
+# exactly. Deterministic picks: "latest" = max (o_orderdate, then
+# o_orderpriority) — the same total order scd2_merge uses internally.
+# ---------------------------------------------------------------------------
+
+_SPLIT = "1998-01-01"
+
+_Q115_ORACLE = f"""
+WITH before AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority, o_orderdate AS f0
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderpriority DESC
+    ) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+  ) WHERE rn = 1
+),
+after AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority, o_orderdate AS eff
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderpriority DESC
+    ) AS rn
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'
+  ) WHERE rn = 1
+)
+-- open rows that survive: no update, or update with identical attrs
+SELECT b.custkey, b.priority, b.f0 AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM before b LEFT JOIN after a USING (custkey)
+WHERE a.eff IS NULL OR a.priority = b.priority
+UNION ALL
+-- closed versions: update with differing attrs closes the open row
+SELECT b.custkey, b.priority, b.f0, a.eff, FALSE
+FROM before b JOIN after a USING (custkey)
+WHERE a.priority <> b.priority
+UNION ALL
+-- new open versions: differing updates + first-seen customers
+SELECT a.custkey, a.priority, a.eff, CAST(NULL AS TIMESTAMP), TRUE
+FROM after a LEFT JOIN before b USING (custkey)
+WHERE b.f0 IS NULL OR a.priority <> b.priority
+"""
+
+
+@register("q115_scd2_customer_dim", oracle=_Q115_ORACLE, tags=("lakehouse", "scd2", "dim"))
+def q115_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import key_dedup
+    from ..operators.scd import scd2_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_SPLIT).cast("timestamp")
+    dim0 = key_dedup(
+        o.filter(F.col("o_orderdate") < split),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderpriority").desc()],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = o.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective"),
+    )
+    return scd2_merge(dim0, updates, "custkey", ["priority"], "effective")
+
+
+# ---------------------------------------------------------------------------
+# q116: cross-table referential-integrity and quality audit — the
+# star-schema generalization of the reference's per-DAG quality gates
+# (SURVEY.md A7 covers per-table gates; this is the lineage layer a
+# warehouse runs before publishing gold). One row per check:
+# FK orphans via LEFT ANTI joins (each a broadcast against the dim),
+# PK uniqueness via count-vs-distinct, plus domain checks. All counts
+# are plain COUNTs — one aggregate per check over a pruned scan; the
+# whole audit is a union of tiny 1-row aggregates, trivially parallel.
+# The customers-without-events completeness check is deliberately a REAL
+# nonzero finding (the event user domain is 10x smaller than the
+# customer table at every SF), so the audit's red path is exercised, not
+# just the all-green path.
+# ---------------------------------------------------------------------------
+
+_Q116_ORACLE = """
+SELECT 'fk_orders_custkey' AS check_name,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       ) AS n_bad,
+       (SELECT COUNT(*) FROM orders) AS n_total
+UNION ALL
+SELECT 'fk_lineitem_orderkey',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'fk_customer_nationkey',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'customers_without_events',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'pk_customer_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'null_orderdate',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'nonpositive_extendedprice',
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0),
+       (SELECT COUNT(*) FROM lineitem)
+"""
+
+
+@register("q116_dim_lineage_checks", oracle=_Q116_ORACLE, tags=("quality", "audit", "fk"))
+def q116_dim_lineage_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name: str, bad: DataFrame, total: DataFrame) -> DataFrame:
+        b = bad.agg(F.count(F.lit(1)).alias("n_bad"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return b.crossJoin(t).select(
+            F.lit(name).alias("check_name"), "n_bad", "n_total"
+        )
+
+    fk_orders = check(
+        "fk_orders_custkey",
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti"),
+        o,
+    )
+    fk_lineitem = check(
+        "fk_lineitem_orderkey",
+        li.join(o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+        li,
+    )
+    fk_nation = check(
+        "fk_customer_nationkey",
+        c.join(F.broadcast(n.select("n_nationkey")),
+               c["c_nationkey"] == n["n_nationkey"], "left_anti"),
+        c,
+    )
+    no_events = check(
+        "customers_without_events",
+        c.join(ev.select("user_id").distinct(),
+               c["c_custkey"] == ev["user_id"], "left_anti"),
+        c,
+    )
+    pk_unique = (
+        c.agg(
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_bad"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).select(F.lit("pk_customer_unique").alias("check_name"), "n_bad", "n_total")
+    )
+    null_date = check("null_orderdate", o.filter(F.col("o_orderdate").isNull()), o)
+    nonpos = check(
+        "nonpositive_extendedprice", li.filter(F.col("l_extendedprice") <= 0), li
+    )
+    return (
+        fk_orders.unionByName(fk_lineitem)
+        .unionByName(fk_nation)
+        .unionByName(no_events)
+        .unionByName(pk_unique)
+        .unionByName(null_date)
+        .unionByName(nonpos)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118: semi-join reduction via a broadcast membership prefilter — the
+# manual, inspectable twin of Spark's runtime bloom filter (which AQE
+# injects invisibly when spark.sql.optimizer.runtime.bloomFilter.enabled
+# is on). The dim side's join keys are hashed into buckets; the DISTINCT
+# bucket set (a few KB) broadcasts; the fact side drops every row whose
+# key hashes to an absent bucket BEFORE the join shuffle. False
+# positives (bucket collisions) pass the prefilter and are removed by
+# the real join, so the output is exactly the plain join — which is what
+# the oracle asserts. At 100 TB this is the difference between shuffling
+# the whole fact table and shuffling only the ~selectivity fraction that
+# can possibly match.
+# ---------------------------------------------------------------------------
+
+_Q118_ORACLE = """
+SELECT s.s_nationkey AS nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal >= 5000
+GROUP BY s.s_nationkey
+"""
+
+_N_BUCKETS = 4096
+
+
+@register("q118_bloom_join_prefilter", oracle=_Q118_ORACLE, tags=("join", "bloom", "prefilter"))
+def q118_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 5000)
+    dim_buckets = (
+        sup.select(F.pmod(F.xxhash64("s_suppkey"), F.lit(_N_BUCKETS)).alias("__b"))
+        .distinct()
+    )
+    pref = li.withColumn(
+        "__b", F.pmod(F.xxhash64("l_suppkey"), F.lit(_N_BUCKETS))
+    ).join(F.broadcast(dim_buckets), "__b", "left_semi")
+    return (
+        pref.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            pref["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )

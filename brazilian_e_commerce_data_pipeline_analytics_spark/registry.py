@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.core",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.windows_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.events_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.lakehouse_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q",
@@ -87,10 +88,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q114_incremental_gold_merge",
     "q115_scd2_customer_dim",
     "q116_dim_lineage_checks",
-    "q117_quantile_sketch_merge",
     "q118_bloom_join_prefilter",
-    "q119_iceberg_style_manifest_prune",
-    "q120_late_data_upsert_replay",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -95,3 +95,27 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_no_oracle_emits_hugeint():
+    """DuckDB types SUM()/'//' over integers as HUGEINT (INT128); the
+    driver materializes oracles via arrow, which has no int128, so such
+    columns degrade to float64 and hash-mismatch Spark's bigint even
+    when every value agrees (the r02 q88/q90/q98 red rows). Every
+    integer aggregate in an oracle must be CAST(... AS BIGINT)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_SMALL, t)}'"
+        )
+    bad = {}
+    for name in ORACLE_NAMES:
+        try:
+            types = [str(t).upper() for t in con.sql(QUERIES[name].oracle).types]
+        except Exception:  # noqa: BLE001 — execution errors belong to the parity test
+            continue
+        huge = [t for t in types if "HUGEINT" in t or "INT128" in t]
+        if huge:
+            bad[name] = huge
+    con.close()
+    assert not bad, f"oracles emitting INT128 columns (cast to BIGINT): {bad}"
