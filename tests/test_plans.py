@@ -247,3 +247,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jdbc_read_plan_has_no_driver_materialization(spark):
+    """q104 polish (VERDICT r2): the bounded-JDBC read-back plan must
+    contain no CollectLimit/driver materialization — the one permitted
+    driver round-trip is the 1-row min/max bounds agg BEFORE the scan
+    (inherent to Spark's JDBC API), never anything inside the returned
+    plan that would re-materialize per execution if the path looped."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
+    df = QUERIES["q104_jdbc_roundtrip"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CollectLimit" not in plan
+    assert "LocalTableScan" not in plan
