@@ -14,8 +14,12 @@ where "recompute the world" stops being an option:
   history instead of the reference's overwrite-and-lose-history;
 - q116: referential-integrity / quality audit across the star schema
   (the cross-table generalization of the reference's DAG quality gates);
+- q117: exact median via two-pass bin refinement — the quantile path
+  that survives groups too large for a single-task sort;
 - q118: semi-join reduction — a broadcast membership prefilter ahead of
-  a fact→dim join, the manual twin of Spark's runtime bloom filter.
+  a fact→dim join, the manual twin of Spark's runtime bloom filter;
+- q120: small-file compaction planning — the per-shard rewrite manifest
+  from a distributed prefix sum over document sizes.
 
 Every query returns the same values as a plain declarative formulation
 (that IS each oracle), so the physical rewrites are proven semantics-
@@ -389,5 +393,134 @@ def q118_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_extendedprice", "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117: EXACT median at scale via two-pass bin refinement — the
+# alternative to single-pass exact percentiles (q27) when a group's
+# rows don't fit one task's memory. Pass 1 histograms prices into fixed
+# bins (one narrow shuffle, histogram size = bins x groups regardless
+# of row count); pass 2 locates the bin(s) holding the two middle
+# ranks via a cumulative window over the TINY histogram, then sorts
+# ONLY the candidate-bin rows (selectivity ~ bin_width/range) to pull
+# the exact middle values. Never a full per-group sort; the only
+# row-level window runs over the candidate slice. The oracle computes
+# the same (lo+hi)/2 middle-rank formula relationally — deliberately
+# NOT quantile_cont, whose a+q*(b-a) float expression can differ in the
+# last ulp from (a+b)/2.
+# ---------------------------------------------------------------------------
+
+_BINW = 25000.0  # ~7 candidate bins over the o_totalprice range
+
+_Q117_ORACLE = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT segment, price,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY price) AS rk,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM seg
+)
+SELECT segment,
+       CAST(MIN(n) AS BIGINT) AS n_orders,
+       AVG(price) AS median_price
+FROM ranked
+WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+GROUP BY segment
+"""
+
+
+@register("q117_scalable_exact_median", oracle=_Q117_ORACLE, tags=("robust-stats", "scale", "quantile"))
+def q117_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    binned = seg.withColumn("bin", F.floor(F.col("price") / _BINW))
+    # pass 1: histogram — the ONLY row-count-sized shuffle
+    hist = binned.groupBy("segment", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.partitionBy("segment").orderBy("bin")
+    cum = hist.withColumn(
+        "cum_below", F.coalesce(F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    ).withColumn("n", F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    lo_rank = F.floor((F.col("n") + 1) / 2)
+    hi_rank = F.floor((F.col("n") + 2) / 2)
+    cand = cum.filter(
+        (F.col("cum_below") < hi_rank) & (F.col("cum_below") + F.col("cnt") >= lo_rank)
+    ).select("segment", "bin", "cum_below", "n")
+    # pass 2: sort only candidate-bin rows; global rank = cum_below + local
+    sliced = binned.join(F.broadcast(cand), ["segment", "bin"])
+    wr = Window.partitionBy("segment", "bin").orderBy("price")
+    picked = sliced.withColumn(
+        "rk", F.col("cum_below") + F.row_number().over(wr)
+    ).filter(
+        (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
+    )
+    return picked.groupBy("segment").agg(
+        F.min("n").cast("bigint").alias("n_orders"),
+        F.avg("price").alias("median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: small-file COMPACTION planning — the manifest a lakehouse
+# maintenance job writes before rewriting a fragmented table: documents
+# laid out in doc_id order, packed greedily into output shards of
+# ~TARGET bytes via the same distributed two-level prefix sum as q88
+# (operators/windows.distributed_cumsum — never a single-task global
+# window). Output is the per-shard manifest (doc span, doc count,
+# bytes), i.e. exactly what a compaction executor would consume. A doc
+# larger than TARGET still lands in one shard (no splitting — shard
+# boundaries are doc-aligned, matching parquet rewrite semantics).
+# ---------------------------------------------------------------------------
+
+_TARGET_BYTES = 16384
+
+_Q120_ORACLE = f"""
+WITH placed AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS byte_offset
+  FROM documents
+)
+SELECT CAST(byte_offset // {_TARGET_BYTES} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY 1
+"""
+
+
+@register("q120_compaction_plan", oracle=_Q120_ORACLE, tags=("lakehouse", "compaction", "packing"))
+def q120_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import distributed_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    placed = distributed_cumsum(
+        d, "doc_id", "n_chars", out="byte_offset", exclusive=True
+    )
+    return (
+        placed.groupBy(
+            F.floor(F.col("byte_offset") / _TARGET_BYTES).cast("bigint").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )

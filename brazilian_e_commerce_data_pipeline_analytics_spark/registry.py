@@ -88,7 +88,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q114_incremental_gold_merge",
     "q115_scd2_customer_dim",
     "q116_dim_lineage_checks",
+    "q117_scalable_exact_median",
     "q118_bloom_join_prefilter",
+    "q119_stream_late_drop",
+    "q120_compaction_plan",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -684,3 +684,126 @@ def q91_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# q119: WATERMARK LATE-DATA DROP under a value-level oracle — hard
+# evidence that the engine's late-row semantics, not just its happy
+# path, are reproduced. A deterministic 4-file generator stream
+# (maxFilesPerTrigger=1 -> one micro-batch per file) carries every
+# id%7==3 row 700s late; with a 90s watermark over 60s tumbling
+# windows, late rows whose window was already evicted are DROPPED, and
+# the missing counts are visible in the output.
+#
+# The drop rule was pinned empirically against this exact pipeline
+# (round 3; 8 candidate predicate/lag models, one survivor):
+#   - eviction+emission at the end of batch b uses the watermark from
+#     batches <= b-1 (max event time - delay);
+#   - the LATE-ROW FILTER in batch b uses the watermark from batches
+#     <= b-2 (the offset-log watermark planned at batch start) — one
+#     batch BEHIND eviction: a row is dropped iff its window end is at
+#     or below that lagged watermark;
+#   - final emission: window end <= final watermark.
+# The oracle replays exactly that batch simulation relationally from
+# range() arithmetic (the stream is generator-derived, so no table
+# dependency). Constants are chosen so no window end ever equals a
+# watermark — the oracle is robust to the <=-vs-< boundary on both
+# rules. At scale this is THE state-bound mechanism: without eviction,
+# windowed state grows without bound; with it, state is O(windows
+# inside the watermark horizon).
+# ---------------------------------------------------------------------------
+
+_LATE_N, _LATE_B, _LATE_SHIFT = 2000, 500, 700
+_LATE_DELAY, _LATE_WIN, _LATE_BASE = 90, 60, 1700000000
+
+_Q119_ORACLE = f"""
+WITH ids AS (
+  SELECT id,
+         CASE WHEN id % 7 = 3 THEN id - {_LATE_SHIFT} ELSE id END AS e,
+         id // {_LATE_B} AS b
+  FROM range(0, {_LATE_N}) t(id)
+),
+placed AS (
+  SELECT id, e, b, (({_LATE_BASE} + e) // {_LATE_WIN}) * {_LATE_WIN} AS ws
+  FROM ids
+),
+bm AS (SELECT b, MAX(e) AS mx FROM ids GROUP BY b),
+wms AS (
+  SELECT b, MAX(mx) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - {_LATE_DELAY} AS wm
+  FROM bm
+),
+kept AS (
+  SELECT p.id, p.ws FROM placed p
+  LEFT JOIN wms w ON w.b = p.b - 2
+  WHERE w.b IS NULL OR p.ws + {_LATE_WIN} > {_LATE_BASE} + w.wm
+),
+fin AS (SELECT MAX(e) - {_LATE_DELAY} AS fwm FROM ids)
+SELECT CAST(ws AS BIGINT) AS win_start_s,
+       COUNT(*) AS n_events,
+       CAST(SUM(id) AS BIGINT) AS sum_id
+FROM kept, fin
+WHERE ws + {_LATE_WIN} <= {_LATE_BASE} + fin.fwm
+GROUP BY ws
+"""
+
+
+def _ensure_late_fixture() -> str:
+    """Write the 4 deterministic batch files once (idempotent); strictly
+    increasing mtimes fix the file-source micro-batch order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "stream",
+        "late_stream_v1",
+    )
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for b in range((_LATE_N + _LATE_B - 1) // _LATE_B):
+        ids = list(range(b * _LATE_B, min((b + 1) * _LATE_B, _LATE_N)))
+        ets = [i - _LATE_SHIFT if i % 7 == 3 else i for i in ids]
+        path = os.path.join(d, f"batch_{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(ids, pa.int64()), "ets": pa.array(ets, pa.int64())}
+            ),
+            path,
+        )
+        os.utime(path, (_LATE_BASE + b, _LATE_BASE + b))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"n={_LATE_N} b={_LATE_B} shift={_LATE_SHIFT}\n")
+    return d
+
+
+@register(
+    "q119_stream_late_drop",
+    oracle=_Q119_ORACLE,
+    tags=("streaming", "watermark", "late-data"),
+)
+def q119_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_late_fixture()
+    stream = (
+        spark.readStream.schema("id bigint, ets bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = stream.select(
+        "id", F.timestamp_seconds(F.lit(_LATE_BASE) + F.col("ets")).alias("ts")
+    )
+    agg = (
+        ev.withWatermark("ts", f"{_LATE_DELAY} seconds")
+        .groupBy(F.window("ts", f"{_LATE_WIN} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("id").alias("sum_id"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "n_events",
+            "sum_id",
+        )
+    )
+    return run_stream_to_memory(spark, agg, output_mode="append")

@@ -140,3 +140,38 @@ def test_clustered_write_sorts_within_files(spark, tmp_path):
         t = pq.read_table(f, columns=["o_orderdate"])
         vals = t.column("o_orderdate").to_pylist()
         assert vals == sorted(vals), f"{f} not sorted on o_orderdate"
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition layout + DPP: a fact table partitioned on the join key
+    must have its scan pruned at RUNTIME by the dim-side filter (the
+    broadcast result seeds a dynamicpruning subquery) — at 100 TB this
+    is the difference between scanning 7 years and scanning the one
+    year the dim filter selects."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact_part")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("o_year"),
+        (F.col("id") % 2 == 1).alias("odd"),
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = fact.join(dim.filter(F.col("odd")), "o_year").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        n = joined.collect()[0]["n"]
+        expected = (
+            orders.filter(F.year("o_orderdate").isin([1995, 1997, 1999, 2001])).count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)

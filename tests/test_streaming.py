@@ -158,3 +158,63 @@ def test_checkpoint_incremental_exactly_once(spark, tmp_path):
     # and a restart with NO new files must be a no-op
     run_once()
     assert spark.read.parquet(out).count() == 2 * base
+
+
+def test_late_drop_stream_actually_drops(spark):
+    """q119 non-vacuity: the watermark must have DROPPED late rows —
+    the emitted totals must be strictly below a no-drop replay of the
+    same generator (otherwise the query proves nothing about late-data
+    semantics)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _LATE_B,
+        _LATE_BASE,
+        _LATE_DELAY,
+        _LATE_N,
+        _LATE_SHIFT,
+        _LATE_WIN,
+    )
+
+    out = all_queries()["q119_stream_late_drop"].builder(spark, "/root/testdata/sf0.001")
+    emitted = {r["win_start_s"]: r["n_events"] for r in out.collect()}
+
+    # no-drop replay: every row lands in its window; emit windows closed
+    # by the final watermark
+    state: dict[int, int] = {}
+    final_wm = None
+    for i in range(_LATE_N):
+        e = i - _LATE_SHIFT if i % 7 == 3 else i
+        ws = ((_LATE_BASE + e) // _LATE_WIN) * _LATE_WIN
+        state[ws] = state.get(ws, 0) + 1
+        final_wm = e - _LATE_DELAY if final_wm is None else max(final_wm, e - _LATE_DELAY)
+    nodrop = {
+        ws: n for ws, n in state.items() if ws + _LATE_WIN <= _LATE_BASE + final_wm
+    }
+    assert set(emitted) == set(nodrop)  # same emitted windows either way
+    assert sum(emitted.values()) < sum(nodrop.values())  # rows WERE dropped
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The scale-grade state backend: at 100 TB streaming state must
+    live in RocksDB (spillable, incremental-checkpoint), not the
+    default in-memory HDFS-backed store. Spark bundles the provider;
+    pin that this repo's stateful pipelines run on it and produce
+    byte-identical results to the default store."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    q = all_queries()["q53_stream_hourly"]
+    base = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert rocks == base
