@@ -910,3 +910,145 @@ def q103_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121: repeated-span statistics — the span-level generalization of
+# doc-level dedup (the "dedup repeated substrings, not just documents"
+# insight from training-data dedup practice). Every 20-token sliding
+# window of every document is hashed; a span is "duplicated" when it
+# occurs in >= 2 DISTINCT documents; each document reports the fraction
+# of its spans that are duplicated — the signal a span-level dedup
+# policy thresholds on. Joins are on (xxhash64, span-text) so a 64-bit
+# collision cannot diverge from the string-equality oracle (the q98
+# rule). Plan: one explode (sum-of-tokens rows), one per-span distinct-
+# doc agg, one join back — all narrow-keyed, no all-pairs anything.
+# ---------------------------------------------------------------------------
+
+_SPAN = 20
+
+_Q121_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_SPAN - 2}),
+                i -> array_to_string(t[i:i+{_SPAN - 1}], ' '))) AS s
+  FROM toks WHERE len(t) >= {_SPAN}
+),
+span_docs AS (
+  SELECT s, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY s
+)
+SELECT spans.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_frac
+FROM spans JOIN span_docs sd ON spans.s = sd.s
+GROUP BY spans.doc_id
+"""
+
+
+@register("q121_repeated_spans", oracle=_Q121_ORACLE, tags=("text", "dedup", "llm"))
+def q121_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = (
+        d.select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= _SPAN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {_SPAN})))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("sh"), "s")
+    )
+    span_docs = spans.groupBy("sh", "s").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        spans.join(span_docs, ["sh", "s"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122: corpus mixture rebalancing — compute per-language keep
+# thresholds that move the corpus toward a UNIFORM language mixture,
+# then apply them with the deterministic portable-bucket sample
+# (operators/sampling.py). The whole computation is integer arithmetic:
+# threshold_lang = min(N_BUCKETS, total * N_BUCKETS // (n_langs *
+# n_lang_docs)) — no float boundary can flip a row's keep decision
+# between engines. Overrepresented languages are downsampled to the
+# target share; underrepresented ones keep everything (no upsampling).
+# Plan: one tiny per-lang agg broadcast back onto the corpus; the keep
+# predicate is a pure per-row hash compare — this is how a 100 TB
+# corpus is re-mixed in one narrow pass.
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 7
+_MIX_BUCKETS = 10_000
+
+_Q122_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM per_lang),
+thresh AS (
+  SELECT lang, n_docs,
+         LEAST({_MIX_BUCKETS},
+               CAST(total * {_MIX_BUCKETS} // (n_langs * n_docs) AS BIGINT)
+         ) AS keep_thresh
+  FROM per_lang, tot
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(CAST(d.doc_id AS VARCHAR) || ':{_MIX_SEED}'), 1, 15))
+                AS BIGINT) % {_MIX_BUCKETS} < t.keep_thresh
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thresh t ON d.lang = t.lang
+)
+SELECT t.lang,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       t.keep_thresh,
+       CAST(SUM(k.keep) AS BIGINT) AS n_kept
+FROM thresh t JOIN kept k ON k.lang = t.lang
+GROUP BY t.lang, t.n_docs, t.keep_thresh
+"""
+
+
+@register("q122_mixture_rebalance", oracle=_Q122_ORACLE, tags=("sampling", "mixture", "llm"))
+def q122_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    thresh = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(_MIX_BUCKETS).cast("bigint"),
+            F.floor(
+                F.col("total") * _MIX_BUCKETS / (F.col("n_langs") * F.col("n_docs"))
+            ),
+        ).alias("keep_thresh"),
+    )
+    keep = F.when(
+        portable_bucket("doc_id", _MIX_SEED, _MIX_BUCKETS) < F.col("keep_thresh"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "n_docs", "keep_thresh")
+        .agg(F.sum(keep).alias("n_kept"))
+    )

@@ -92,6 +92,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q118_bloom_join_prefilter",
     "q119_stream_late_drop",
     "q120_compaction_plan",
+    "q121_repeated_spans",
+    "q122_mixture_rebalance",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
@@ -116,8 +118,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q91_stream_static_enrich",
     "q87_doc_chunks",
     "q96_bm25_search",
-    "q36_salted_user_agg",
-    "q37_sliding_windows",
 )
 
 
