@@ -923,6 +923,11 @@ def q103_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collision cannot diverge from the string-equality oracle (the q98
 # rule). Plan: one explode (sum-of-tokens rows), one per-span distinct-
 # doc agg, one join back — all narrow-keyed, no all-pairs anything.
+# Scale note: carrying the span TEXT through both shuffles is the
+# exactness tax; at ~10^12 spans (100 TB) switch the key to a 128-bit
+# hash (md5, or two independent xxhash64 seeds) and DROP the text —
+# collision odds ~d^2/2^129 stay negligible where 64 bits would not,
+# and the shuffled bytes drop by the span width (~100x).
 # ---------------------------------------------------------------------------
 
 _SPAN = 20

@@ -250,3 +250,63 @@ def test_doc_chunks_match_python_oracle(spark, n_toks):
                  hashlib.md5(" ".join(chunk).encode()).hexdigest())
             )
     assert got == sorted(expect)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join is a physical rewrite: for ANY input (including hot
+    keys, missing keys, duplicate dim rows avoided by construction) its
+    output equals the plain equi-join."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([Row(k=k, t=t, v=v) for k, t, v in rows])
+    dim = spark.createDataFrame(
+        [Row(k=k, name=f"n{k}") for k in {0, 1, 2, 3}]
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = big.join(dim, on=["k"], how=how)
+        salted = salted_join(big, dim, on=["k"], spreader=["t", "v"], n_salts=4, how=how)
+        assert sorted(map(str, salted.collect())) == sorted(map(str, plain.collect())), how
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_two_pass_median_equals_sorted_middle(spark, rows):
+    """q117's bin-refinement algebra: for ANY values and ANY bin width,
+    the picked middle ranks equal the sorted-middle median."""
+    import statistics
+
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([Row(g=k % 2, price=float(v)) for k, _, v in rows])
+    binw = 7.0
+    binned = df.withColumn("bin", F.floor(F.col("price") / binw))
+    hist = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.partitionBy("g").orderBy("bin")
+    cum = hist.withColumn(
+        "cum_below",
+        F.coalesce(F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    ).withColumn(
+        "n", F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    lo_rank = F.floor((F.col("n") + 1) / 2)
+    hi_rank = F.floor((F.col("n") + 2) / 2)
+    cand = cum.filter(
+        (F.col("cum_below") < hi_rank) & (F.col("cum_below") + F.col("cnt") >= lo_rank)
+    ).select("g", "bin", "cum_below", "n")
+    sliced = binned.join(cand, ["g", "bin"])
+    wr = Window.partitionBy("g", "bin").orderBy("price")
+    picked = sliced.withColumn("rk", F.col("cum_below") + F.row_number().over(wr)).filter(
+        (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in picked.groupBy("g").agg(F.avg("price").alias("m")).collect()
+    }
+    by_g: dict[int, list[float]] = {}
+    for k, _, v in rows:
+        by_g.setdefault(k % 2, []).append(float(v))
+    for g, vals in by_g.items():
+        assert abs(got[g] - statistics.median(vals)) < 1e-9, (g, sorted(vals), got[g])

@@ -218,3 +218,16 @@ def test_rocksdb_state_store_matches_default(spark):
         else:
             spark.conf.set(key, saved)
     assert rocks == base
+
+
+def test_late_drop_stream_deterministic_across_runs(spark):
+    """q119 re-run in the same session must reproduce identical rows —
+    the fixture mtimes fix the micro-batch order and the memory-sink run
+    uses a fresh checkpoint per call, so the whole watermark simulation is
+    replayable (this is what lets the driver hash-compare it)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    q = all_queries()["q119_stream_late_drop"]
+    a = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
