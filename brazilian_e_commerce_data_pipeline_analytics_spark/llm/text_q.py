@@ -1044,9 +1044,10 @@ def q122_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.least(
             F.lit(_MIX_BUCKETS).cast("bigint"),
-            F.floor(
-                F.col("total") * _MIX_BUCKETS / (F.col("n_langs") * F.col("n_docs"))
-            ),
+            # integer `div`, not floor(double /): exact like DuckDB's //
+            # at any magnitude (double-quotient floor can flip by one
+            # when the true quotient sits within 1 ulp of an integer)
+            F.expr(f"(total * {_MIX_BUCKETS}) div (n_langs * n_docs)"),
         ).alias("keep_thresh"),
     )
     keep = F.when(
