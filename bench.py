@@ -140,7 +140,10 @@ def main() -> None:
                 # quiet host this is ~0.10s; readings far above that mean
                 # neighbor CPU steal inflated the query timings too —
                 # compare rounds only after normalizing by this floor.
+                # loadavg complements it: the 1-thread probe can look
+                # quiet while a loaded box still slows 32-way stages.
                 "noise_probe_sec": {"pre": probe_pre, "post": _spin_probe()},
+                "loadavg": list(os.getloadavg()),
             }
         )
     )
