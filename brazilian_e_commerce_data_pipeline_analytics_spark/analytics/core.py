@@ -1135,3 +1135,63 @@ def q111_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123: triangle enumeration on the co-purchase graph — the graph-
+# analytics step after pair mining (q79): parts A,B,C that all co-occur
+# pairwise (support >= 2 orders) form a merchandising bundle candidate.
+# Edges are oriented a<b by part id, so each triangle is enumerated
+# exactly once as (a<b<c) with no permutation dedup. The triple join is
+# edge⋈edge⋈edge over the MINED edge table (thousands of rows after
+# support pruning, broadcast-eligible) — never over raw lineitem.
+# Scale refinement when the edge table itself is huge: re-orient edges
+# from low- to high-DEGREE endpoint instead of by id (the standard
+# triangle-counting trick bounding per-vertex work by sqrt(|E|));
+# id-orientation is correct at any scale, degree-orientation only
+# changes the join's work distribution.
+# ---------------------------------------------------------------------------
+
+_Q123_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+FROM e e1
+JOIN e e2 ON e2.pa = e1.pb
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@register("q123_copurchase_triangles", oracle=_Q123_ORACLE, tags=("graph", "bi", "self-join"))
+def q123_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("part_a"),
+            F.col("e1.pb").alias("part_b"),
+            F.col("e2.pb").alias("part_c"),
+        )
+    )

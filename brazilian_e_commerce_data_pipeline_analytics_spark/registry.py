@@ -94,6 +94,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q120_compaction_plan",
     "q121_repeated_spans",
     "q122_mixture_rebalance",
+    "q123_copurchase_triangles",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
@@ -117,7 +118,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q89_stream_stream_join",
     "q91_stream_static_enrich",
     "q87_doc_chunks",
-    "q96_bm25_search",
 )
 
 

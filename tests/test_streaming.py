@@ -231,3 +231,65 @@ def test_late_drop_stream_deterministic_across_runs(spark):
     a = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(str, q.builder(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+def test_stateful_sessionizer_state_survives_restart(spark, tmp_path):
+    """Exactly-once stateful restart: the applyInPandasWithState
+    sessionizer's open-session state must persist in the checkpoint
+    across separate availableNow runs — the second run closes a session
+    OPENED by the first run. Without restored state the closing event
+    would emit nothing (it has no session to close)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import sessionize_stateful
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    base = 1_700_000_000
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [(base + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stateful(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: session A (0s, 10s) closed by the event at 5000s, which
+    # itself OPENS session B — B's state lives only in the checkpoint
+    write_file("a.parquet", [(1, 0, "view"), (2, 10, "click"), (3, 5000, "view")])
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    assert len(rows1) == 1 and rows1[0]["n_events"] == 2
+
+    # run 2: a single far-future event must CLOSE session B — provable
+    # only if run 1's open-session state was restored
+    write_file("b.parquet", [(4, 10_000, "purchase")])
+    run()
+    rows2 = sorted(spark.read.parquet(out).collect(), key=lambda r: r["session_start"])
+    assert len(rows2) == 2
+    assert rows2[1]["n_events"] == 1
+    assert int(rows2[1]["session_start"].timestamp()) == base + 5000
