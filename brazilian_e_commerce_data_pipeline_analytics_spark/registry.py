@@ -95,6 +95,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q121_repeated_spans",
     "q122_mixture_rebalance",
     "q123_copurchase_triangles",
+    "q124_versioned_merge_timetravel",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
@@ -117,7 +118,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q71_stream_dedup",
     "q89_stream_stream_join",
     "q91_stream_static_enrich",
-    "q87_doc_chunks",
 )
 
 
