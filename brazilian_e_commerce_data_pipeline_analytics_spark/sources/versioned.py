@@ -193,3 +193,70 @@ def merge_version(
         },
     )
     return current_version + 1
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> int:
+    """Retention: drop manifests older than the newest ``keep_last``
+    versions and delete every data dir no surviving manifest references.
+    Returns the number of data dirs removed. The deletion set is
+    computed from manifests only (metadata), then applied bottom-up —
+    a reader of a SURVIVING version can never lose a file, because
+    surviving manifests' dirs are excluded by construction."""
+    import shutil
+
+    latest = latest_version(table_dir)
+    cutoff = latest - keep_last + 1
+    keep_manifests = range(max(1, cutoff), latest + 1)
+    referenced = set()
+    for v in keep_manifests:
+        referenced.update(_read_manifest(table_dir, v)["parts"].values())
+    removed = 0
+    data_root = os.path.join(table_dir, "data")
+    for part in os.listdir(data_root):
+        pdir = os.path.join(data_root, part)
+        if not os.path.isdir(pdir) or part.startswith("_staging_"):
+            if part.startswith("_staging_"):
+                shutil.rmtree(pdir, ignore_errors=True)
+            continue
+        for commit in os.listdir(pdir):
+            rel = os.path.join("data", part, commit)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+                removed += 1
+    for v in range(1, max(1, cutoff)):
+        path = _manifest_path(table_dir, v)
+        if os.path.exists(path):
+            os.remove(path)
+    return removed
+
+
+def compact_partition(
+    spark: SparkSession, table_dir: str, partition_value: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite one partition's (possibly many small) files
+    into ``target_files`` files — the execution step of the q120
+    compaction plan. Values are untouched; only the file layout and the
+    manifest entry change, as a new version (old versions still read
+    the uncompacted dirs until vacuumed)."""
+    current = latest_version(table_dir)
+    m = _read_manifest(table_dir, current)
+    parts = dict(m["parts"])
+    rel = parts[str(partition_value)]
+    df = (
+        spark.read.parquet(os.path.join(table_dir, rel))
+        .repartition(target_files)
+        .withColumn(m["partition_col"], F.lit(partition_value).cast(m["partition_type"]))
+    )
+    parts.update(
+        _write_partitions(df, table_dir, m["partition_col"], [str(partition_value)])
+    )
+    _publish_manifest(
+        table_dir,
+        {
+            "version": current + 1,
+            "partition_col": m["partition_col"],
+            "partition_type": m["partition_type"],
+            "parts": parts,
+        },
+    )
+    return current + 1

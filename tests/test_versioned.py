@@ -103,3 +103,111 @@ def test_typed_partition_column_round_trips(spark, tmp_path):
     out = read_version(spark, t)
     assert dict(out.dtypes)["d"] == "bigint"
     assert _rows(out) == _rows(df)
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """VACUUM drops data dirs only old manifests reference; surviving
+    versions keep reading, vacuumed versions become unreadable."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    create_table(_mk(spark, [("a", 1, 10), ("b", 2, 20)]), t, "d")
+    merge_version(spark, t, _mk(spark, [("a", 1, 11)]), key_cols=["d", "k"])
+    merge_version(spark, t, _mk(spark, [("a", 1, 12)]), key_cols=["d", "k"])
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.versioned import vacuum
+
+    removed = vacuum(t, keep_last=1)
+    assert removed == 2  # the two superseded 'a' dirs
+    # latest still reads completely (b's dir is shared by v3 and survives)
+    assert _rows(read_version(spark, t)) == _rows(
+        _mk(spark, [("a", 1, 12), ("b", 2, 20)])
+    )
+    # vacuumed manifests are gone
+    assert not os.path.exists(os.path.join(t, "_v1.json"))
+    assert not os.path.exists(os.path.join(t, "_v2.json"))
+
+
+def test_compact_partition_preserves_values(spark, tmp_path):
+    """OPTIMIZE: many small files -> target_files, values unchanged, old
+    version still reads the uncompacted layout."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.versioned import (
+        compact_partition,
+    )
+
+    t = str(tmp_path / "tbl")
+    wide = _mk(spark, [("a", k, k * 10) for k in range(40)]).repartition(8)
+    create_table(wide, t, "d")
+    before = read_version(spark, t)
+    n_files_before = len(before.inputFiles())
+    assert n_files_before > 1
+    v = compact_partition(spark, t, "a", target_files=1)
+    assert v == 2
+    after = read_version(spark, t)
+    assert len(after.inputFiles()) == 1
+    assert _rows(after) == _rows(before)
+    # time travel still sees the uncompacted file layout
+    assert len(read_version(spark, t, version=1).inputFiles()) == n_files_before
+
+
+def test_streaming_merge_into_versioned_table(spark, tmp_path):
+    """Streaming MERGE INTO: foreachBatch upserts each micro-batch into
+    the versioned table; the final snapshot equals the batch aggregate
+    and every intermediate version is a consistent snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.versioned import (
+        create_table as vt_create,
+        merge_version as vt_merge,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = str(tmp_path / "tbl")
+    base = 1_700_000_000
+    for b in range(3):
+        ids = list(range(b * 100, (b + 1) * 100))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "ts": pa.array([(base + i * 60) * 1_000_000 for i in ids], pa.timestamp("us")),
+                    "v": pa.array([float(i) for i in ids], pa.float64()),
+                }
+            ),
+            str(src / f"b{b}.parquet"),
+        )
+        os.utime(str(src / f"b{b}.parquet"), (base + b, base + b))
+
+    def daily(df):
+        return df.groupBy(F.col("ts").cast("date").alias("d")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+
+    def upsert(batch, bid):
+        if batch.isEmpty():
+            return
+        agg = daily(
+            batch.sparkSession.read.parquet(str(src))  # recompute touched days fully
+            .join(F.broadcast(batch.select(F.col("ts").cast("date").alias("d")).distinct()),
+                  F.col("ts").cast("date") == F.col("d"), "left_semi")
+        )
+        try:
+            vt_merge(batch.sparkSession, t, agg, key_cols=["d"])
+        except FileNotFoundError:
+            vt_create(agg, t, "d")
+
+    stream = spark.readStream.schema("id bigint, ts timestamp, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = _rows(daily(spark.read.parquet(str(src))))
+    assert _rows(read_version(spark, t).select("d", "n", "sv")) == expected
