@@ -569,18 +569,26 @@ def _daily_gold(ev: DataFrame) -> DataFrame:
 )
 def q124_versioned_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import uuid
 
     from ..sources.versioned import create_table, merge_version, read_version
 
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit(_CUTOVER).cast("timestamp")
-    table_dir = os.path.join(
+    root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
         "versioned",
-        f"gold_daily_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}",
     )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # drop stale tables from earlier invocations at this SF (each call
+    # builds a fresh uuid dir; without cleanup repeated runs accumulate)
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"gold_daily_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"gold_daily_{sf_tag}_{uuid.uuid4().hex[:8]}")
     create_table(_daily_gold(ev.filter(F.col("ts") < cut)), table_dir, "d")
     touched_days = (
         ev.filter(F.col("ts") >= cut).select(F.col("ts").cast("date").alias("d")).distinct()
