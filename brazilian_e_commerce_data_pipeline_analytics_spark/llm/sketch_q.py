@@ -1,0 +1,250 @@
+"""Bounded-state sketch-style operators with exact final answers.
+
+Three training-data-pipeline primitives the reference's batch layer
+implies but never scales (reference computes full GROUP BYs over the
+whole domain — fine at 100k orders, a full-vocabulary shuffle at
+100 TB):
+
+* q125 — frequent-item (heavy-hitter) detection with a bounded-state
+  candidate pass + an exact verification pass restricted to candidates.
+* q126 — deterministic weighted sampling (priority sampling) that is a
+  pure function of (key, seed, weight): reproducible across runs,
+  engines, and repartitionings.
+* q127 — TF-IDF term scoring with per-document top-k, the classic
+  relevance feature for corpus curation.
+
+All three carry value-exact DuckDB oracles: the sketch stage only
+NARROWS work; the emitted numbers are exact, so the oracle can replay
+them with plain SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+from .text import tokens
+
+_DUCK_TOKS = "regexp_extract_all(text, '\\S+')"
+
+# ---------------------------------------------------------------------------
+# q125: phi-frequent tokens — candidate pass with bounded state, exact
+# verify pass over candidates only.
+#
+# Why not a plain groupBy(token).count()?  At 100 TB the token domain is
+# the full vocabulary (hundreds of millions of distinct n-grams) and the
+# groupBy shuffles every (token, partial-count) pair.  The classic fix
+# (Misra-Gries / space-saving) exploits the pigeonhole principle: split
+# the stream into disjoint chunks; any token with GLOBAL count > N/K
+# must have count > n_chunk/K in at least one chunk (else summing the
+# per-chunk bounds caps its total at N/K).  So emitting each Arrow
+# batch's tokens with local count*K > batch_len yields a candidate set
+# that provably contains every global phi=1/K heavy hitter.  The exact
+# pass then counts ONLY candidate tokens — the shuffle carries
+# |candidates| x partitions rows instead of |vocabulary| x partitions.
+#
+# The candidate stage is an Arrow-batched mapInPandas using vectorized
+# value_counts (no per-row Python); its state is one batch's distinct
+# tokens, bounded by the Arrow batch size regardless of corpus size.
+# Candidate-set size depends on partitioning, but the FINAL output does
+# not: it is the exact count of every token with count*K > N, which the
+# candidate set provably contains (superset) and the verify pass filters
+# (exact).  K=30 is calibrated to the synthetic corpus' near-uniform
+# 31-token vocabulary so the threshold lands inside the count spread.
+# ---------------------------------------------------------------------------
+
+_HH_K = 30
+
+_Q125_ORACLE = f"""
+WITH t AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS n_occurrences FROM t GROUP BY token),
+tot AS (SELECT SUM(n_occurrences) AS n_total FROM c)
+SELECT token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       ROUND(n_occurrences / n_total, 6) AS share
+FROM c, tot
+WHERE n_occurrences * {_HH_K} > n_total
+"""
+
+
+def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        counts = pdf["token"].value_counts()
+        cand = counts[counts * _HH_K > len(pdf)]
+        yield pd.DataFrame({"token": cand.index.astype(str)})
+
+
+@register("q125_heavy_hitters", oracle=_Q125_ORACLE, tags=("sketch", "llm", "text"))
+def q125_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    candidates = toks.mapInPandas(_hh_candidates, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    # N counts ALL tokens (not just candidates): one cheap global agg —
+    # sum of per-doc token counts, no explode, a single long per
+    # partition reduces to one row; no wide shuffle.
+    total = d.agg(F.sum(F.size(tokens("text"))).alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * _HH_K > F.col("n_total"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126: deterministic weighted sample via priority sampling
+# (Duffield-Lund-Thorup).  Each row gets priority = w / u where u is a
+# uniform in (0,1] derived from the portable md5 hash of (key, seed) —
+# the same 60-bit construction as operators/sampling.py — and the sample
+# is the top-k rows by priority.  Expected inclusion probability is
+# proportional to weight (longer documents sampled more often), and the
+# chosen set is a PURE FUNCTION of (key, seed, weight): stable across
+# runs, engines, partitionings, and incremental reruns — none of which
+# holds for df.sample's per-partition RNG.
+#
+# Numerics are engine-portable BY CONSTRUCTION: u = (h+1)/2^60 and
+# priority = w/u use only integer->double casts and IEEE divisions
+# (each exactly rounded), never a transcendental — so Spark and DuckDB
+# produce bit-identical priorities and the SAME top-k, no tolerance
+# needed.  Plan shape: narrow projection + TakeOrderedAndProject
+# (per-partition top-k, k rows per partition to the driver-side merge —
+# no global sort shuffle).
+# ---------------------------------------------------------------------------
+
+_WS_SEED = 7
+_WS_K = 100
+_TWO60 = 1 << 60
+
+_Q126_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_WS_SEED}'), 1, 15))
+              AS BIGINT) AS bucket
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars, bucket,
+         CAST(n_chars AS DOUBLE)
+           / (CAST(bucket + 1 AS DOUBLE) / CAST({_TWO60} AS DOUBLE)) AS priority
+  FROM h
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank,
+       doc_id, n_chars, bucket, ROUND(priority, 4) AS priority
+FROM p
+ORDER BY priority DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@register("q126_weighted_sample", oracle=_Q126_ORACLE, tags=("sampling", "llm", "sketch"))
+def q126_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(F.col("doc_id").cast("string"), F.lit(f":{_WS_SEED}"))
+    bucket = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+    u = (bucket + F.lit(1)).cast("double") / F.lit(_TWO60).cast("double")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        bucket.alias("bucket"),
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    out = top_k(scored, [F.desc("priority"), "doc_id"], k=_WS_K)
+    return out.select(
+        "rank", "doc_id", "n_chars", "bucket", F.round("priority", 4).alias("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127: TF-IDF top terms per document.  tf = term count / doc length,
+# smooth idf = ln((N+1)/(df+1)) + 1 (the sklearn formulation — never
+# divides by zero, never goes negative), top-3 terms per doc by tfidf.
+#
+# Plan: ONE lineage over the exploded tokens — explode -> (doc,term)
+# count [shuffle 1, map-side combine] -> df as a count() window over
+# the term partition [shuffle 2; valid because tf rows are unique per
+# (doc,term), so rows-per-term IS document frequency] -> doc_len as a
+# sum() window and the rank window both over the doc_id partition
+# [shuffle 3, shared exchange].  The naive formulation (separate dl/df
+# aggregates joined back) recomputes the tf relation once per consumer
+# — three full scans of the corpus; the window chain reads it once.
+# Only the scalar N comes from a second (single-column, count-only)
+# scan.  Ranking is deterministic cross-engine: ties in
+# tfidf can only arise from equal (tf, df, doc_len) triples — then both
+# engines compute IDENTICAL doubles and the term tiebreak decides;
+# distinct triples differ by far more than the 1-ulp libm ln() skew.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_Q127_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS n FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(n) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.n AS tf, df.df,
+         (CAST(tf.n AS DOUBLE) / dl.doc_len)
+           * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
+@register("q127_tfidf_top_terms", oracle=_Q127_ORACLE, tags=("text", "llm", "ranking"))
+def q127_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("doc_len", F.sum("tf").over(w_doc))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("doc_len"))
+            * (
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -30,13 +30,16 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.windows_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.events_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.lakehouse_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.graph_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal",
     "brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs",
     "brazilian_e_commerce_data_pipeline_analytics_spark.pipeline.gold_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.sources.jdbc_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.sources.formats_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.sources.pyds",
     "brazilian_e_commerce_data_pipeline_analytics_spark.functions.python_q",
 )
@@ -96,6 +99,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q122_mixture_rebalance",
     "q123_copurchase_triangles",
     "q124_versioned_merge_timetravel",
+    # new this session: sketch family, iterative graph, format roundtrip
+    "q125_heavy_hitters",
+    "q126_weighted_sample",
+    "q127_tfidf_top_terms",
+    "q128_pagerank_copurchase",
+    "q129_format_roundtrip",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -1,0 +1,98 @@
+"""Multi-format source/sink roundtrip (ORC + JSON lines).
+
+The reference ingests CSV and writes its lakehouse tables through one
+store (``spark_jobs/ingestion.py``); a Spark-first engine gets the
+remaining interchange formats for free from the DataSource framework,
+but each has a scale trap this query pins down:
+
+* **ORC** — columnar, written ``partitionBy(event_type)`` so reads
+  prune whole partitions from the directory listing (dynamic partition
+  pruning applies to joins too).  Predicate pushdown and column
+  pruning work as in parquet.
+* **JSON lines** — row-oriented interchange.  The trap is schema
+  INFERENCE: ``spark.read.json(path)`` without a schema runs a full
+  extra pass over 100 TB just to guess types.  The reader here always
+  passes the explicit schema — one pass, stable types.
+
+q129 writes the events fact out in both formats, reads each back, and
+aggregates per (format, event_type); the oracle computes the same
+aggregates straight from the parquet source, so the check proves the
+roundtrip is LOSSLESS (bigint/double/string survive both formats
+bit-exact — doubles because Spark's JSON writer emits shortest
+round-trip representations).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+_AGG = """
+SELECT '{fmt}' AS fmt, event_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type
+"""
+
+_Q129_ORACLE = _AGG.format(fmt="orc") + " UNION ALL " + _AGG.format(fmt="json")
+
+
+def _scratch_dir(sf_dir: str, kind: str) -> str:
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "formats",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # drop stale dirs from earlier invocations at this SF (fresh uuid per
+    # call; without cleanup repeated runs accumulate) — q124 precedent.
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"{kind}_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    return os.path.join(root, f"{kind}_{sf_tag}_{uuid.uuid4().hex[:8]}")
+
+
+def _per_format_agg(df: DataFrame, fmt: str) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    ).select(F.lit(fmt).alias("fmt"), "event_type", "n_rows", "n_users", "total_value")
+
+
+@register("q129_format_roundtrip", oracle=_Q129_ORACLE, tags=("source", "sink", "formats"))
+def q129_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+    orc_dir = _scratch_dir(sf_dir, "events_orc")
+    ev.write.mode("overwrite").partitionBy("event_type").orc(orc_dir)
+    orc_back = spark.read.orc(orc_dir)
+
+    json_dir = _scratch_dir(sf_dir, "events_json")
+    ev.write.mode("overwrite").json(json_dir)
+    json_back = spark.read.schema(_ROUNDTRIP_SCHEMA).json(json_dir)
+
+    return _per_format_agg(orc_back, "orc").unionAll(
+        _per_format_agg(json_back, "json")
+    )

@@ -1,0 +1,57 @@
+"""Semantic checks for q128 (PageRank) and q129 (format roundtrip)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.graph_q import (
+    q128_pagerank_copurchase,
+)
+from brazilian_e_commerce_data_pipeline_analytics_spark.sources.formats_q import (
+    q129_format_roundtrip,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_pagerank_is_a_distribution(spark):
+    out = q128_pagerank_copurchase(spark, SF_SMALL)
+    agg = out.agg(
+        F.sum("pagerank").alias("mass"),
+        F.min("pagerank").alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    # total rank mass is conserved (teleport + damped redistribution)
+    assert abs(agg["mass"] - 1.0) < 1e-4
+    assert agg["lo"] > 0
+    assert agg["n"] > 0
+    # higher-degree nodes must on average out-rank low-degree nodes
+    med = out.approxQuantile("degree", [0.5], 0.0)[0]
+    hi = out.filter(F.col("degree") > med).agg(F.avg("pagerank")).first()[0]
+    lo = out.filter(F.col("degree") <= med).agg(F.avg("pagerank")).first()[0]
+    assert hi > lo
+
+
+def test_format_roundtrip_writes_both_formats(spark):
+    out = q129_format_roundtrip(spark, SF_SMALL).collect()
+    fmts = {r["fmt"] for r in out}
+    assert fmts == {"orc", "json"}
+    # orc rows == json rows per event_type (lossless roundtrip)
+    per = {}
+    for r in out:
+        per.setdefault(r["event_type"], {})[r["fmt"]] = (
+            r["n_rows"], r["n_users"], r["total_value"]
+        )
+    for et, by_fmt in per.items():
+        assert by_fmt["orc"] == by_fmt["json"], et
+    # the ORC write is partitioned by event_type (directory-level pruning)
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "brazilian_e_commerce_data_pipeline_analytics_spark",
+    )
+    tmp = os.path.join(os.path.dirname(root), ".tmp", "formats")
+    orc_dirs = glob.glob(os.path.join(tmp, "events_orc_sf0.001_*", "event_type=*"))
+    assert orc_dirs, "expected partitioned ORC layout"
