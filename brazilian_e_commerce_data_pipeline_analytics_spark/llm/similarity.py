@@ -342,3 +342,102 @@ def ann_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression half of a
+# billion-vector ANN index (IVF above is the partitioning half).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 8,
+    n_sub: int = 4,
+    subdim: int = 16,
+) -> DataFrame:
+    """One-row PQ codebook: ``__cb`` = array (over subspace m, ascending)
+    of array (over codeword j, ascending) of subdim-length double vectors.
+
+    Codewords are the subvector slices of the ``n_codes`` lowest-id
+    corpus vectors — the deterministic sample-seeded codebook (same seed
+    rule as :func:`ivf_centroids`), so an SQL oracle can rebuild it
+    exactly. A trained codebook would swap in per-subspace Lloyd means
+    (the decimal-mean recipe from ivf_centroids) without touching the
+    encode/search shape below.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("__v")
+    )
+    w = Window.orderBy("__vid")
+    seeds = (
+        e.orderBy("__vid")
+        .limit(n_codes)
+        .withColumn("j", F.row_number().over(w) - 1)
+    )
+    sub = seeds.select(
+        "j",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice("__v", m * subdim + 1, subdim).alias("cw"),
+                ),
+            )
+        ).alias("s"),
+    ).select("j", F.col("s.m").alias("m"), F.col("s.cw").alias("cw"))
+    per_m = sub.groupBy("m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cw"))), lambda s: s["cw"]
+        ).alias("cws")
+    )
+    return per_m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cws"))), lambda s: s["cws"]
+        ).alias("__cb")
+    )
+
+
+def _pq_sub_scores(vec: Column, cb: Column, subdim: int) -> Column:
+    """array (m) of array (j) of round-6 inner products of the vector's
+    m-th subvector against codeword j — the query-side LUT."""
+    return F.transform(
+        cb,
+        lambda cws, m: F.transform(
+            cws,
+            lambda cw: F.round(dot(F.slice(vec, m * subdim + 1, subdim), cw), 6),
+        ),
+    )
+
+
+def pq_encode(vec: Column, cb: Column, subdim: int = 16) -> Column:
+    """array<int> of codeword ids (one per subspace): argmax inner
+    product, ties to the lowest codeword id (strict > in a left fold
+    keeps the earliest maximum — replayable as row_number ORDER BY score
+    DESC, j ASC). Pure array expression: encoding is a narrow map."""
+    return F.transform(
+        _pq_sub_scores(vec, cb, subdim),
+        lambda scores: F.aggregate(
+            F.transform(scores, lambda s, j: F.struct(s.alias("s"), j.alias("j"))),
+            F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("j")),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )["j"],
+    )
+
+
+def pq_approx_score(lut: Column, codes: Column) -> Column:
+    """Asymmetric distance computation: sum the per-subspace LUT entries
+    the codes select — n_sub lookups per pair instead of a full
+    dims-length dot product. Each term is on the 1e-6 grid, so the
+    final round-6 recovers the exact decimal sum in any engine."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(lut, codes, lambda l, c: F.element_at(l, c + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )

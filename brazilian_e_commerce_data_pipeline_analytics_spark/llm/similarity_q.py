@@ -375,3 +375,143 @@ def q74_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("x").cast("double")).alias("max_x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q130: product-quantized ANN with exact re-rank — the memory-
+# compression half of a billion-vector index (q75's IVF is the
+# partitioning half; a production index composes both: IVF picks the
+# cells, PQ scores inside them from 4-byte codes instead of 256-byte
+# vectors).
+#
+# Shape: the one-row codebook broadcasts everywhere; ENCODING is a
+# narrow map (corpus never shuffles, stores n_sub small ints per
+# vector — a 64x memory compression of the float payload); each
+# query's LUT is n_sub x n_codes rounded inner products computed ONCE;
+# scoring a pair is n_sub array lookups instead of a dims-length dot
+# product. The final top-k then re-ranks with the TRUE cosine — but
+# only for the k survivors per query, so the exact arithmetic touches
+# k x |queries| pairs, not |corpus| x |queries|.
+#
+# Exactness: every step is deterministic (seeded codebook, strict-> 
+# argmax folds = row_number replay, 1e-6-grid LUT sums), so the DuckDB
+# oracle reproduces codes, approx scores, ranks, and re-rank scores
+# value-for-value — the recall loss vs q48's brute force is a property
+# of the (tiny, untrained) codebook, not nondeterminism.
+# ---------------------------------------------------------------------------
+
+_PQ_CODES = 8
+_PQ_SUB = 4
+_PQ_SUBDIM = 16
+_PQ_K = 5
+
+_Q130_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+  FROM e ORDER BY vec_id LIMIT {_PQ_CODES}
+),
+cw AS (
+  SELECT t.m, s.j, list_slice(s.v, t.m * {_PQ_SUBDIM} + 1, (t.m + 1) * {_PQ_SUBDIM}) AS cw
+  FROM seeds s CROSS JOIN range({_PQ_SUB}) t(m)
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT e.vec_id, cw.m, cw.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cw.m
+             ORDER BY round(list_inner_product(
+               list_slice(e.v, cw.m * {_PQ_SUBDIM} + 1, (cw.m + 1) * {_PQ_SUBDIM}), cw.cw), 6) DESC,
+             cw.j
+           ) AS rn
+    FROM e CROSS JOIN cw
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cw.m, cw.j,
+         round(list_inner_product(
+           list_slice(q.v, cw.m * {_PQ_SUBDIM} + 1, (cw.m + 1) * {_PQ_SUBDIM}), cw.cw), 6) AS s
+  FROM e q CROSS JOIN cw
+  WHERE q.vec_id % 100 = 0
+),
+approx AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, round(SUM(l.s), 6) AS approx_score
+  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS INT) AS rank
+  FROM approx
+)
+SELECT r.query_id, r.neighbor_id, r.approx_score,
+       round(list_cosine_similarity(q.v, n.v), 6) AS exact_score, r.rank
+FROM ranked r
+JOIN e q ON q.vec_id = r.query_id
+JOIN e n ON n.vec_id = r.neighbor_id
+WHERE r.rank <= {_PQ_K}
+"""
+
+
+@register("q130_ann_pq", oracle=_Q130_ORACLE, tags=("similarity", "pq", "llm"))
+def q130_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .similarity import (
+        as_double,
+        cosine,
+        pq_approx_score,
+        pq_codebook,
+        pq_encode,
+    )
+    from .similarity import _pq_sub_scores
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # cache: the one-row codebook feeds corpus encoding AND query LUTs;
+    # without it the seed scan runs twice (registry clearCache bounds it)
+    cb = pq_codebook(
+        e, n_codes=_PQ_CODES, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM
+    ).cache()
+    enc = (
+        e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("c_vec"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "neighbor_id", pq_encode(F.col("c_vec"), F.col("__cb"), _PQ_SUBDIM).alias("codes")
+        )
+    )
+    luts = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("q_vec"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", _pq_sub_scores(F.col("q_vec"), F.col("__cb"), _PQ_SUBDIM).alias("lut")
+        )
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(luts))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_approx_score(F.col("lut"), F.col("codes")).alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_score"), "neighbor_id")
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _PQ_K)
+    # exact re-rank column: true cosine for the k survivors only
+    qv = e.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("q_vec"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("n_vec"))
+    return (
+        top.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_score",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("exact_score"),
+            "rank",
+        )
+    )

@@ -248,3 +248,102 @@ def q127_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131: per-domain document caps — the crawl-curation policy that stops
+# any single domain from dominating the training mixture (the cap is
+# the "no more than k pages per host" rule every web-corpus recipe
+# applies before dedup).  Selection WITHIN a domain must be unbiased
+# and reproducible, so the kept set is the k docs with the lowest
+# portable hash bucket (doc_id tiebreak) — a pure function of
+# (doc_id, seed), independent of row order and partitioning, exactly
+# like q83's split assignment.
+#
+# Plan shape: one shuffle on source, and the rank window is eligible
+# for WindowGroupLimit pruning (each partition only materializes k
+# survivors).  A pathologically hot domain (millions of docs on one
+# key) would skew that window's sort; the fix at that scale is a
+# pre-filter on the hash bucket (keep bucket < ~2k/|domain| * N_BUCKETS
+# via a broadcast per-domain count) before ranking — same two-phase
+# narrowing as q125.
+# ---------------------------------------------------------------------------
+
+_CAP_PER_DOMAIN = 15
+_CAP_SEED = 11
+
+_Q131_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_CAP_SEED}'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, bucket,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY bucket, doc_id) AS INT) AS pick_rank
+  FROM b
+)
+SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= {_CAP_PER_DOMAIN}
+"""
+
+
+@register("q131_domain_caps", oracle=_Q131_ORACLE, tags=("sampling", "llm", "curation"))
+def q131_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    return (
+        d.select("doc_id", "source", portable_bucket("doc_id", _CAP_SEED).alias("bucket"))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _CAP_PER_DOMAIN)
+        .select("doc_id", "source", "pick_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: unigram language-model scoring — the cheap perplexity proxy for
+# quality filtering (docs whose tokens are improbable under the corpus
+# unigram distribution are boilerplate, garbled encodings, or wrong-
+# language).  score(doc) = mean over token INSTANCES of ln p(token),
+# p estimated from the corpus itself.
+#
+# Plan: one vocabulary aggregation (map-side combined; output is
+# vocab-sized, broadcast back), then a narrow join + per-doc agg.  The
+# model is data-derived, so this is the self-scoring pattern: no model
+# artifact to ship, two passes over the corpus total.  ln() is the one
+# libm call — round-6 after the mean absorbs its 1-ulp engine skew
+# (q103's precedent).
+# ---------------------------------------------------------------------------
+
+_Q132_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+tot AS (SELECT SUM(cnt) AS n FROM v)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ln(v.cnt / tot.n)) / COUNT(*), 6) AS avg_logprob
+FROM t JOIN v USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("q132_unigram_logprob", oracle=_Q132_ORACLE, tags=("text", "llm", "quality"))
+def q132_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    v = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = v.agg(F.sum("cnt").alias("n"))
+    logp = F.log(F.col("cnt") / F.col("n"))
+    return (
+        t.join(F.broadcast(v.crossJoin(F.broadcast(tot))), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )

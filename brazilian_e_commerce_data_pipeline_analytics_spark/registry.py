@@ -105,6 +105,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q127_tfidf_top_terms",
     "q128_pagerank_copurchase",
     "q129_format_roundtrip",
+    "q130_ann_pq",
+    "q131_domain_caps",
+    "q132_unigram_logprob",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

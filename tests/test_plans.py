@@ -261,3 +261,67 @@ def test_jdbc_read_plan_has_no_driver_materialization(spark):
     plan = formatted_plan(df)
     assert "CollectLimit" not in plan
     assert "LocalTableScan" not in plan
+
+
+def test_weighted_sample_is_narrow_take_ordered(spark):
+    """q126: the whole weighted sample must plan as a pruned 2-column
+    scan + TakeOrderedAndProject — no shuffle, no Python, no RNG."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+        read_schemas,
+    )
+
+    df = QUERIES["q126_weighted_sample"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not has_python_eval(df)
+    assert exchange_count(df) == 0
+    assert any("doc_id" in s and "text" not in s for s in read_schemas(df))
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """q127: exactly one scan reads the text column (the window-chain
+    rewrite; the naive dl/df-join shape reads it three times)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import read_schemas
+
+    df = QUERIES["q127_tfidf_top_terms"].builder(spark, SF_SMALL)
+    text_scans = [s for s in read_schemas(df) if "text" in s]
+    assert len(text_scans) == 1
+
+
+def test_heavy_hitters_semi_join_broadcasts_candidates(spark):
+    """q125: the exact pass must semi-join against BROADCAST candidates
+    before its count shuffle (shuffle volume = candidates, not vocab)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import simple_plan
+
+    df = QUERIES["q125_heavy_hitters"].builder(spark, SF_SMALL)
+    plan = simple_plan(df)
+    assert "LeftSemi, BuildRight" in plan
+    assert "MapInPandas" in plan  # the bounded-state candidate stage
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """q128: the mined graph must come from cache inside the loop —
+    every iteration's edge input is an InMemoryTableScan (the printed
+    FileScan count is misleading: each InMemoryTableScan node prints its
+    BUILD lineage, which materializes once at runtime)."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import simple_plan
+
+    df = QUERIES["q128_pagerank_copurchase"].builder(spark, SF_SMALL)
+    plan = simple_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3  # one per iteration at least
+    assert not has_python_eval(df)
+
+
+def test_pq_encoding_is_narrow_and_jvm_side(spark):
+    """q130: PQ encode/LUT/score are pure array expressions — no Python
+    in the plan; codebook and queries ride as broadcasts."""
+    df = QUERIES["q130_ann_pq"].builder(spark, SF_SMALL)
+    assert not has_python_eval(df)
+    assert uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in (
+        __import__(
+            "brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain",
+            fromlist=["simple_plan"],
+        ).simple_plan(df)
+    )

@@ -85,3 +85,73 @@ def test_tfidf_topk_shape_and_ordering(spark):
     # a term appearing in every document is down-weighted below a term
     # with the same tf but smaller df wherever both occur
     assert (pdf[pdf["rank"] == 1]["tfidf"] > 0).all()
+
+
+def test_domain_caps_enforced_and_deterministic(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q import (
+        _CAP_PER_DOMAIN,
+        q131_domain_caps,
+    )
+
+    out1 = _rows(q131_domain_caps(spark, SF_SMALL))
+    out2 = _rows(q131_domain_caps(spark, SF_SMALL))
+    assert out1 == out2
+    import collections
+
+    per = collections.Counter(r[1] for r in out1)
+    assert max(per.values()) <= _CAP_PER_DOMAIN
+    # the cap actually dropped something (20 sources x 25 docs, cap 15)
+    assert len(out1) < 500
+
+
+def test_unigram_logprob_orders_rare_token_docs_lower(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q import (
+        q132_unigram_logprob,
+    )
+
+    out = q132_unigram_logprob(spark, SF_SMALL)
+    vals = [r["avg_logprob"] for r in out.collect()]
+    # all log-probabilities are negative and finite
+    assert all(v < 0 for v in vals)
+    import math
+
+    assert all(math.isfinite(v) for v in vals)
+
+
+def test_pq_reranks_with_true_cosine_and_compresses(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import (
+        as_double,
+        pq_codebook,
+        pq_encode,
+    )
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q import (
+        q130_ann_pq,
+    )
+
+    out = q130_ann_pq(spark, SF_SMALL).collect()
+    assert out
+    # exact_score present for every survivor and within cosine range
+    assert all(-1.0 <= r["exact_score"] <= 1.0 for r in out)
+    # ranks are 1..k per query on the APPROX score (monotone non-increasing)
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in out:
+        by_q[r["query_id"]].append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        approx = [r["approx_score"] for r in rows]
+        assert approx == sorted(approx, reverse=True)
+
+    # codes really are n_sub small ints (the 64x payload compression)
+    e = load_table(spark, SF_SMALL, "embeddings")
+    cb = pq_codebook(e)
+    enc = (
+        e.select(as_double("embedding").alias("v"))
+        .crossJoin(cb)
+        .select(pq_encode("v", "__cb").alias("codes"))
+        .first()
+    )
+    assert len(enc["codes"]) == 4
+    assert all(0 <= c <= 7 for c in enc["codes"])
