@@ -296,6 +296,34 @@ def _mh_consts(k: int) -> list[tuple[int, int]]:
     ]
 
 
+def _band_keys(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id, band, key) band-bucket rows from a signature relation with
+    ``__h0..__h{k-1}`` columns — the LSH index structure. A narrow
+    explode to ``bands`` rows per doc; the key is the concatenated
+    row-hash tuple of the band."""
+    rows = k // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bq).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__h{bq * rows + i}").cast("string")
+                                for i in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bq in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+
+
 def _portable_minhash_relations(
     d: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
 ):
@@ -342,23 +370,7 @@ def _portable_minhash_relations(
     # per-doc sizes ride the signature groupBy (the q46 fused-sizes
     # rule): one aggregation pass over the exploded relation, not two
     both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs)
-    sigs = both
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bq).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col(f"__h{bq * rows + i}").cast("string") for i in range(rows)]
-                        ).alias("key"),
-                    )
-                    for bq in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+    banded = _band_keys(both, id_col, k, bands)
     cands = (
         banded.alias("x")
         .join(
@@ -707,5 +719,149 @@ def q109_ensemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             cos.alias("cosine"),
             F.when(cos >= 0.99, 1).otherwise(0).alias("both_agree"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: INCREMENTAL near-dup — today's crawl batch against the
+# historical index, the shape every production dedup actually runs
+# (q45/q46 are the one-shot self-join form). The corpus splits by the
+# portable doc_id hash into history (80%) and the incoming batch (20%);
+# candidates come from joining the BATCH's band keys against the
+# HISTORY's band keys only — never history x history, which is the
+# entire cost at 100 TB (the history index is written once and only
+# read here; each day's work scales with |batch| x bands, not
+# |corpus|^2). Orientation is (doc_new, doc_hist), no a<b dedup needed:
+# the sides are disjoint by construction.
+#
+# Everything is the q46p portable-hash machinery, so the oracle replays
+# signatures, band keys, the cross-split candidate join, and the exact
+# Jaccard verify value-for-value.
+# ---------------------------------------------------------------------------
+
+_Q133_SPLIT_SEED = 5
+_Q133_HIST_CUT = 8000  # bucket < 8000 -> history (80%), else new batch
+
+
+def _mh_incremental_oracle(n: int, k: int, bands: int, threshold_pct: int) -> str:
+    rows = k // bands
+    consts = _mh_consts(k)
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(consts)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH split AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q133_SPLIT_SEED}'), 1, 15))
+              AS BIGINT) % 10000 < {_Q133_HIST_CUT} AS is_hist
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(t) >= {n}
+),
+ex AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_hist
+  FROM banded x JOIN split sx ON sx.doc_id = x.doc_id AND NOT sx.is_hist
+  JOIN banded y ON x.band = y.band AND x.key = y.key
+  JOIN split sy ON sy.doc_id = y.doc_id AND sy.is_hist
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_new, c.doc_hist, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_new
+  JOIN sh b ON b.doc_id = c.doc_hist AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_new, m.doc_hist, CAST(m.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh + sb.n_sh - m.n_common AS BIGINT) AS n_union,
+       m.n_common / (sa.n_sh + sb.n_sh - m.n_common) AS jaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_new
+JOIN sizes sb ON sb.doc_id = m.doc_hist
+WHERE {threshold_pct} * m.n_common >= sa.n_sh + sb.n_sh - m.n_common
+"""
+
+
+@register(
+    "q133_incremental_neardup",
+    oracle=_mh_incremental_oracle(3, _Q101_K, _Q101_BANDS, 20),
+    tags=("dedup", "lsh", "llm", "incremental"),
+)
+def q133_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    sh, both, _ = _portable_minhash_relations(
+        d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )
+    banded = _band_keys(both, "doc_id", _Q101_K, _Q101_BANDS)
+    # split is a pure function of doc_id — a narrow filter on each side,
+    # no join against a split table
+    is_hist = portable_bucket("doc_id", _Q133_SPLIT_SEED) < _Q133_HIST_CUT
+    new_b = banded.filter(~is_hist).select(
+        F.col("doc_id").alias("doc_new"), "band", "key"
+    )
+    hist_b = banded.filter(is_hist).select(
+        F.col("doc_id").alias("doc_hist"), "band", "key"
+    )
+    cands = new_b.join(hist_b, ["band", "key"]).select("doc_new", "doc_hist").distinct()
+    ea = sh.select(F.col("doc_id").alias("doc_new"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_hist"), "shingle")
+    common = (
+        cands.join(ea, "doc_new")
+        .join(eb, ["doc_hist", "shingle"])
+        .groupBy("doc_new", "doc_hist")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = both.select("doc_id", "n_sh")
+    sa = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_hist"), F.col("n_sh").alias("__nb"))
+    return (
+        common.join(sa, "doc_new")
+        .join(sb, "doc_hist")
+        .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        .filter(F.lit(20) * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_new",
+            "doc_hist",
+            "n_common",
+            "n_union",
+            (F.col("n_common") / F.col("n_union")).alias("jaccard"),
         )
     )

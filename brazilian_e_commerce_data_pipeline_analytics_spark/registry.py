@@ -108,6 +108,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q130_ann_pq",
     "q131_domain_caps",
     "q132_unigram_logprob",
+    "q133_incremental_neardup",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

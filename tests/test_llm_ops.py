@@ -330,3 +330,29 @@ def test_pii_counts_and_redaction(spark):
         for pat in PII_PATTERNS.values():
             assert not __import__("re").search(pat, r["t"]), (r["id"], pat)
     assert "[PII]" in [r["t"] for r in red if r["id"] == 1][0]
+
+
+def test_incremental_neardup_only_crosses_the_split(spark):
+    """q133 must pair BATCH docs with HISTORY docs only — no
+    history x history or batch x batch pair can appear."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q import (
+        _Q133_HIST_CUT,
+        _Q133_SPLIT_SEED,
+        q133_incremental_neardup,
+    )
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.sampling import (
+        N_BUCKETS,
+        portable_bucket,
+    )
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}:{_Q133_SPLIT_SEED}".encode()).hexdigest()
+        return int(h[:15], 16) % N_BUCKETS
+
+    out = q133_incremental_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert out, "expected at least one cross-split near-dup at sf0.001"
+    for r in out:
+        assert bucket(r["doc_new"]) >= _Q133_HIST_CUT
+        assert bucket(r["doc_hist"]) < _Q133_HIST_CUT
+        assert r["jaccard"] >= 0.05
