@@ -175,3 +175,59 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         assert n == expected
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", saved)
+
+
+def test_band_key_index_join_is_shuffle_free_on_history(spark):
+    """SCALING.md's q133 claim: persist the history band-key index
+    bucketed by its join key and the daily batch join needs NO exchange
+    on the history side (only the small batch side shuffles to align).
+    The index key is the single concatenated (band:key) string so the
+    bucket spec and the join key coincide exactly.
+    """
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q import (
+        _Q101_BANDS,
+        _Q101_K,
+        _band_keys,
+        _portable_minhash_relations,
+    )
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.sampling import (
+        portable_bucket,
+    )
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import simple_plan
+
+    d = load_table(spark, SF_SMALL, "documents")
+    sh, both, _ = _portable_minhash_relations(
+        d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )
+    banded = _band_keys(both, "doc_id", _Q101_K, _Q101_BANDS).select(
+        "doc_id", F.concat_ws(":", F.col("band").cast("string"), "key").alias("bkey")
+    )
+    is_hist = portable_bucket("doc_id", 5) < 8000
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    try:
+        write_bucketed_table(
+            banded.filter(is_hist).select(F.col("doc_id").alias("doc_hist"), "bkey"),
+            "bktest.band_index",
+            bucket_by=["bkey"],
+            n_buckets=N_BUCKETS,
+            sort_by=["bkey"],
+        )
+        hist = spark.table("bktest.band_index")
+        batch = banded.filter(~is_hist).select(F.col("doc_id").alias("doc_new"), "bkey")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = batch.join(hist, "bkey").select("doc_new", "doc_hist")
+            plan = simple_plan(joined)
+            # exactly ONE hash exchange in the whole plan: the batch side
+            # aligning to the index's bucket layout; the history side
+            # reads straight from the bucketed files
+            assert plan.count("Exchange hashpartitioning(bkey") == 1
+            hist_subtree = plan.split("FileScan parquet bktest.band_index")[0]
+            assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        sh.unpersist()
+        spark.sql("DROP TABLE IF EXISTS bktest.band_index")
