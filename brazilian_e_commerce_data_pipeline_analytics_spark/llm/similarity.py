@@ -441,3 +441,70 @@ def pq_approx_score(lut: Column, codes: Column) -> Column:
         ),
         6,
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    cb0: DataFrame,
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    subdim: int = 16,
+) -> DataFrame:
+    """One Lloyd refinement of a PQ codebook (q134): assign every
+    subvector to its best codeword under the SEED codebook, then replace
+    each codeword with the per-dimension mean of its members (empty
+    cells keep their seed codeword — standard k-means practice, and it
+    keeps the positional j-indexing of the one-row codebook intact).
+
+    Means go through the ivf_centroids decimal recipe (round-6
+    components, exact DECIMAL sums, divide as double) so the trained
+    codewords are bit-identical in any engine replaying the same
+    arithmetic. Shape: assignment is a narrow map against the broadcast
+    seed codebook; the mean aggregation shuffles n_sub x n_codes x
+    subdim partials (tiny); the grid join is codebook-sized.
+    """
+    e2 = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    t = e2.crossJoin(F.broadcast(cb0)).select(
+        "v", pq_encode(F.col("v"), F.col("__cb"), subdim).alias("codes")
+    )
+    ex = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.struct(
+                    m.cast("int").alias("m"),
+                    F.element_at(F.col("codes"), m + 1).alias("j"),
+                    F.slice(F.col("v"), m * subdim + 1, subdim).alias("subv"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.m", "s.j", "s.subv")
+    ex2 = ex.select("m", "j", F.posexplode("subv").alias("pos", "x"))
+    means = ex2.groupBy("m", "j", "pos").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mx")
+    )
+    trained_cw = means.groupBy("m", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("cw")
+    )
+    grid = (
+        cb0.select(F.posexplode("__cb").alias("m", "cws"))
+        .select("m", F.posexplode("cws").alias("j", "cw0"))
+    )
+    trained = grid.join(trained_cw, ["m", "j"], "left").select(
+        "m", "j", F.coalesce("cw", "cw0").alias("cw")
+    )
+    per_m = trained.groupBy("m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cw"))), lambda s: s["cw"]
+        ).alias("cws")
+    )
+    return per_m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cws"))), lambda s: s["cws"]
+        ).alias("__cb")
+    )

@@ -456,25 +456,21 @@ WHERE r.rank <= {_PQ_K}
 """
 
 
-@register("q130_ann_pq", oracle=_Q130_ORACLE, tags=("similarity", "pq", "llm"))
-def q130_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_search(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """q130/q134 shared search path: encode corpus against the (cached)
+    one-row codebook, LUT-score all (query, neighbor) pairs, take the
+    per-query top-k by approx score, re-rank survivors with true cosine.
+    """
     from pyspark.sql.window import Window
 
     from .similarity import (
         as_double,
         cosine,
         pq_approx_score,
-        pq_codebook,
         pq_encode,
     )
     from .similarity import _pq_sub_scores
 
-    e = load_table(spark, sf_dir, "embeddings")
-    # cache: the one-row codebook feeds corpus encoding AND query LUTs;
-    # without it the seed scan runs twice (registry clearCache bounds it)
-    cb = pq_codebook(
-        e, n_codes=_PQ_CODES, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM
-    ).cache()
     enc = (
         e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("c_vec"))
         .crossJoin(F.broadcast(cb))
@@ -515,3 +511,117 @@ def q130_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register("q130_ann_pq", oracle=_Q130_ORACLE, tags=("similarity", "pq", "llm"))
+def q130_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import pq_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # cache: the one-row codebook feeds corpus encoding AND query LUTs;
+    # without it the seed scan runs twice (registry clearCache bounds it)
+    cb = pq_codebook(
+        e, n_codes=_PQ_CODES, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM
+    ).cache()
+    return _pq_search(e, cb)
+
+
+# ---------------------------------------------------------------------------
+# q134: PQ with a TRAINED codebook — one Lloyd refinement over the seed
+# codebook of q130 (assign subvectors to codewords, recenter each
+# codeword on its members' per-dim means, empty cells keep their seed).
+# This is the k-means step every real PQ index runs; one unrolled
+# iteration keeps the oracle replayable (the decimal-mean recipe makes
+# the trained codewords bit-identical across engines — ivf_centroids
+# precedent), and more iterations are the same CTE stamped again.
+# Search is exactly q130's path against the refined codebook.
+# ---------------------------------------------------------------------------
+
+def _pq_mean_exprs(subdim: int) -> str:
+    return ", ".join(
+        f"CAST(SUM(CAST(round(e.v[c.m * {subdim} + {d}], 6) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*)"
+        for d in range(1, subdim + 1)
+    )
+
+
+_Q134_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+  FROM e ORDER BY vec_id LIMIT {_PQ_CODES}
+),
+cw AS (
+  SELECT t.m, s.j, list_slice(s.v, t.m * {_PQ_SUBDIM} + 1, (t.m + 1) * {_PQ_SUBDIM}) AS cw
+  FROM seeds s CROSS JOIN range({_PQ_SUB}) t(m)
+),
+codes0 AS (
+  SELECT vec_id, m, j FROM (
+    SELECT e.vec_id, cw.m, cw.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cw.m
+             ORDER BY round(list_inner_product(
+               list_slice(e.v, cw.m * {_PQ_SUBDIM} + 1, (cw.m + 1) * {_PQ_SUBDIM}), cw.cw), 6) DESC,
+             cw.j
+           ) AS rn
+    FROM e CROSS JOIN cw
+  ) WHERE rn = 1
+),
+m0 AS (
+  SELECT c.m, c.j, [{_pq_mean_exprs(_PQ_SUBDIM)}] AS cw
+  FROM e JOIN codes0 c ON c.vec_id = e.vec_id
+  GROUP BY c.m, c.j
+),
+trained AS (
+  SELECT g.m, g.j, COALESCE(m0.cw, g.cw) AS cw
+  FROM cw g LEFT JOIN m0 ON m0.m = g.m AND m0.j = g.j
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT e.vec_id, t.m, t.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, t.m
+             ORDER BY round(list_inner_product(
+               list_slice(e.v, t.m * {_PQ_SUBDIM} + 1, (t.m + 1) * {_PQ_SUBDIM}), t.cw), 6) DESC,
+             t.j
+           ) AS rn
+    FROM e CROSS JOIN trained t
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, t.m, t.j,
+         round(list_inner_product(
+           list_slice(q.v, t.m * {_PQ_SUBDIM} + 1, (t.m + 1) * {_PQ_SUBDIM}), t.cw), 6) AS s
+  FROM e q CROSS JOIN trained t
+  WHERE q.vec_id % 100 = 0
+),
+approx AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, round(SUM(l.s), 6) AS approx_score
+  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_score DESC, neighbor_id) AS INT) AS rank
+  FROM approx
+)
+SELECT r.query_id, r.neighbor_id, r.approx_score,
+       round(list_cosine_similarity(q.v, n.v), 6) AS exact_score, r.rank
+FROM ranked r
+JOIN e q ON q.vec_id = r.query_id
+JOIN e n ON n.vec_id = r.neighbor_id
+WHERE r.rank <= {_PQ_K}
+"""
+
+
+@register("q134_ann_pq_trained", oracle=_Q134_ORACLE, tags=("similarity", "pq", "llm", "iterative"))
+def q134_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import pq_codebook, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb0 = pq_codebook(e, n_codes=_PQ_CODES, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM).cache()
+    cb = pq_train(e, cb0, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM).cache()
+    return _pq_search(e, cb)

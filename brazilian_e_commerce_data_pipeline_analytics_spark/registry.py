@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q131_domain_caps",
     "q132_unigram_logprob",
     "q133_incremental_neardup",
+    "q134_ann_pq_trained",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -155,3 +155,50 @@ def test_pq_reranks_with_true_cosine_and_compresses(spark):
     )
     assert len(enc["codes"]) == 4
     assert all(0 <= c <= 7 for c in enc["codes"])
+
+
+def test_pq_training_refines_but_keeps_codebook_shape(spark):
+    """One Lloyd step must change member codewords to member means while
+    EMPTY cells keep their seed codeword (positional j-indexing survives
+    training)."""
+    from pyspark.sql import Row
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity import (
+        pq_codebook,
+        pq_train,
+    )
+
+    # 4 vectors, dim 4 -> n_sub=2, subdim=2, 2 codewords (the 2 lowest
+    # ids). Vectors 2 and 3 sit exactly on vector 0, so codeword 1 of
+    # each subspace captures only its own seed (vector 1)
+    base = [1.0, 0.0, 1.0, 0.0]
+    other = [0.0, 1.0, 0.0, 1.0]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=base),
+            Row(vec_id=1, embedding=other),
+            Row(vec_id=2, embedding=base),
+            Row(vec_id=3, embedding=base),
+        ]
+    )
+    cb0 = pq_codebook(df, n_codes=2, n_sub=2, subdim=2)
+    cb1 = pq_train(df, cb0, n_sub=2, subdim=2)
+    b0 = cb0.first()["__cb"]
+    b1 = cb1.first()["__cb"]
+    assert len(b1) == 2 and all(len(cws) == 2 for cws in b1)
+    # codeword 0 (members: vectors 0,2,3) stays at their common value
+    assert b1[0][0] == [1.0, 0.0] and b1[1][0] == [1.0, 0.0]
+    # codeword 1 keeps its seed (only member is the seed itself)
+    assert b1[0][1] == b0[0][1] == [0.0, 1.0]
+
+
+def test_pq_trained_matches_q130_contract(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q import (
+        q130_ann_pq,
+        q134_ann_pq_trained,
+    )
+
+    seeded = q130_ann_pq(spark, SF_SMALL)
+    trained = q134_ann_pq_trained(spark, SF_SMALL)
+    assert seeded.columns == trained.columns
+    assert trained.count() == seeded.count()
