@@ -110,6 +110,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q132_unigram_logprob",
     "q133_incremental_neardup",
     "q134_ann_pq_trained",
+    "q135_stream_incremental_dedup",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

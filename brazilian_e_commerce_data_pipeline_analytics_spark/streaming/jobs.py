@@ -807,3 +807,165 @@ def q119_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(spark, agg, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q135: STREAMING incremental dedup with a persistent fingerprint index
+# — the ingest-time twin of q133's batch form and the stateful cousin
+# of q71's dropDuplicates. Each micro-batch of arriving documents is
+# checked against the ACCUMULATED index of bag-of-words fingerprints
+# from all earlier batches (the boilerplate/reordered-content signal —
+# the corpus has no byte-exact dups, but 20+ BOW collisions); within-
+# batch firsts resolve by doc_id; the batch's new fingerprints append
+# to the index. foreachBatch keeps everything distributed: the index
+# is a parquet relation joined per batch — no driver state, no
+# collect. At 100 TB the index is the bucketed band-key/fingerprint
+# store (tests/test_bucketing.py pins that join shuffle-free); here it
+# is small parquet appends.
+#
+# Determinism: the 4 batch files are doc_id-ntile ranges with strictly
+# increasing mtimes (q119's proven ordering recipe), so "seen in an
+# earlier batch" == "smaller doc_id" and the DuckDB oracle replays the
+# whole run with one window: first_doc_id = MIN(doc_id) per
+# fingerprint, batch_no = ntile(4) ORDER BY doc_id.
+# ---------------------------------------------------------------------------
+
+_Q135_BATCHES = 4
+
+_Q135_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(regexp_extract_all(text, '\\S+'))), ' ')) AS fp,
+         CAST(ntile({_Q135_BATCHES}) OVER (ORDER BY doc_id) - 1 AS INT) AS batch_no
+  FROM documents
+)
+SELECT doc_id, fp, batch_no,
+       CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS first_doc_id,
+       doc_id > MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM f
+"""
+
+
+def _ensure_doc_batches(sf_dir: str) -> str:
+    """Split the documents table into N doc_id-ordered batch files with
+    strictly increasing mtimes (ntile sizing, so the oracle can replay
+    the batch assignment exactly). Idempotent per sf."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "stream",
+        f"doc_batches_{sf_tag}_v1",
+    )
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    t = t.sort_by("doc_id")
+    n = t.num_rows
+    base, rem = divmod(n, _Q135_BATCHES)
+    start = 0
+    mt = 1700000000
+    for b in range(_Q135_BATCHES):
+        size = base + (1 if b < rem else 0)
+        path = os.path.join(d, f"batch_{b}.parquet")
+        pq.write_table(t.slice(start, size), path)
+        os.utime(path, (mt + b, mt + b))
+        start += size
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"n={n} batches={_Q135_BATCHES}\n")
+    return d
+
+
+@register(
+    "q135_stream_incremental_dedup",
+    oracle=_Q135_ORACLE,
+    tags=("streaming", "dedup", "incremental", "llm"),
+)
+def q135_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    batch_dir = _ensure_doc_batches(sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "stream_dedup",
+    )
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"run_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    run_dir = os.path.join(root, f"run_{sf_tag}_{uuid.uuid4().hex[:8]}")
+    index_dir = os.path.join(run_dir, "index")
+    result_dir = os.path.join(run_dir, "result")
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    os.makedirs(run_dir, exist_ok=True)
+
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+                )
+            ),
+        )
+    )
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        s = batch_df.sparkSession
+        b = batch_df.select(
+            "doc_id", fp.alias("fp"), F.lit(int(batch_id)).cast("int").alias("batch_no")
+        )
+        w = Window.partitionBy("fp")
+        b = b.withColumn("batch_first", F.min("doc_id").over(w))
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            seen = s.read.parquet(index_dir)
+        else:
+            seen = s.createDataFrame([], "fp string, seen_first bigint")
+        joined = b.join(F.broadcast(seen), "fp", "left")
+        out = joined.select(
+            "doc_id",
+            "fp",
+            "batch_no",
+            F.coalesce("seen_first", "batch_first").alias("first_doc_id"),
+            (F.col("doc_id") > F.coalesce("seen_first", "batch_first")).alias("is_dup"),
+        )
+        out.write.mode("append").parquet(result_dir)
+        # index gains this batch's NEW fingerprints (first occurrence id)
+        new = (
+            b.groupBy("fp")
+            .agg(F.min("doc_id").alias("seen_first"))
+            .join(F.broadcast(seen.select("fp")), "fp", "left_anti")
+        )
+        new.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(result_dir).select(
+        "doc_id", "fp", "batch_no", "first_doc_id", "is_dup"
+    )

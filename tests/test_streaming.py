@@ -293,3 +293,26 @@ def test_stateful_sessionizer_state_survives_restart(spark, tmp_path):
     assert len(rows2) == 2
     assert rows2[1]["n_events"] == 1
     assert int(rows2[1]["session_start"].timestamp()) == base + 5000
+
+
+def test_stream_incremental_dedup_crosses_batches(spark):
+    """q135's accumulated index must catch dups whose FIRST occurrence
+    landed in an earlier micro-batch — the within-batch window alone
+    cannot produce those rows."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        q135_stream_incremental_dedup,
+    )
+
+    out = q135_stream_incremental_dedup(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    dups = [r for r in out if r["is_dup"]]
+    assert dups, "corpus must contain BOW-fingerprint dups"
+    cross = [
+        r for r in dups if by_id[r["first_doc_id"]]["batch_no"] < r["batch_no"]
+    ]
+    assert cross, "expected at least one dup resolved via the persistent index"
+    # every dup points at a non-dup first occurrence with the same fp
+    for r in dups:
+        first = by_id[r["first_doc_id"]]
+        assert not first["is_dup"]
+        assert first["fp"] == r["fp"]
