@@ -1058,3 +1058,98 @@ def q122_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs", "keep_thresh")
         .agg(F.sum(keep).alias("n_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q136: entity resolution — the composition a catalog-normalization
+# pipeline runs after fuzzy matching: q84's blocked edit-distance pairs
+# become the edge set, transitive closure (operators/graph connected
+# components — label propagation over STRING node ids, min() is
+# lexicographic in both engines) assigns every name to a cluster, and
+# the cluster's lexicographically-smallest name becomes the canonical
+# form. Names matching nothing are their own singleton cluster.
+#
+# Scale shape: the pair join is blocked (first-character equi-join, see
+# q84), the closure runs O(cluster-diameter) label-propagation rounds
+# over an edge relation that is tiny relative to the corpus (only
+# near-matching names), and the final joins are name-cardinality. The
+# DuckDB oracle replays the closure with a recursive CTE (q82's walk
+# pattern).
+# ---------------------------------------------------------------------------
+
+_Q136_ORACLE = """
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a
+  JOIN names b
+    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+   AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+edges AS (
+  SELECT name_a AS a, name_b AS b FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+comp AS (
+  SELECT a AS p_name, LEAST(a, MIN(b)) AS canonical_name FROM walk GROUP BY a
+),
+assigned AS (
+  SELECT n.p_name, COALESCE(c.canonical_name, n.p_name) AS canonical_name
+  FROM names n
+  LEFT JOIN comp c USING (p_name)
+)
+SELECT a.p_name, a.canonical_name, s.cluster_size
+FROM assigned a
+JOIN (
+  SELECT canonical_name, COUNT(*) AS cluster_size FROM assigned GROUP BY 1
+) s USING (canonical_name)
+"""
+
+
+@register("q136_entity_resolution", oracle=_Q136_ORACLE, tags=("fuzzy", "graph", "text"))
+def q136_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import canonical_docs
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    # connected_components' convergence probe is numeric (sum of
+    # labels), so map each name to its lexicographic RANK — an
+    # order-isomorphic bigint id (min rank == min name) — and map back
+    # after clustering. The rank window is global but runs over the
+    # DISTINCT name vocabulary, not the corpus; at a name cardinality
+    # where that single-partition sort binds, switch to the md5-id
+    # mapping (canonical = min-hash name, same algebra, fully parallel).
+    ids = names.withColumn(
+        "nid", F.row_number().over(Window.orderBy("p_name")).cast("bigint")
+    )
+    a = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("nid_a"))
+    b = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("nid_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("nid_a", "nid_b")
+    )
+    clustered = canonical_docs(
+        ids.select("nid"), pairs, "nid", "nid_a", "nid_b"
+    )
+    canon_names = ids.select(
+        F.col("nid").alias("canonical_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        clustered.join(ids, "nid")
+        .join(F.broadcast(canon_names), "canonical_id")
+        .select("p_name", "canonical_name", "cluster_size")
+    )

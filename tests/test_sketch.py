@@ -202,3 +202,32 @@ def test_pq_trained_matches_q130_contract(spark):
     trained = q134_ann_pq_trained(spark, SF_SMALL)
     assert seeded.columns == trained.columns
     assert trained.count() == seeded.count()
+
+
+def test_entity_resolution_clusters_are_consistent(spark):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q import (
+        q136_entity_resolution,
+    )
+
+    out = q136_entity_resolution(spark, SF_SMALL).collect()
+    assert out
+    by_name = {r["p_name"]: r for r in out}
+    # canonical is a member of the same cluster and is its own canonical
+    for r in out:
+        canon = by_name[r["canonical_name"]]
+        assert canon["canonical_name"] == canon["p_name"]
+        assert canon["cluster_size"] == r["cluster_size"]
+        # canonical is the lexicographic minimum of its cluster
+        assert r["canonical_name"] <= r["p_name"]
+    # cluster sizes sum to the number of names
+    import collections
+
+    sizes = {}
+    counts = collections.Counter()
+    for r in out:
+        sizes[r["canonical_name"]] = r["cluster_size"]
+        counts[r["canonical_name"]] += 1
+    assert sum(sizes.values()) == len(out)
+    assert counts == collections.Counter(sizes)  # reported size == member count
+    # at least one non-trivial merge happened (fixture has fuzzy dups)
+    assert max(sizes.values()) > 1
