@@ -602,3 +602,101 @@ def q124_versioned_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFra
     return read_version(spark, table_dir).select(
         "d", "event_type", "n_events", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q137: CDC apply (insert/update/delete) against the versioned daily
+# gold table — the missing verb of q124's lifecycle (q114/q124 upsert;
+# real change feeds also RETRACT). The change batch is derived
+# deterministically from the data itself:
+#   U: full recompute of every day touched by post-cutover events
+#      (q124's incremental-update rule);
+#   D: retraction markers for the (d, 'error') rows of pre-cutover days
+#      where day-of-month % 3 == 0 — restricted to days NOT touched by
+#      updates so delete/upsert never race on one key (a real CDC
+#      stream totally orders ops per key; a derived batch must avoid
+#      the ambiguity instead).
+# apply_cdc rewrites only touched partitions (copy-on-write) and DROPS
+# a partition whose rows all die — the oracle replays the surviving
+# rows relationally: updated days from the full recompute, untouched
+# days from the pre-cut base minus the retracted keys.
+# ---------------------------------------------------------------------------
+
+_Q137_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events WHERE ts < TIMESTAMP '{_CUTOVER}'
+  GROUP BY 1, 2
+),
+upd_days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE ts >= TIMESTAMP '{_CUTOVER}'
+),
+upd AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE CAST(date_trunc('day', ts) AS DATE) IN (SELECT d FROM upd_days)
+  GROUP BY 1, 2
+)
+SELECT d, event_type, n_events, total_value FROM upd
+UNION ALL
+SELECT d, event_type, n_events, total_value FROM base
+WHERE d NOT IN (SELECT d FROM upd_days)
+  AND NOT (event_type = 'error' AND day(d) % 3 = 0)
+"""
+
+
+@register(
+    "q137_versioned_cdc_apply",
+    oracle=_Q137_ORACLE,
+    tags=("lakehouse", "cdc", "merge", "delete"),
+)
+def q137_versioned_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.versioned import apply_cdc, create_table, read_version
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "versioned",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"cdc_gold_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"cdc_gold_{sf_tag}_{uuid.uuid4().hex[:8]}")
+
+    base = _daily_gold(ev.filter(F.col("ts") < cut))
+    create_table(base, table_dir, "d")
+
+    touched_days = (
+        ev.filter(F.col("ts") >= cut).select(F.col("ts").cast("date").alias("d")).distinct()
+    )
+    updates = _daily_gold(
+        ev.join(F.broadcast(touched_days), ev["ts"].cast("date") == touched_days["d"], "left_semi")
+    ).withColumn("op", F.lit("U"))
+    deletes = (
+        base.join(F.broadcast(touched_days), "d", "left_anti")
+        .filter((F.col("event_type") == "error") & (F.dayofmonth("d") % 3 == 0))
+        .select("d", "event_type", "n_events", "total_value")
+        .withColumn("op", F.lit("D"))
+    )
+    apply_cdc(
+        spark,
+        table_dir,
+        updates.unionByName(deletes),
+        key_cols=["d", "event_type"],
+    )
+    return read_version(spark, table_dir).select(
+        "d", "event_type", "n_events", "total_value"
+    )

@@ -260,3 +260,64 @@ def compact_partition(
         },
     )
     return current + 1
+
+
+def apply_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> int:
+    """CDC MERGE: apply an insert/update/delete change batch.
+
+    ``changes`` carries the table's columns plus ``op_col`` in
+    {'I','U','D'}. 'D' rows remove their keys; 'I'/'U' rows upsert (the
+    distinction is audit metadata — MERGE treats both as "make the row
+    look like this"). Rows must carry the partition value of the key
+    they target (keys that move partitions are a delete + an insert,
+    as in every partitioned lakehouse).
+
+    Copy-on-write at partition grain like :func:`merge_version`; the
+    new wrinkle is shrinkage — a touched partition whose rows are ALL
+    deleted produces no data dir, and its manifest entry is dropped so
+    the partition ceases to exist (rather than pointing at stale data).
+    """
+    current_version = latest_version(table_dir)
+    m = _read_manifest(table_dir, current_version)
+    pcol, ptype = m["partition_col"], m["partition_type"]
+    parts = dict(m["parts"])
+    touched = [str(r[0]) for r in changes.select(pcol).distinct().collect()]
+    touched_existing = [v for v in touched if v in parts]
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    if touched_existing:
+        current = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(os.path.join(table_dir, parts[v])).withColumn(
+                    pcol, F.lit(v).cast(ptype)
+                )
+                for v in touched_existing
+            ],
+        )
+        survivors = current.join(
+            F.broadcast(changes.select(*key_cols).distinct()), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(upserts.select(*survivors.columns))
+    else:
+        merged = upserts
+    written = _write_partitions(merged, table_dir, pcol, touched)
+    parts.update(written)
+    for v in touched:
+        if v not in written:
+            parts.pop(v, None)  # every row deleted: the partition is gone
+    _publish_manifest(
+        table_dir,
+        {
+            "version": current_version + 1,
+            "partition_col": pcol,
+            "partition_type": ptype,
+            "parts": parts,
+        },
+    )
+    return current_version + 1

@@ -211,3 +211,34 @@ def test_streaming_merge_into_versioned_table(spark, tmp_path):
 
     expected = _rows(daily(spark.read.parquet(str(src))))
     assert _rows(read_version(spark, t).select("d", "n", "sv")) == expected
+
+
+def test_cdc_apply_deletes_updates_and_drops_empty_partitions(spark, tmp_path):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.versioned import (
+        apply_cdc,
+        _read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)])
+    assert create_table(base, t, "d") == 1
+
+    changes = spark.createDataFrame(
+        [
+            Row(d="a", k=1, v=11, op="U"),   # update in place
+            Row(d="a", k=2, v=None, op="D"), # delete one key of partition a
+            Row(d="b", k=5, v=50, op="I"),   # insert alongside survivor
+            Row(d="c", k=4, v=None, op="D"), # delete the WHOLE partition c
+        ]
+    )
+    assert apply_cdc(spark, t, changes, key_cols=["d", "k"]) == 2
+
+    v2 = _rows(read_version(spark, t))
+    assert v2 == _rows(
+        _mk(spark, [("a", 1, 11), ("b", 3, 30), ("b", 5, 50)])
+    )
+    # partition c vanished from the manifest (no stale-data pointer)
+    m = _read_manifest(t, 2)
+    assert set(m["parts"]) == {"a", "b"}
+    # time travel still sees the pre-CDC world
+    assert _rows(read_version(spark, t, version=1)) == _rows(base)
