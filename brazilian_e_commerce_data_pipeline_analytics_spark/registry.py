@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q135_stream_incremental_dedup",
     "q136_entity_resolution",
     "q137_versioned_cdc_apply",
+    "q138_stream_outer_join",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -969,3 +969,119 @@ def q135_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(result_dir).select(
         "doc_id", "fp", "batch_no", "first_doc_id", "is_dup"
     )
+
+
+# ---------------------------------------------------------------------------
+# q138: LEFT OUTER stream-stream join — the null-emission semantics
+# q89's inner join never exercises. Unmatched left rows cannot emit
+# when they arrive (a match may still come); they emit WITH NULLS only
+# once the watermark passes their join window's upper bound, and rows
+# whose window is still open when the stream ends are WITHHELD forever.
+# Both rules pinned empirically on a deterministic 4-file stream and
+# replayed relationally:
+#   - matched pairs (id % 3 == 0; the b row sits +10s inside the 30s
+#     window) emit as ordinary inner results in every engine;
+#   - the final eviction watermark is the MIN of the two streams' final
+#     watermarks (a-side max event time - 60s = {N-1}-60, NOT the
+#     b-side's later +10 offset), applied strictly:
+#     null-emit iff a_ts + 30 < min_wm  ==>  id + 30 < (N-1) - 60.
+# The tail above that bound never emits — the relational oracle ranges
+# over the SAME arithmetic, so the truncation is part of the contract,
+# exactly like q119's late-drop rules.
+# ---------------------------------------------------------------------------
+
+_OJ_N, _OJ_B, _OJ_BASE = 400, 100, 1700000000
+_OJ_WM, _OJ_WIN, _OJ_OFF = 60, 30, 10
+
+_Q138_ORACLE = f"""
+WITH ids AS (SELECT range AS id FROM range({_OJ_N}))
+SELECT id AS a_id, TRUE AS matched, CAST({_OJ_OFF} AS BIGINT) AS lag_seconds
+FROM ids WHERE id % 3 = 0
+UNION ALL
+SELECT id, FALSE, NULL
+FROM ids WHERE id % 3 <> 0 AND id + {_OJ_WIN} < ({_OJ_N} - 1) - {_OJ_WM}
+"""
+
+
+def _ensure_outer_join_fixture() -> str:
+    """4 deterministic batch files of kind-tagged rows: every id has an
+    'a' row (ets = id); ids % 3 == 0 also carry a 'b' row (ets = id+10).
+    Strictly increasing mtimes fix the micro-batch order (q119)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "stream",
+        "outer_join_v1",
+    )
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for b in range(_OJ_N // _OJ_B):
+        rid, ets, kind = [], [], []
+        for i in range(b * _OJ_B, (b + 1) * _OJ_B):
+            rid.append(i), ets.append(i), kind.append("a")
+            if i % 3 == 0:
+                rid.append(i), ets.append(i + _OJ_OFF), kind.append("b")
+        path = os.path.join(d, f"batch_{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(rid, pa.int64()),
+                    "ets": pa.array(ets, pa.int64()),
+                    "kind": pa.array(kind),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (_OJ_BASE + b, _OJ_BASE + b))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"n={_OJ_N} b={_OJ_B}\n")
+    return d
+
+
+@register(
+    "q138_stream_outer_join",
+    oracle=_Q138_ORACLE,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def q138_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = st.select(
+        "id", "kind", F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts")
+    )
+    a = (
+        ev.filter(F.col("kind") == "a")
+        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", f"{_OJ_WM} seconds")
+    )
+    b = (
+        ev.filter(F.col("kind") == "b")
+        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", f"{_OJ_WM} seconds")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_id") == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_OJ_WIN} SECONDS")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "a_id",
+        F.col("b_id").isNotNull().alias("matched"),
+        ((F.unix_micros("b_ts") - F.unix_micros("a_ts")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")

@@ -316,3 +316,29 @@ def test_stream_incremental_dedup_crosses_batches(spark):
         first = by_id[r["first_doc_id"]]
         assert not first["is_dup"]
         assert first["fp"] == r["fp"]
+
+
+def test_stream_outer_join_emits_nulls_and_withholds_open_tail(spark):
+    """q138's three regimes must all be non-vacuous: inner matches,
+    null-emission for watermark-expired unmatched rows, and the
+    withheld tail whose join window was still open at stream end."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _OJ_N,
+        _OJ_WIN,
+        _OJ_WM,
+        q138_stream_outer_join,
+    )
+
+    out = q138_stream_outer_join(spark, "/root/testdata/sf0.001").collect()
+    matched = {r["a_id"] for r in out if r["matched"]}
+    nulls = {r["a_id"] for r in out if not r["matched"]}
+    assert matched == {i for i in range(_OJ_N) if i % 3 == 0}
+    cutoff = (_OJ_N - 1) - _OJ_WM - _OJ_WIN
+    assert nulls == {i for i in range(_OJ_N) if i % 3 and i < cutoff}
+    # the withheld tail really exists (rows neither matched nor emitted)
+    assert len(matched) + len(nulls) < _OJ_N
+    for r in out:
+        if r["matched"]:
+            assert r["lag_seconds"] == 10
+        else:
+            assert r["lag_seconds"] is None
