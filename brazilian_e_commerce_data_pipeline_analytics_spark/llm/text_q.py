@@ -367,22 +367,17 @@ FROM per_doc
 
 @register("q85_stopword_filtered_stats", oracle=_Q85_ORACLE, tags=("text", "llm"))
 def q85_stopword_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("t"),
     )
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    stop = (
-        counts.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("t"))),
-        )
-        .filter(F.col("rn") <= 20)
-        .select("t")
-    )
+    # Top-20 via orderBy+limit => TakeOrderedAndProject (per-partition
+    # top-k, driver merge of 20-row heads), NOT row_number over an
+    # unpartitioned window — the window form funnels the whole vocab
+    # (unbounded at corpus scale) through one WindowExec partition.
+    stop = counts.orderBy(F.col("n").desc(), "t").limit(20).select("t")
     flagged = tok.join(
         F.broadcast(stop.withColumn("__stop", F.lit(1))), "t", "left"
     )
