@@ -1,0 +1,394 @@
+"""Corpus-curation operators: PII redaction, boilerplate-line removal,
+and BPE merge induction.
+
+These are the remaining canon steps of a training-data pipeline that
+the repo's text family did not yet cover (reference has no equivalent;
+its text processing stops at column cleanup, ``transformation.py:94-98``):
+
+* q139 — regex PII scrubbing (emails / phones / IPv4), the standard
+  pre-release redaction pass.
+* q140 — corpus-frequency line dedup (the RefinedWeb / C4 "boilerplate
+  line" rule): a line occurring in many distinct documents is chrome,
+  not content, and is dropped from every document.
+* q141 — byte-pair-encoding merge induction: the first merges of a
+  tokenizer-training run, computed as distributed pair counting plus a
+  relational greedy merge application.
+
+All three are pure JVM expressions / relational plans (no Python UDFs),
+and every step is replayed value-exactly by a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q139: PII redaction.
+#
+# The synthetic corpus is word salad with no PII, so the query first
+# derives a deterministic augmented text (doc_id/source-keyed contact
+# block appended to every document) and then scrubs it — both engines
+# replay the same construction, so the regexes face real matches at
+# every scale factor instead of an always-empty result (the ADVICE-r1
+# "an empty result exercises nothing" rule).
+#
+# Patterns are RE2-and-Java-compatible on purpose: character classes
+# and bounded repeats only — no lookaround (RE2 has none), no \b, no
+# backreferences. Replacement order matters and is pinned:
+# email -> phone -> IPv4 (the constructions cannot overlap, but the
+# chain order is still part of the contract).
+#
+# Scale: one projection — regexp_count + a 3-step regexp_replace chain
+# runs inside whole-stage codegen, zero shuffles, zero Python.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source"
+    " || '.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+_Q139_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_AUG_SQL} AS a FROM documents),
+red AS (
+  SELECT doc_id, a,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(a, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_IP_RE}', '<IP>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(a, '{_IP_RE}')) AS INT) AS n_ips,
+       CAST(length(r) AS INT) AS redacted_len,
+       md5(r) AS redacted_sig
+FROM red
+"""
+
+
+def _augmented_text() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or call +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+
+
+@register("q139_pii_redaction", oracle=_Q139_ORACLE, tags=("text", "curation", "llm"))
+def q139_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _augmented_text().alias("a"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("a"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+    def _n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(F.col("a"), F.lit(pat), 0)).cast("int")
+
+    return aug.select(
+        "doc_id",
+        _n(_EMAIL_RE).alias("n_emails"),
+        _n(_PHONE_RE).alias("n_phones"),
+        _n(_IP_RE).alias("n_ips"),
+        F.length(red).cast("int").alias("redacted_len"),
+        F.md5(red).alias("redacted_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140: boilerplate-line removal by corpus line frequency.
+#
+# Documents are segmented into fixed 3-token "lines" (the synthetic
+# corpus has no newlines; 3 tokens over its Zipfian vocabulary makes
+# repeats real at sf0.01 — 10-token lines would never collide and the
+# filter would face an empty boilerplate set). A line whose md5 key
+# occurs in >= _BOILER_DF distinct documents is boilerplate and is
+# dropped from EVERY document; each document reports its kept fraction
+# and the md5 signature of its kept text (original line order).
+#
+# Scale shape: explode(lines) -> groupBy(line_key) [map-side combined]
+# -> broadcast-sized? NO — the line-frequency table is corpus-sized, so
+# it stays a shuffle join on line_key; the per-doc reassembly is one
+# groupBy(doc_id) with a sorted collect_list of (pos, line) structs —
+# state per doc = its own lines, same bound as q87's chunker.
+# ---------------------------------------------------------------------------
+
+_LINE_LEN = 3
+_BOILER_DF = 3
+
+_Q140_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+ls AS (
+  SELECT doc_id,
+         list_transform(range((len(toks) + {_LINE_LEN - 1}) // {_LINE_LEN}),
+                        i -> array_to_string(
+                               list_slice(toks, i * {_LINE_LEN} + 1,
+                                          i * {_LINE_LEN} + {_LINE_LEN}), ' '))
+           AS lines
+  FROM t
+),
+ln AS (
+  SELECT doc_id, lines, unnest(range(len(lines))) AS pos FROM ls
+),
+line AS (
+  SELECT doc_id, pos, lines[pos + 1] AS line, md5(lines[pos + 1]) AS k FROM ln
+),
+freq AS (
+  SELECT k, COUNT(DISTINCT doc_id) AS df FROM line GROUP BY k
+),
+flagged AS (
+  SELECT line.doc_id, line.pos, line.line,
+         (freq.df >= {_BOILER_DF}) AS boiler
+  FROM line JOIN freq USING (k)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE boiler) AS INT) AS n_boiler,
+       round((COUNT(*) FILTER (WHERE NOT boiler)) / COUNT(*), 6) AS kept_frac,
+       md5(COALESCE(string_agg(line, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT boiler), '')) AS kept_sig
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("q140_boilerplate_lines", oracle=_Q140_ORACLE, tags=("text", "dedup", "curation", "llm"))
+def q140_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    n_lines = F.floor((F.size("toks") + _LINE_LEN - 1) / _LINE_LEN).cast("int")
+    ls = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.when(
+            F.size("toks") > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * _LINE_LEN + 1, _LINE_LEN), " "
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("lines"),
+    )
+    line = ls.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("k", F.md5("line"))
+    freq = line.groupBy("k").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = line.join(freq, "k").select(
+        "doc_id", "pos", "line", (F.col("df") >= _BOILER_DF).alias("boiler")
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "line", "boiler"))),
+        lambda s: ~s["boiler"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("boiler").cast("int")).cast("int").alias("n_boiler"),
+        F.round(
+            F.sum((~F.col("boiler")).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("kept_frac"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["line"]), " ")
+        ).alias("kept_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141: BPE merge induction (tokenizer training, first 3 merges).
+#
+# Classic byte-pair encoding over the corpus vocabulary: words are
+# char-split, adjacent-symbol pairs are counted weighted by word
+# frequency, the most frequent pair becomes a merge (ties broken
+# lexicographically), the merge is applied greedily left-to-right, and
+# the cycle repeats. Output is the merge table itself — (iteration,
+# left, right, count) — which is exactly what a tokenizer trainer
+# persists.
+#
+# Distribution: pair counting is a map-side-combined groupBy over
+# (sym, nxt); merge application is window arithmetic partitioned by
+# word (state per word = its symbols). Greedy left-to-right conflict
+# resolution ("aaa" merges positions 0-1, not 1-2) is relational:
+# maximal runs of consecutive matching positions (gaps-and-islands via
+# pos - row_number) accept every other position from the run start.
+# The per-iteration argmax is a 1-row driver collect — the merge table
+# lives on the driver in any real BPE trainer, same O(1)-row class as
+# the graph.py convergence probe. Each iteration's symbol relation is
+# localCheckpoint'ed so iteration N+1's action does not replay
+# iterations 1..N.
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_iter_sql(n: int) -> str:
+    """One BPE iteration as a CTE block: s{n-1} -> t{n} (top pair) -> s{n}."""
+    p, t, s_in, s_out = f"p{n}", f"t{n}", f"s{n - 1}", f"s{n}"
+    return f"""
+{p} AS (
+  SELECT word, cnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM {s_in}
+),
+{t} AS (
+  SELECT sym AS l, nxt AS r, SUM(cnt) AS pc
+  FROM {p} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
+),
+m{n} AS (
+  SELECT p.*, (p.sym = t.l AND p.nxt = t.r) AS m FROM {p} p CROSS JOIN {t} t
+),
+g{n} AS (
+  SELECT word, pos,
+         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM m{n} WHERE m
+),
+a{n} AS (
+  SELECT word, pos,
+         ((row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0)
+           AS acc
+  FROM g{n}
+),
+j{n} AS (
+  SELECT m.word, m.cnt, m.pos, m.sym, m.nxt, COALESCE(a.acc, FALSE) AS acc
+  FROM m{n} m LEFT JOIN a{n} a ON m.word = a.word AND m.pos = a.pos
+),
+k{n} AS (
+  SELECT *, COALESCE(lag(acc) OVER (PARTITION BY word ORDER BY pos), FALSE)
+              AS consumed
+  FROM j{n}
+),
+{s_out} AS (
+  SELECT word, cnt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         CASE WHEN acc THEN sym || nxt ELSE sym END AS sym
+  FROM k{n} WHERE NOT consumed
+)"""
+
+
+_Q141_ORACLE = (
+    """
+WITH wc AS (
+  SELECT t AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+  GROUP BY t
+),
+c0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS chars FROM wc),
+s0 AS (
+  SELECT word, cnt, pos, chars[pos + 1] AS sym
+  FROM (SELECT word, cnt, chars, unnest(range(len(chars))) AS pos FROM c0)
+),"""
+    + ",".join(_bpe_iter_sql(n) for n in range(1, _BPE_ITERS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {n} AS it, l AS left_sym, r AS right_sym,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM t{n}"
+        for n in range(1, _BPE_ITERS + 1)
+    )
+)
+
+
+@register("q141_bpe_merges", oracle=_Q141_ORACLE, tags=("text", "tokenizer", "iterative", "llm"))
+def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    s = wc.select(
+        "word",
+        "cnt",
+        F.posexplode(F.regexp_extract_all(F.col("word"), F.lit("."), 0)).alias(
+            "pos", "sym"
+        ),
+    ).localCheckpoint()
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, _BPE_ITERS + 1):
+        pairs = s.withColumn("nxt", F.lead("sym").over(w_word))
+        pc = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pc.orderBy(F.desc("pc"), "sym", "nxt").limit(1).collect()[0]
+        merges.append((it, top["sym"], top["nxt"], top["pc"]))
+
+        m = pairs.withColumn(
+            "m",
+            F.coalesce(
+                (F.col("sym") == F.lit(top["sym"]))
+                & (F.col("nxt") == F.lit(top["nxt"])),
+                F.lit(False),
+            ),
+        )
+        matched = m.filter("m").select(
+            "word", "pos", (F.col("pos") - F.row_number().over(w_word)).alias("grp")
+        )
+        acc = matched.select(
+            "word",
+            "pos",
+            (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("word", "grp").orderBy("pos")
+                    )
+                    - 1
+                )
+                % 2
+                == 0
+            ).alias("acc"),
+        )
+        j = m.join(acc, ["word", "pos"], "left").withColumn(
+            "acc", F.coalesce("acc", F.lit(False))
+        )
+        k = j.withColumn(
+            "consumed", F.coalesce(F.lag("acc").over(w_word), F.lit(False))
+        )
+        s = (
+            k.filter(~F.col("consumed"))
+            .select(
+                "word",
+                "cnt",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.when(F.col("acc"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+
+    return spark.createDataFrame(
+        merges, "it int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -625,3 +625,170 @@ def q134_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb0 = pq_codebook(e, n_codes=_PQ_CODES, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM).cache()
     cb = pq_train(e, cb0, n_sub=_PQ_SUB, subdim=_PQ_SUBDIM).cache()
     return _pq_search(e, cb)
+
+
+# ---------------------------------------------------------------------------
+# q142: random-projection dimensionality reduction (64 -> 8 dims).
+#
+# The Johnson-Lindenstrauss sign-matrix variant: projection weights are
+# +/-1 derived from an md5 parity of (output_dim, input_dim) — a pure
+# function, so the "random" matrix needs no RNG state, no persisted
+# artifact, and replays bit-identically in any engine. The matrix is
+# built as an 8-row DataFrame and broadcast; each embedding row computes
+# 8 dot products as a narrow projection (no shuffle at all — the plan is
+# scan -> broadcast nested loop (8 rows) -> project). This is the
+# preprocessing step in front of any coarse ANN structure when the
+# native dimensionality makes centroids expensive.
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 8
+_RP_DIMS = 64
+
+_Q142_ORACLE = f"""
+WITH mat AS (
+  SELECT j,
+         list_transform(range({_RP_DIMS}), i ->
+           CAST((('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+                                      CAST(i AS VARCHAR)), 1, 1))::BIGINT % 2)
+                * 2 - 1 AS DOUBLE)) AS w
+  FROM (SELECT unnest(range({_RP_OUT})) AS j)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       round(list_sum(list_transform(range({_RP_DIMS}), i -> v[i + 1] * w[i + 1])), 6)
+         AS val
+FROM e CROSS JOIN mat
+"""
+
+
+@register("q142_random_projection", oracle=_Q142_ORACLE, tags=("similarity", "projection", "llm"))
+def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import dot
+
+    def _sign(j: F.Column, i: F.Column) -> F.Column:
+        h = F.md5(F.concat(j.cast("string"), F.lit("_"), i.cast("string")))
+        return ((F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 2) * 2 - 1).cast(
+            "double"
+        )
+
+    mat = spark.range(_RP_OUT).select(
+        F.col("id").cast("int").alias("dim"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_RP_DIMS - 1)),
+            lambda i: _sign(F.col("id"), i),
+        ).alias("w"),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return e.crossJoin(F.broadcast(mat)).select(
+        "vec_id", "dim", F.round(dot(F.col("v"), F.col("w")), 6).alias("val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143: SemDeDup — semantic near-duplicate removal via cluster-then-
+# compare (Abbas et al. 2023's recipe re-expressed relationally): embed,
+# coarse-cluster, and compare pairs ONLY within a cluster, dropping
+# every vector that has a lower-id neighbor above the similarity bar.
+#
+# The natural corpus has no semantic dups (max within-cell cosine 0.51
+# at sf0.01), so the query plants them deterministically: every 10th
+# vector gets a perturbed twin (id + 100000, round-6 components nudged
+# by +/-0.005 in a fixed per-dimension pattern, cosine vs source
+# ~0.9995) — both engines replay the construction, so the tau=0.99 rule
+# faces real positives at every sf (the ADVICE-r1 empty-result rule).
+#
+# Scale shape: clustering reuses ivf_centroids (broadcast codebook
+# assignment, no shuffle); the pairwise compare is a self-join ON the
+# cell key — work is sum(cell_size^2), never corpus^2, and the cell
+# count is the knob that bounds it. Output is the drop list: each
+# dropped vector, its cell, the surviving keeper (lowest qualifying
+# id), and their similarity.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.99
+_SEMDEDUP_CELLS = 8
+
+_Q143_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell, [{_MEAN_EXPRS}] AS cv FROM a1 GROUP BY cell
+),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range({_IVF_DIMS}), i ->
+           round(v[i + 1] + 0.005 * ((i % 3) - 1), 6))
+  FROM e WHERE vec_id % 10 = 0
+),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT a.vec_id, a.v, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM aug a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS ia,
+         round(list_cosine_similarity(a.v, b.v), 6) AS s
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT vec_id, cell, MIN(ia) AS keeper_id, arg_min(s, ia) AS score
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("q143_semdedup", oracle=_Q143_ORACLE, tags=("similarity", "dedup", "llm"))
+def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _best_cell, _codebook_row, cosine, ivf_centroids
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.round(x + 0.005 * ((i % 3) - 1), 6)
+        ).alias("v"),
+    )
+    aug = e.unionByName(planted)
+    cents = ivf_centroids(raw, n_cells=_SEMDEDUP_CELLS, dims=_IVF_DIMS)
+    asg = aug.crossJoin(F.broadcast(_codebook_row(cents))).select(
+        "vec_id", "v", _best_cell(F.col("v"), F.col("__cents")).alias("cell")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("cell")
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vec_id"), F.col("v").alias("vb"), F.col("cell")
+    )
+    s = cosine(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("vec_id"))
+        .select("vec_id", "cell", "ia", s.alias("s"))
+        .filter(F.col("s") >= _SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("vec_id", "cell").agg(
+        F.min("ia").alias("keeper_id"), F.min_by("s", "ia").alias("score")
+    )

@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.lakehouse_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.graph_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q",
@@ -114,6 +115,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q136_entity_resolution",
     "q137_versioned_cdc_apply",
     "q138_stream_outer_join",
+    # new this session: corpus curation (PII / boilerplate / BPE)
+    "q139_pii_redaction",
+    "q140_boilerplate_lines",
+    "q141_bpe_merges",
+    # new this session: JL sign projection + SemDeDup
+    "q142_random_projection",
+    "q143_semdedup",
+    # new this session: chained stateful streaming, sorted lakehouse write
+    "q144_stream_chained_windows",
+    "q145_range_sorted_write",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

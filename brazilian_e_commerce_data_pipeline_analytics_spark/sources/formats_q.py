@@ -96,3 +96,66 @@ def q129_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_format_agg(orc_back, "orc").unionAll(
         _per_format_agg(json_back, "json")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145: range-partitioned sorted write — the "sorted table" lakehouse
+# layout that makes parquet zone maps (min/max row-group stats) prune
+# date-range scans.
+#
+# lineitem is laid out by calendar quarter: repartitionByRange on
+# (quarter_bucket, l_shipdate) gives a global range partitioning (big
+# quarters split across several ordered files, no single-task global
+# sort), sortWithinPartitions makes every file internally shipdate-
+# sorted, and partitionBy(bucket) adds directory-level pruning on top.
+# A reader with a shipdate predicate then skips (a) whole directories
+# via partition pruning and (b) row groups via zone maps — the two
+# mechanisms compose. The audit output re-reads the written table and
+# proves per-bucket completeness (counts, min/max bounds, exact revenue)
+# against the source; file-level sortedness is pinned in
+# tests/test_graph_formats.py (a window over input_file_name).
+#
+# Scale: the shuffle is ONE range exchange (sampled boundaries, AQE-
+# splittable); the sort is per-partition, never global; the write is
+# embarrassingly parallel. This is the idiomatic Spark replacement for
+# the reference's unsorted full-overwrite storage (ingestion.py:15-22).
+# ---------------------------------------------------------------------------
+
+_Q145_ORACLE = """
+SELECT CAST(year(l_shipdate) * 10 + quarter(l_shipdate) AS INT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("q145_range_sorted_write", oracle=_Q145_ORACLE, tags=("sink", "sorted", "lakehouse"))
+def q145_range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.compat import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        (F.year("l_shipdate") * 10 + F.quarter("l_shipdate"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    out_dir = _scratch_dir(sf_dir, "sorted")
+    (
+        li.repartitionByRange(8, "bucket", "l_shipdate")
+        .sortWithinPartitions("bucket", "l_shipdate")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    rb = spark.read.parquet(out_dir)
+    return rb.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        dsum("l_extendedprice", "total_price"),
+    )

@@ -1085,3 +1085,57 @@ def q138_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_seconds"),
     )
     return run_stream_to_memory(spark, out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q144: chained streaming window aggregation — two stateful operators in
+# one append-mode query (hourly counts re-aggregated into 6-hour blocks),
+# the Spark 3.5+ multi-stateful-operator feature (SPARK-40925). The
+# second groupBy consumes the FIRST aggregation's window struct as its
+# time column, so late-data handling and eviction are driven by one
+# watermark end to end.
+#
+# Emission rule (pinned empirically, q119's method): a 6-hour window is
+# emitted iff its end <= max_event_ts - watermark, in epoch millis — the
+# inner hourly windows inside an emitted block necessarily closed first
+# (hour_end <= block_end <= wm), so every emitted block carries complete
+# counts; the relational replay below states exactly that.
+#
+# Scale: state is O(open hourly windows) + O(open 6h windows) per
+# event_type — both bounded by the watermark horizon, independent of
+# stream length. The re-aggregation shrinks shuffle traffic 6:1 before
+# the second stateful stage; this cascade is how a 100 TB/day stream
+# feeds minute->hour->day rollups without re-reading the source.
+# ---------------------------------------------------------------------------
+
+_Q144_ORACLE = """
+WITH mx AS (SELECT MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events)
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+         - (hour(CAST(ts AS TIMESTAMP)) % 6) * INTERVAL 1 HOUR AS win_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, mx
+GROUP BY 1, 2, mx.max_ms
+HAVING epoch_ms(win_start) + 21600000 <= mx.max_ms - 7200000
+"""
+
+
+@register(
+    "q144_stream_chained_windows",
+    oracle=_Q144_ORACLE,
+    tags=("streaming", "watermark", "chained"),
+)
+def q144_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    six = hourly.groupBy(
+        F.window(F.col("w"), "6 hours").alias("w6"), "event_type"
+    ).agg(F.sum("n").alias("n_events"))
+    out = six.select(
+        F.col("w6.start").alias("win_start"), "event_type", "n_events"
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")

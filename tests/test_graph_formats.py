@@ -55,3 +55,39 @@ def test_format_roundtrip_writes_both_formats(spark):
     tmp = os.path.join(os.path.dirname(root), ".tmp", "formats")
     orc_dirs = glob.glob(os.path.join(tmp, "events_orc_sf0.001_*", "event_type=*"))
     assert orc_dirs, "expected partitioned ORC layout"
+
+
+def test_range_sorted_write_files_are_sorted(spark):
+    """q145's physical claim: every written file is internally sorted by
+    l_shipdate and file ranges within a bucket partition don't interleave
+    arbitrarily — check per-file monotonicity via input_file_name."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.formats_q import (
+        _scratch_dir,
+        q145_range_sorted_write,
+    )
+    from .conftest import SF_SMALL
+
+    q145_range_sorted_write(spark, SF_SMALL).count()  # materialize the write
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "brazilian_e_commerce_data_pipeline_analytics_spark",
+        "..",
+        ".tmp",
+        "formats",
+    )
+    dirs = sorted(glob.glob(os.path.join(root, "sorted_sf0.001_*")))
+    assert dirs, "q145 left no written table"
+    rb = spark.read.parquet(dirs[-1]).withColumn("f", F.input_file_name())
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    viol = (
+        rb.select("f", "l_shipdate", F.lag("l_shipdate").over(w).alias("prev"))
+        .filter(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert viol == 0
