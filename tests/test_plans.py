@@ -9,6 +9,7 @@ import pytest
 
 from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import (
     exchange_count,
+    formatted_plan,
     has_python_eval,
     pushed_filters,
     read_schemas,
@@ -325,3 +326,57 @@ def test_pq_encoding_is_narrow_and_jvm_side(spark):
             fromlist=["simple_plan"],
         ).simple_plan(df)
     )
+
+
+def test_pii_redaction_is_pure_projection(spark):
+    """q139: scan -> project, zero exchanges, zero Python — the regex
+    chain runs inside whole-stage codegen."""
+    df = QUERIES["q139_pii_redaction"].builder(spark, SF_SMALL)
+    assert exchange_count(df) == 0
+    assert not has_python_eval(df)
+
+
+def test_random_projection_broadcasts_matrix(spark):
+    """q142: the 8-row sign matrix arrives via broadcast; the projection
+    itself adds no shuffle and no Python."""
+    df = QUERIES["q142_random_projection"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert not has_python_eval(df)
+    # the embeddings side must not shuffle: only the tiny matrix exchange
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_range_sorted_write_uses_range_partitioning(spark):
+    """q145's write lineage: ONE range exchange and per-partition sorts,
+    never a global single-partition sort."""
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        (F.year("l_shipdate") * 10 + F.quarter("l_shipdate"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    staged = li.repartitionByRange(8, "bucket", "l_shipdate").sortWithinPartitions(
+        "bucket", "l_shipdate"
+    )
+    plan = formatted_plan(staged)
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+    # per-partition sort: the Sort node's global flag (2nd argument in the
+    # formatted plan) must be false
+    assert ", false, 0" in plan
+
+
+def test_semdedup_joins_on_cell_key(spark):
+    """q143: the pairwise stage is keyed by cell (sum of cell^2 work),
+    with the codebook broadcast — no all-pairs cross join of the corpus."""
+    df = QUERIES["q143_semdedup"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan  # codebook / matrix ships broadcast
+    assert "CartesianProduct" not in plan
