@@ -1,0 +1,94 @@
+"""Per-group trend estimation: closed-form OLS over monthly revenue.
+
+The reference's reporting layer stops at YoY deltas
+(``reporting.py:335-363``); the natural next BI ask is "which segments
+are trending up" — a least-squares slope per group. Spark and DuckDB
+both ship ``regr_slope``, but their float accumulation order differs
+run to run, so this module computes the closed form from EXACT decimal
+sums instead (the repo's dsum discipline): slope and intercept become
+pure functions of a handful of exact integers/decimals, evaluated in a
+pinned order — bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.compat import dmoney
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q146: revenue trend per nation.
+#
+# Two-level plan: (nation, month) revenue agg -> per-nation closed-form
+# OLS over the month series. Both aggs are map-side combinable; the
+# second input is |nations| x |months| rows, so the final agg is tiny.
+# x = absolute month index, y = monthly revenue (exact decimal sum
+# surfaced as double). All five OLS sums (n, Σx, Σy, Σxy, Σx²) are
+# exact (integer or decimal), and the slope/intercept doubles are
+# derived from them in one pinned expression order.
+# ---------------------------------------------------------------------------
+
+_Q146_ORACLE = """
+WITH m AS (
+  SELECT n.n_name AS nation,
+         (year(o.o_orderdate) - 1990) * 12 + month(o.o_orderdate) AS mi,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT nation,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(mi) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(mi * rev AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(mi * mi) AS DOUBLE) AS sxx,
+         COUNT(*) AS n_months
+  FROM m GROUP BY nation
+)
+SELECT nation, CAST(n_months AS INT) AS n_months,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+@register("q146_revenue_trend_ols", oracle=_Q146_ORACLE, tags=("bi", "regression", "agg"))
+def q146_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mi = (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), mi.alias("mi"))
+        .agg(F.sum(dmoney("o_totalprice")).cast("double").alias("rev"))
+    )
+    s = m.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("mi").cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("mi") * F.col("rev")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("mi") * F.col("mi")).cast("double").alias("sxx"),
+        F.count(F.lit(1)).cast("int").alias("n_months"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "nation",
+        "n_months",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

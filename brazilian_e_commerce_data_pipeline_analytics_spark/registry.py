@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.events_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.lakehouse_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.graph_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.trend_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q",
@@ -125,6 +126,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # new this session: chained stateful streaming, sorted lakehouse write
     "q144_stream_chained_windows",
     "q145_range_sorted_write",
+    # new this session: closed-form OLS trends, Z-order clustering
+    "q146_revenue_trend_ols",
+    "q147_zorder_layout",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

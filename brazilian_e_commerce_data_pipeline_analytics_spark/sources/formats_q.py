@@ -159,3 +159,74 @@ def q145_range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"),
         dsum("l_extendedprice", "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147: Z-order (Morton) layout — the multi-dimensional clustering key
+# behind Delta's Z-ORDER / Iceberg's sort-order optimization. A single
+# range-sort can only cluster ONE dimension; interleaving the bits of
+# two dimensions gives a 1-D key whose ranges are small rectangles in
+# (ship-day, part) space, so zone maps prune scans filtered on EITHER
+# dimension.
+#
+# z(x, y) interleaves 12 bits of each coordinate — pure integer
+# shift/mask arithmetic, identical in any engine, no UDF. The audit
+# groups rows by the top 8 bits of z (256 coarse tiles) and reports the
+# per-tile bounding box of both dimensions: bounded boxes on BOTH axes
+# is the property that makes the layout prune two-dimensionally (a
+# shipdate-sorted layout would show full-range part bounds in every
+# tile). The clustered write itself is q145's repartitionByRange +
+# sortWithinPartitions applied to z.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+
+
+def _z_expr_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Q147_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS x,
+         CAST(l_partkey % 4096 AS BIGINT) AS y
+  FROM lineitem
+),
+z AS (SELECT x, y, {_z_expr_sql('x', 'y')} AS z FROM d)
+SELECT CAST(z >> 16 AS INT) AS tile,
+       COUNT(*) AS n_rows,
+       CAST(MIN(x) AS INT) AS min_x, CAST(MAX(x) AS INT) AS max_x,
+       CAST(MIN(y) AS INT) AS min_y, CAST(MAX(y) AS INT) AS max_y
+FROM z GROUP BY 1
+"""
+
+
+def _z_col(x: F.Column, y: F.Column) -> F.Column:
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+@register("q147_zorder_layout", oracle=_Q147_ORACLE, tags=("layout", "zorder", "lakehouse"))
+def q147_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_partkey") % 4096).cast("bigint").alias("y"),
+    )
+    z = d.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("z"))
+    return z.groupBy(F.shiftright("z", 16).cast("int").alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("int").alias("min_x"),
+        F.max("x").cast("int").alias("max_x"),
+        F.min("y").cast("int").alias("min_y"),
+        F.max("y").cast("int").alias("max_y"),
+    )

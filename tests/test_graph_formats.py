@@ -91,3 +91,24 @@ def test_range_sorted_write_files_are_sorted(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_zorder_tiles_bound_both_dimensions(spark):
+    """The Z-order property: fixing the top 8 bits of z pins bits 8-11
+    of BOTH coordinates, so every tile's bounding box spans < 2^8 on
+    each axis — two-dimensional locality a single-column sort can't
+    give."""
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.formats_q import (
+        q147_zorder_layout,
+    )
+    from .conftest import SF_SMALL
+
+    out = q147_zorder_layout(spark, SF_SMALL)
+    bad = out.filter(
+        ((F.col("max_x") - F.col("min_x")) > 255)
+        | ((F.col("max_y") - F.col("min_y")) > 255)
+    ).count()
+    assert bad == 0
+    assert out.count() > 1
