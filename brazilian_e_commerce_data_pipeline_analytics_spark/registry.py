@@ -129,6 +129,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # new this session: closed-form OLS trends, Z-order clustering
     "q146_revenue_trend_ols",
     "q147_zorder_layout",
+    # new this session: join->agg multi-stateful streaming cascade
+    "q148_stream_join_agg_cascade",
     # -- remaining window slots: greens from r01/r02 re-verify --
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",

@@ -1139,3 +1139,77 @@ def q144_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w6.start").alias("win_start"), "event_type", "n_events"
     )
     return run_stream_to_memory(spark, out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q148: stream-stream join feeding a windowed aggregation — the THIRD
+# multi-stateful shape (q144 chains agg->agg; q138/q89 end at the
+# join). An interval join matches each 'a' row to its 'b' row within
+# [a_ts, a_ts+30s]; the matched pairs then aggregate into 60-second
+# windows of a_ts, all inside ONE append-mode query: join state AND
+# window state evicted by the same propagated watermark.
+#
+# Emission pinned empirically on q138's deterministic 4-file stream:
+# a 60s window emits iff win_end <= a-side final watermark
+# (max a_ts - 60s); at these constants the stricter candidate rule
+# (watermark further delayed by the 30s join interval) selects the
+# same window set, so the oracle ranges over the simple bound. The
+# emitted windows carry COMPLETE pair counts (verified against the
+# all-pairs relational replay).
+#
+# Scale: join state = O(rows inside the interval horizon), window
+# state = O(open windows); the cascade keeps per-pair rows out of the
+# sink entirely — only window aggregates cross the boundary.
+# ---------------------------------------------------------------------------
+
+_Q148_ORACLE = f"""
+WITH matched AS (SELECT range AS id FROM range({_OJ_N}) WHERE range % 3 = 0),
+win AS (
+  SELECT ({_OJ_BASE} + id) - (({_OJ_BASE} + id) % 60) AS win_epoch FROM matched
+)
+SELECT win_epoch, COUNT(*) AS n_pairs
+FROM win
+WHERE win_epoch + 60 <= {_OJ_BASE} + {_OJ_N - 1} - {_OJ_WM}
+GROUP BY 1
+"""
+
+
+@register(
+    "q148_stream_join_agg_cascade",
+    oracle=_Q148_ORACLE,
+    tags=("streaming", "join", "watermark", "chained"),
+)
+def q148_stream_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = st.select(
+        "id", "kind", F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts")
+    )
+    a = (
+        ev.filter(F.col("kind") == "a")
+        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", f"{_OJ_WM} seconds")
+    )
+    b = (
+        ev.filter(F.col("kind") == "b")
+        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", f"{_OJ_WM} seconds")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_id") == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_OJ_WIN} SECONDS")),
+        "inner",
+    )
+    agg = joined.groupBy(F.window("a_ts", "60 seconds").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("win_epoch"), "n_pairs"
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")
