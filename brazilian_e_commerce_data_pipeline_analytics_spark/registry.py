@@ -72,8 +72,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (registered at positions 51-61 in r02):
     "q104_jdbc_roundtrip",
     "q101_minhash_recall",
-    "q102_token_zipf",
-    "q103_token_entropy",
+    # q102/q103 deferred to the round-4 window (52 candidates, 50 slots;
+    # the token-stats family already has value-exact driver rows via
+    # q40/q61 r02, so these two are the lowest-risk deferrals):
     "q105_python_datasource",
     "q106_variant_props",
     "q107_udtf_token_positions",
@@ -131,7 +132,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q147_zorder_layout",
     # new this session: join->agg multi-stateful streaming cascade
     "q148_stream_join_agg_cascade",
-    # -- remaining window slots: greens from r01/r02 re-verify --
+    # -- outside the 50-row window: deferred + r01/r02 re-verify greens --
+    "q102_token_zipf",
+    "q103_token_entropy",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
