@@ -92,3 +92,68 @@ def q146_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: longest consecutive-day activity streak per user — the
+# gaps-and-islands pattern exposed as a query (q141 uses the same
+# machinery internally for BPE run parity). Distinct activity days per
+# user; day_index - dense_rank is constant within a consecutive run, so
+# one groupBy over (user, island) yields run lengths and a second agg
+# picks each user's longest (earliest start breaks ties
+# deterministically).
+#
+# Scale: both windows partition by user_id (no global window); the
+# distinct-day relation is the only shuffle producer and is map-side
+# combinable. Output is top-20 streak holders (total order: length
+# desc, user asc) via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_Q149_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+runs AS (
+  SELECT user_id, d,
+         CAST(d - INTERVAL (dense_rank() OVER (PARTITION BY user_id ORDER BY d)) DAY
+              AS DATE) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, MIN(d) AS streak_start, COUNT(*) AS streak_days
+  FROM runs GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, streak_start, streak_days,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_days DESC, streak_start) AS rn
+  FROM streaks
+)
+SELECT user_id, streak_start, streak_days
+FROM best WHERE rn = 1
+ORDER BY streak_days DESC, user_id LIMIT 20
+"""
+
+
+@register("q149_longest_streaks", oracle=_Q149_ORACLE, tags=("bi", "window", "islands"))
+def q149_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.dense_rank().over(w))
+    )
+    streaks = runs.groupBy("user_id", "island").agg(
+        F.min("d").alias("streak_start"), F.count(F.lit(1)).alias("streak_days")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    best = (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "island")
+    )
+    return best.orderBy(F.desc("streak_days"), "user_id").limit(20)

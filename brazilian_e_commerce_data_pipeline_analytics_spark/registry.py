@@ -135,6 +135,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- outside the 50-row window: deferred + r01/r02 re-verify greens --
     "q102_token_zipf",
     "q103_token_entropy",
+    "q149_longest_streaks",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
