@@ -51,6 +51,18 @@ BENCH_QUERIES = (
     "q53_stream_hourly",
 )
 
+# Round-3 additions measured SEPARATELY (queries_extended) so the
+# 24-query headline total stays comparable across rounds; one per new
+# family — regex curation, iterative BPE, cluster-then-compare dedup,
+# sorted lakehouse write, Morton clustering.
+BENCH_EXTENDED = (
+    "q139_pii_redaction",
+    "q141_bpe_merges",
+    "q143_semdedup",
+    "q145_range_sorted_write",
+    "q147_zorder_layout",
+)
+
 
 def _spin_probe(n: int = 3) -> float:
     """Median wall time of a fixed CPU-bound workload (~100 ms quiet).
@@ -127,6 +139,16 @@ def main() -> None:
             assert rows is not None
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    ext: dict[str, float] = {}
+    for name in BENCH_EXTENDED:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+            assert rows is not None
+        ext[name] = round(best, 3)
     print(
         json.dumps(
             {
@@ -134,6 +156,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # round-3 families, excluded from "value" so the headline
+                # total stays comparable with BENCH_r01/r02:
+                "queries_extended": ext,
                 "sf": sf,
                 # host-contention calibration: median wall time of a fixed
                 # single-thread CPU workload before/after the run. On a

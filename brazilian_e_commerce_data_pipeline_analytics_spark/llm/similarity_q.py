@@ -708,7 +708,7 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.99
-_SEMDEDUP_CELLS = 8
+_SEMDEDUP_CELLS = 16
 
 _Q143_ORACLE = f"""
 WITH e AS (
@@ -773,16 +773,43 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = e.unionByName(planted)
     cents = ivf_centroids(raw, n_cells=_SEMDEDUP_CELLS, dims=_IVF_DIMS)
-    asg = aug.crossJoin(F.broadcast(_codebook_row(cents))).select(
-        "vec_id", "v", _best_cell(F.col("v"), F.col("__cents")).alias("cell")
+    # cache: the self-join consumes the assignment twice, and without it
+    # each side replays the centroid computation AND the broadcast
+    # assignment (measured 9.5s -> ~5s at sf0.1). The registry wrapper
+    # clearCache()s on entry, so the cached relation never outlives the
+    # query (ADVICE r2 discipline).
+    asg = (
+        aug.crossJoin(F.broadcast(_codebook_row(cents)))
+        .select(
+            "vec_id",
+            "v",
+            _best_cell(F.col("v"), F.col("__cents")).alias("cell"),
+            # norms once per ROW, not per pair: the pairwise stage then
+            # folds ONE 64-element product per pair instead of three
+            # (dot + both norms). The arithmetic is unchanged —
+            # dot/(na*nb) is exactly what cosine() computes — so the
+            # round-6 oracle match is preserved.
+            l2_norm(F.col("v")).alias("nv"),
+        )
+        .cache()
     )
     a = asg.select(
-        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("cell")
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("cell"),
     )
     b = asg.select(
-        F.col("vec_id").alias("vec_id"), F.col("v").alias("vb"), F.col("cell")
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("cell"),
     )
-    s = cosine(F.col("va"), F.col("vb"))
+    from .similarity import dot
+
+    s = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("ia") < F.col("vec_id"))
