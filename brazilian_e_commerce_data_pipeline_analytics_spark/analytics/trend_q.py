@@ -157,3 +157,96 @@ def q149_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn", "island")
     )
     return best.orderBy(F.desc("streak_days"), "user_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q151: time-series gap filling with forward fill — resample events to
+# a dense hourly grid per event_type and carry the last observed value
+# across empty hours (the standard prep before any time-series model).
+#
+# The dense grid is a DISTRIBUTED spine: one 2-row agg finds the time
+# range, sequence()+explode generates the hours in-plan (operator S5's
+# rule — never a driver-side date loop), and a cross join with the
+# tiny event_type dim lands the (type, hour) grid. Observed hours LEFT
+# JOIN onto the grid; the carry is last(value, ignorenulls) over a
+# per-type window ordered by hour — partitioned by event_type, so no
+# global window appears. Leading gaps (before a type's first
+# observation) stay NULL by definition in both engines.
+# ---------------------------------------------------------------------------
+
+_Q151_ORACLE = """
+WITH rng AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM rng
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, hour_start FROM types CROSS JOIN hours),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         COUNT(*) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, g.hour_start,
+       COALESCE(o.n_events, 0) AS n_events,
+       (o.hour_start IS NULL) AS is_gap,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM grid g LEFT JOIN obs o
+  ON g.event_type = o.event_type AND g.hour_start = o.hour_start
+"""
+
+
+@register("q151_gap_fill_ffill", oracle=_Q151_ORACLE, tags=("timeseries", "window", "spine"))
+def q151_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+        ).alias("v"),
+    )
+    joined = grid.join(
+        obs.withColumnRenamed("hour_start", "obs_hour"),
+        (grid.event_type == obs.event_type)
+        & (grid.hour_start == F.col("obs_hour")),
+        "left",
+    ).select(
+        grid.event_type,
+        grid.hour_start,
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("obs_hour").isNull().alias("is_gap"),
+        "v",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "is_gap",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )

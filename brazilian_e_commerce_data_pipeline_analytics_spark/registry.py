@@ -136,6 +136,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q102_token_zipf",
     "q103_token_entropy",
     "q149_longest_streaks",
+    "q150_xml_roundtrip",
+    "q151_gap_fill_ffill",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",

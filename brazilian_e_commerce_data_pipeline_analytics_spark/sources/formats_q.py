@@ -230,3 +230,44 @@ def q147_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("int").alias("min_y"),
         F.max("y").cast("int").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150: native XML roundtrip — Spark 4's built-in XML source (the
+# spark-xml package folded into core as SPARK-44265). Same lossless-
+# roundtrip contract as q129's ORC/JSON legs: write the events
+# projection as XML, read it back with an EXPLICIT schema (XML
+# inference is an extra full pass, same rule as CSV/JSON), and prove
+# the aggregates match the parquet source.
+#
+# Scale notes: XML is the interchange format here, not the analytical
+# layout — a row-per-element text format parses ~10x slower than
+# columnar; the roundtrip exists for ingest parity (ERP/legacy feeds),
+# after which data lands in parquet. Write and read are both
+# embarrassingly parallel (one XML file per task, StAX record reader
+# per file).
+# ---------------------------------------------------------------------------
+
+_Q150_ORACLE = _AGG.format(fmt="xml")
+
+
+@register("q150_xml_roundtrip", oracle=_Q150_ORACLE, tags=("source", "sink", "formats", "xml"))
+def q150_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    xml_dir = _scratch_dir(sf_dir, "events_xml")
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(xml_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema(_ROUNDTRIP_SCHEMA)
+        .option("rowTag", "event")
+        .load(xml_dir)
+    )
+    return _per_format_agg(back, "xml")
