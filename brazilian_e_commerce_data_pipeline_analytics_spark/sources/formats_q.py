@@ -271,3 +271,53 @@ def q150_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(xml_dir)
     )
     return _per_format_agg(back, "xml")
+
+
+# ---------------------------------------------------------------------------
+# q152: schema evolution on read — two generations of a feed land with
+# DIFFERENT schemas (gen 1 carries `value`, gen 2 drops it and adds
+# `event_type`), and a mergeSchema read reconciles them into one
+# relation with NULLs where a generation lacks a column. This is the
+# schema-drift reality of any long-lived ingest path; the versioned-
+# table layer (q124/q137) assumes a stable schema, so this query is
+# the missing drift leg.
+#
+# mergeSchema=true unions the parquet footers at planning time (no
+# data pass); per-file projection still prunes to the columns that
+# file actually has. The `gen` directory key is discovered as a
+# partition column. The audit proves exactly which columns are NULL
+# in which generation and that no rows were lost.
+# ---------------------------------------------------------------------------
+
+_Q152_ORACLE = """
+SELECT gen,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) FILTER (WHERE gen = 2) AS n_null_value,
+       COUNT(*) FILTER (WHERE gen = 1) AS n_null_type
+FROM (
+  SELECT CAST(1 + (event_id % 2) AS INT) AS gen, user_id FROM events
+)
+GROUP BY gen
+"""
+
+
+@register("q152_schema_evolution", oracle=_Q152_ORACLE, tags=("source", "schema", "lakehouse"))
+def q152_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "schema_evo")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy(F.col("gen").cast("int").alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("n_null_type"),
+    )
