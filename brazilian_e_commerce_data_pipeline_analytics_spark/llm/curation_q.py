@@ -296,7 +296,10 @@ k{n} AS (
 )"""
 
 
-_Q141_ORACLE = (
+# Shared CTE prefix: vocabulary, char split, and the unrolled merge
+# iterations — ends with the post-merge symbol relation s{_BPE_ITERS}.
+# q141 selects the merge table from it; q153 applies it to the corpus.
+_BPE_CTE_PREFIX = (
     """
 WITH wc AS (
   SELECT t AS word, COUNT(*) AS cnt
@@ -309,6 +312,10 @@ s0 AS (
   FROM (SELECT word, cnt, chars, unnest(range(len(chars))) AS pos FROM c0)
 ),"""
     + ",".join(_bpe_iter_sql(n) for n in range(1, _BPE_ITERS + 1))
+)
+
+_Q141_ORACLE = (
+    _BPE_CTE_PREFIX
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT {n} AS it, l AS left_sym, r AS right_sym,"
@@ -318,8 +325,10 @@ s0 AS (
 )
 
 
-@register("q141_bpe_merges", oracle=_Q141_ORACLE, tags=("text", "tokenizer", "iterative", "llm"))
-def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run the merge loop; return (post-merge symbol relation, merge table)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("word")
@@ -389,6 +398,66 @@ def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
+    return s, merges
+
+
+@register("q141_bpe_merges", oracle=_Q141_ORACLE, tags=("text", "tokenizer", "iterative", "llm"))
+def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "it int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153: BPE application — the other half of the tokenizer loop. The
+# trained merges (q141) collapse the symbol sequences of every
+# vocabulary word; applying them to the corpus is a per-word subword
+# count joined back onto the token stream (segmenting by word-TYPE,
+# never re-running merges per token instance — the vocabulary is the
+# unit of work, exactly how production tokenizers amortize encoding).
+# Per document: token/char/subword totals and the chars-per-subword
+# compression the 3 merges bought.
+# ---------------------------------------------------------------------------
+
+_Q153_ORACLE = (
+    _BPE_CTE_PREFIX
+    + f""",
+wordlen AS (SELECT word, COUNT(*) AS n_sub FROM s{_BPE_ITERS} GROUP BY word),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(length(word)) AS INT) AS n_chars,
+       CAST(SUM(n_sub) AS INT) AS n_subwords,
+       round(SUM(length(word)) / SUM(n_sub), 6) AS compression
+FROM tok JOIN wordlen USING (word)
+GROUP BY doc_id
+"""
+)
+
+
+@register("q153_bpe_apply", oracle=_Q153_ORACLE, tags=("text", "tokenizer", "llm"))
+def q153_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, _ = _bpe_train(spark, sf_dir)
+    wordlen = s.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "word"
+        ),
+    )
+    return (
+        tok.join(wordlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.length("word")).cast("int").alias("n_chars"),
+            F.sum("n_sub").cast("int").alias("n_subwords"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_sub"), 6
+            ).alias("compression"),
+        )
     )

@@ -139,6 +139,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q150_xml_roundtrip",
     "q151_gap_fill_ffill",
     "q152_schema_evolution",
+    "q153_bpe_apply",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
