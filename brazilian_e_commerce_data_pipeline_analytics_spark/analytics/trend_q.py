@@ -250,3 +250,58 @@ def q151_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154: quantile drift monitor — weekly p50/p95 of order totals with
+# week-over-week deltas and a drift flag, the standard data-quality
+# watch on a continuously-loaded fact table. Exact percentiles ride
+# q27's proven cross-engine identity (Spark percentile() and DuckDB
+# quantile_cont() interpolate doubles bit-identically); the lag runs
+# over the POST-AGGREGATION weekly series (hundreds of rows), so the
+# unpartitioned window is a deliberate tiny-input exception to the
+# no-global-window rule.
+# ---------------------------------------------------------------------------
+
+_DRIFT_THRESHOLD = 5000.0
+
+_Q154_ORACLE = f"""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         COUNT(*) AS n_orders,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95
+  FROM orders GROUP BY 1
+)
+SELECT week_start, n_orders, p50, p95,
+       round(p50 - lag(p50) OVER (ORDER BY week_start), 6) AS p50_drift,
+       COALESCE(abs(p50 - lag(p50) OVER (ORDER BY week_start))
+                  > {_DRIFT_THRESHOLD}, FALSE) AS drift_flag
+FROM wk
+"""
+
+
+@register("q154_quantile_drift", oracle=_Q154_ORACLE, tags=("quality", "percentile", "monitoring"))
+def q154_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("p50"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.95)").alias("p95"),
+    )
+    w = Window.orderBy("week_start")
+    lagged = F.lag("p50").over(w)
+    return wk.select(
+        "week_start",
+        "n_orders",
+        "p50",
+        "p95",
+        F.round(F.col("p50") - lagged, 6).alias("p50_drift"),
+        F.coalesce(
+            F.abs(F.col("p50") - lagged) > _DRIFT_THRESHOLD, F.lit(False)
+        ).alias("drift_flag"),
+    )

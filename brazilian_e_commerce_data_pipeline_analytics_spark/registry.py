@@ -140,6 +140,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q151_gap_fill_ffill",
     "q152_schema_evolution",
     "q153_bpe_apply",
+    "q154_quantile_drift",
+    "q155_corrupt_records",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",

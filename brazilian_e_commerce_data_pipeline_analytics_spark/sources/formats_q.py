@@ -321,3 +321,62 @@ def q152_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
         F.sum(F.col("event_type").isNull().cast("long")).alias("n_null_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155: corrupt-record-tolerant ingest — PERMISSIVE JSON reading with
+# columnNameOfCorruptRecord, the robustness contract every real feed
+# needs (the reference's inferschema CSV ingest dies on the first bad
+# row; ingestion.py:12). Good rows parse normally; malformed lines
+# land whole in _corrupt_record with every data column NULL, so bad
+# data is QUARANTINED, not dropped and not fatal. The fixture plants
+# 7 deterministic malformed lines among the real JSON.
+#
+# Scale: PERMISSIVE parsing is per-row inside the scan — no extra
+# pass, no driver involvement; the quarantine column prunes away for
+# queries that don't select it.
+# ---------------------------------------------------------------------------
+
+_N_CORRUPT = 7
+
+_Q155_ORACLE = f"""
+SELECT 'good' AS kind, COUNT(*) AS n_rows,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value
+FROM events
+UNION ALL
+SELECT 'corrupt', {_N_CORRUPT}, NULL
+"""
+
+
+@register("q155_corrupt_records", oracle=_Q155_ORACLE, tags=("source", "robustness", "json"))
+def q155_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    d = _scratch_dir(sf_dir, "corrupt_json")
+    ev.write.mode("overwrite").json(d)
+    # plant malformed lines (deterministic content and count) among the
+    # real part files — a driver-side FIXTURE construction, not a data path
+    with open(os.path.join(d, "zz-corrupt-extra.json"), "w", encoding="utf-8") as fh:
+        for i in range(_N_CORRUPT):
+            fh.write(f'{{"event_id": BAD{i}, "user_id": !!}}\n')
+    schema = T.StructType(
+        list(_ROUNDTRIP_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    return back.groupBy(
+        F.when(F.col("_corrupt_record").isNull(), "good")
+        .otherwise("corrupt")
+        .alias("kind")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+        ).alias("total_value"),
+    )
