@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.multimodal",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.llm.codecs_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs",
     "brazilian_e_commerce_data_pipeline_analytics_spark.pipeline.gold_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.sources.jdbc_q",
@@ -142,6 +143,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q153_bpe_apply",
     "q154_quantile_drift",
     "q155_corrupt_records",
+    "q156_wav_decode",
+    "q157_bmp_decode",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",

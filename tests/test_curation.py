@@ -168,3 +168,64 @@ def test_semdedup_drops_planted_twins(spark):
         assert r["vec_id"] >= 100000
         assert r["keeper_id"] == r["vec_id"] - 100000
         assert r["score"] >= _SEMDEDUP_TAU
+
+
+def test_wav_decoder_walks_chunks_and_validates():
+    """The RIFF parser is a real chunk walker: a LIST chunk inserted
+    before 'data' must not break it, and garbage must be rejected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.codecs import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    base = encode_wav(3)
+    ref = decode_wav(base)
+    assert ref["sample_rate"] == WAV_RATE and ref["n_samples"] == 160 + 3 * 80
+
+    # rebuild with an extra odd-sized chunk between fmt and data
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # word-aligned
+    body = fmt_chunk + extra + data_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert decode_wav(rebuilt) == ref
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"garbage bytes that are not RIFF at all")
+
+
+def test_bmp_decoder_handles_top_down_and_padding():
+    """Negative height (top-down row order) must decode to the same
+    channel means; width 5 exercises the 4-byte row padding."""
+    import struct
+
+    import pytest as _pytest
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    base = encode_bmp(4)  # width 5+0... media_id 4 -> w=5+0=5? w = 5 + 4%4 = 5
+    ref = decode_bmp(base)
+    assert ref["width"] == 5 + 4 % 4 and ref["height"] == 3 + 4 % 3
+
+    # flip to top-down: negate height and reverse the pixel rows
+    w, h = ref["width"], ref["height"]
+    stride = (w * 3 + 3) & ~3
+    off = struct.unpack_from("<I", base, 10)[0]
+    rows = [base[off + i * stride : off + (i + 1) * stride] for i in range(h)]
+    flipped = base[:off] + b"".join(reversed(rows))
+    flipped = (
+        flipped[:22] + struct.pack("<i", -h) + flipped[26:]
+    )  # height field at offset 22
+    assert decode_bmp(flipped) == ref
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP")
