@@ -461,3 +461,64 @@ def q153_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: corpus data card — the one-row release summary every published
+# training set ships with. Unions the pipeline's signal families into a
+# single relation: volume (docs/tokens), composition (language count +
+# dominant language via deterministic argmax), and duplication (exact
+# content-hash dup rate). Each component is a tiny aggregate; the final
+# row assembles via crossJoins of 1-row relations — no shuffle wider
+# than the component aggs themselves.
+# ---------------------------------------------------------------------------
+
+_Q159_ORACLE = """
+WITH vol AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS n_tokens,
+         COUNT(DISTINCT md5(text)) AS n_distinct_docs,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM documents
+),
+top AS (
+  SELECT lang AS top_lang FROM (
+    SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1
+    ORDER BY c DESC, lang LIMIT 1
+  )
+)
+SELECT n_docs, n_tokens, n_langs, top_lang,
+       round(1.0 - n_distinct_docs / n_docs, 6) AS dup_rate,
+       round(n_tokens / n_docs, 6) AS mean_doc_tokens
+FROM vol CROSS JOIN top
+"""
+
+
+@register("q159_corpus_datacard", oracle=_Q159_ORACLE, tags=("text", "report", "llm"))
+def q159_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    vol = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return vol.crossJoin(top).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "top_lang",
+        F.round(1.0 - F.col("n_distinct_docs") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+    )

@@ -347,3 +347,38 @@ def q132_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158: HLL calibration — the value-exact driver row for the sketch
+# family (q97's raw HLL counts are engine-specific, hence rows-only).
+# The query computes BOTH the exact distincts and approx_count_distinct
+# at rsd=0.01, and asserts the sketch landed within a 5% gate; the
+# emitted columns are the exact counts plus the gate verdict, which the
+# oracle replays (measured HLL error on this data: <=0.7% at every sf,
+# so the 5% gate is 7x slack — deterministic, not flaky: Spark's HLL
+# is a pure function of the data).
+# ---------------------------------------------------------------------------
+
+_Q158_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events GROUP BY 1
+"""
+
+
+@register("q158_hll_calibration", oracle=_Q158_ORACLE, tags=("sketch", "approx", "events"))
+def q158_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.countDistinct("user_id")
+            )
+            / F.countDistinct("user_id")
+            <= 0.05
+        ).alias("within_bounds"),
+    )

@@ -145,6 +145,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q155_corrupt_records",
     "q156_wav_decode",
     "q157_bmp_decode",
+    "q158_hll_calibration",
+    "q159_corpus_datacard",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
