@@ -380,3 +380,15 @@ def test_semdedup_joins_on_cell_key(spark):
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan  # codebook / matrix ships broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_is_distributed(spark):
+    """q151: the hourly grid comes from sequence()+explode inside the
+    plan (Generate node over a 1-row agg) — no driver-side date loop,
+    no LocalTableScan of precomputed hours; and the carry window is
+    partitioned by event_type, not global."""
+    df = QUERIES["q151_gap_fill_ffill"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Generate" in plan and "explode(sequence(" in plan
+    # the carry window's partition spec must name event_type (not empty)
+    assert "windowspecdefinition(event_type" in plan
