@@ -13,9 +13,12 @@ its text processing stops at column cleanup, ``transformation.py:94-98``):
 * q141 — byte-pair-encoding merge induction: the first merges of a
   tokenizer-training run, computed as distributed pair counting plus a
   relational greedy merge application.
+* q153 — BPE application: the trained merges segment the corpus by
+  word type and roll up per-document subword/compression stats.
+* q159 — the one-row corpus data card (volume, composition, dup rate).
 
-All three are pure JVM expressions / relational plans (no Python UDFs),
-and every step is replayed value-exactly by a DuckDB oracle.
+All are pure JVM expressions / relational plans (no Python UDFs), and
+every step is replayed value-exactly by a DuckDB oracle.
 """
 
 from __future__ import annotations
