@@ -73,9 +73,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (registered at positions 51-61 in r02):
     "q104_jdbc_roundtrip",
     "q101_minhash_recall",
-    # q102/q103 deferred to the round-4 window (52 candidates, 50 slots;
-    # the token-stats family already has value-exact driver rows via
-    # q40/q61 r02, so these two are the lowest-risk deferrals):
+    "q102_token_zipf",
+    "q103_token_entropy",
     "q105_python_datasource",
     "q106_variant_props",
     "q107_udtf_token_positions",
@@ -128,14 +127,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # new this session: chained stateful streaming, sorted lakehouse write
     "q144_stream_chained_windows",
     "q145_range_sorted_write",
-    # new this session: closed-form OLS trends, Z-order clustering
+    # new this session: closed-form OLS trends
     "q146_revenue_trend_ols",
+    # -- outside the 50-row window (VERDICT r2 asked for q101-q111 rows
+    # in r03, so the deferrals are new-this-session queries whose FAMILY
+    # keeps an in-window representative: q147 layout via q145, q148
+    # cascade via q144; all deferred rotate into the round-4 window) --
     "q147_zorder_layout",
-    # new this session: join->agg multi-stateful streaming cascade
     "q148_stream_join_agg_cascade",
-    # -- outside the 50-row window: deferred + r01/r02 re-verify greens --
-    "q102_token_zipf",
-    "q103_token_entropy",
     "q149_longest_streaks",
     "q150_xml_roundtrip",
     "q151_gap_fill_ffill",
