@@ -354,7 +354,13 @@ def _bpe_train(
             .groupBy("sym", "nxt")
             .agg(F.sum("cnt").alias("pc"))
         )
-        top = pc.orderBy(F.desc("pc"), "sym", "nxt").limit(1).collect()[0]
+        top_rows = pc.orderBy(F.desc("pc"), "sym", "nxt").limit(1).collect()
+        if not top_rows:
+            # merges exhausted (every word is a single symbol) — classic
+            # BPE stops; the SQL oracle agrees because an empty t{n} CTE
+            # cross-joins everything downstream to empty
+            break
+        top = top_rows[0]
         merges.append((it, top["sym"], top["nxt"], top["pc"]))
 
         m = pairs.withColumn(

@@ -310,3 +310,147 @@ def test_two_pass_median_equals_sorted_middle(spark, rows):
         by_g.setdefault(k % 2, []).append(float(v))
     for g, vals in by_g.items():
         assert abs(got[g] - statistics.median(vals)) < 1e-9, (g, sorted(vals), got[g])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session-2 machinery: Morton codes, media codecs, BPE greedy.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4095),
+            st.integers(min_value=0, max_value=4095),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_zorder_interleave_is_bijective(pts):
+    """q147's Morton formula is a true bijection on 12+12 bits: the
+    de-interleave recovers (x, y) exactly for any coordinates."""
+
+    def z(x, y):
+        out = 0
+        for i in range(12):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def unz(v):
+        x = y = 0
+        for i in range(12):
+            x |= ((v >> (2 * i)) & 1) << i
+            y |= ((v >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for x, y in pts:
+        assert unz(z(x, y)) == (x, y)
+
+
+@given(mid=st.integers(min_value=0, max_value=100000))
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrips_match_direct_computation(mid):
+    """encode->decode for WAV and BMP reproduces features computed
+    straight from the synthesis formulas, for ANY media id."""
+    import numpy as np
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.codecs import (
+        bmp_channel,
+        bmp_dims,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        wav_n_samples,
+        wav_samples,
+    )
+
+    w = decode_wav(encode_wav(mid))
+    n = wav_n_samples(mid)
+    s = wav_samples(mid, n).astype(np.int64)
+    assert w["n_samples"] == n
+    assert w["peak"] == int(np.abs(s).max())
+    assert abs(w["rms"] - float(np.sqrt(np.sum(s * s) / n))) < 1e-12
+
+    b = decode_bmp(encode_bmp(mid))
+    bw, bh = bmp_dims(mid)
+    assert (b["width"], b["height"]) == (bw, bh)
+    exp_r = sum(
+        bmp_channel(mid, x, y, 2) for x in range(bw) for y in range(bh)
+    ) / (bw * bh)
+    assert abs(b["mean_r"] - exp_r) < 1e-12
+
+
+def _py_bpe(words: dict, iters: int):
+    """Pure-Python greedy BPE reference: weighted pair counts, argmax
+    with (count desc, left, right) tie-break, left-to-right
+    non-overlapping merge application."""
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(iters):
+        counts = {}
+        for w, cnt in words.items():
+            ss = syms[w]
+            for a, b in zip(ss, ss[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (l, r), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, pc))
+        for w in syms:
+            ss, out, i = syms[w], [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(ss[i] + ss[i + 1])
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_merges_match_python_reference(spark, words):
+    """The relational greedy merge (gaps-and-islands run parity) equals
+    classic left-to-right BPE for arbitrary tiny corpora — including
+    overlapping-run words like 'aaaa' ('ab' alphabet maximizes them)."""
+    import brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q as cq
+
+    corpus = {}
+    for w, c in words:
+        corpus[w] = corpus.get(w, 0) + c
+    text = " ".join(w for w, c in corpus.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    expected = _py_bpe(corpus, cq._BPE_ITERS)
+
+    orig = cq.load_table
+    try:
+        cq.load_table = lambda _s, _sf, _n: df  # type: ignore[assignment]
+        got = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in sorted(
+                cq.q141_bpe_merges(spark, "unused").collect(),
+                key=lambda r: r["it"],
+            )
+        ]
+    finally:
+        cq.load_table = orig
+    assert got == expected
