@@ -700,3 +700,119 @@ def q137_versioned_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, table_dir).select(
         "d", "event_type", "n_events", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q160: snapshot diff — "what changed between v1 and v2", the audit
+# query that closes the versioned-table lifecycle (create -> merge ->
+# CDC -> time travel -> DIFF). Both versions are read through the
+# manifest layer (v1 via time travel, v2 as latest) and full-outer
+# joined on the grain key; every key classifies as added / deleted /
+# updated / unchanged, with the net row-count delta per class. This is
+# Delta's `DESCRIBE HISTORY` + CDF rolled into one relational audit,
+# and it's how an incremental pipeline PROVES a merge touched exactly
+# what it claimed (q114's merge==recompute check at the storage layer).
+#
+# Scale: two manifest-pruned scans + one shuffle on the grain key; the
+# diff never materializes more than the two snapshots' keyed rows.
+# ---------------------------------------------------------------------------
+
+_Q160_ORACLE = f"""
+WITH v1 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events WHERE ts < TIMESTAMP '{_CUTOVER}'
+  GROUP BY 1, 2
+),
+v2 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT CASE WHEN v1.d IS NULL THEN 'added'
+              WHEN v2.d IS NULL THEN 'deleted'
+              WHEN v1.n_events = v2.n_events
+               AND v1.total_value = v2.total_value THEN 'unchanged'
+              ELSE 'updated' END AS change_type,
+         COALESCE(v2.n_events, 0) - COALESCE(v1.n_events, 0) AS dn
+  FROM v1 FULL OUTER JOIN v2
+    ON v1.d = v2.d AND v1.event_type = v2.event_type
+)
+SELECT change_type, COUNT(*) AS n_keys,
+       CAST(SUM(dn) AS BIGINT) AS delta_events
+FROM j GROUP BY 1
+"""
+
+
+@register(
+    "q160_version_diff",
+    oracle=_Q160_ORACLE,
+    tags=("lakehouse", "time-travel", "diff"),
+)
+def q160_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.versioned import create_table, merge_version, read_version
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "versioned",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"diff_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"diff_{sf_tag}_{uuid.uuid4().hex[:8]}")
+    create_table(_daily_gold(ev.filter(F.col("ts") < cut)), table_dir, "d")
+    touched_days = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    updates = _daily_gold(
+        ev.join(
+            F.broadcast(touched_days),
+            ev["ts"].cast("date") == touched_days["d"],
+            "left_semi",
+        )
+    )
+    merge_version(spark, table_dir, updates, key_cols=["d", "event_type"])
+
+    v1 = read_version(spark, table_dir, version=1).select(
+        F.col("d").alias("d1"),
+        F.col("event_type").alias("et1"),
+        F.col("n_events").alias("n1"),
+        F.col("total_value").alias("t1"),
+    )
+    v2 = read_version(spark, table_dir).select(
+        F.col("d").alias("d2"),
+        F.col("event_type").alias("et2"),
+        F.col("n_events").alias("n2"),
+        F.col("total_value").alias("t2"),
+    )
+    j = v1.join(
+        v2, (F.col("d1") == F.col("d2")) & (F.col("et1") == F.col("et2")), "full_outer"
+    ).select(
+        F.when(F.col("d1").isNull(), "added")
+        .when(F.col("d2").isNull(), "deleted")
+        .when(
+            (F.col("n1") == F.col("n2")) & (F.col("t1") == F.col("t2")),
+            "unchanged",
+        )
+        .otherwise("updated")
+        .alias("change_type"),
+        (F.coalesce("n2", F.lit(0)) - F.coalesce("n1", F.lit(0))).alias("dn"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("dn").alias("delta_events"),
+    )
