@@ -454,3 +454,46 @@ def test_bpe_merges_match_python_reference(spark, words):
     finally:
         cq.load_table = orig
     assert got == expected
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # hour slot
+            st.integers(min_value=1, max_value=9),   # value
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_forward_fill_matches_python_reference(spark, obs):
+    """last(ignorenulls) over a dense spine == a Python forward-fill
+    scan, for any sparse observation pattern (leading gaps stay None)."""
+    from pyspark.sql.window import Window
+
+    slots = sorted(dict(obs).items())
+    df = spark.createDataFrame(
+        [(h, float(v)) for h, v in slots], "h int, v double"
+    )
+    spine = spark.range(12).select(F.col("id").cast("int").alias("h"))
+    joined = spine.join(df, "h", "left")
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["h"]: r["f"]
+        for r in joined.select(
+            "h", F.last("v", ignorenulls=True).over(w).alias("f")
+        ).collect()
+    }
+    exp, carry = {}, None
+    lookup = dict(slots)
+    for h in range(12):
+        if h in lookup:
+            carry = float(lookup[h])
+        exp[h] = carry
+    assert got == exp
