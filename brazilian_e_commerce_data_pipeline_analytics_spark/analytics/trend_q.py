@@ -305,3 +305,73 @@ def q154_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("p50") - lagged) > _DRIFT_THRESHOLD, F.lit(False)
         ).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161: ABC / Pareto classification — rank products by revenue and cut
+# the cumulative share at 80% (class A) and 95% (class B), the
+# standard inventory-concentration analysis. The global running total
+# does NOT use an unpartitioned window: it rides distributed_cumsum
+# (q88's two-level prefix sum) over a composite DECIMAL(38,0) sort key
+# encoding (revenue DESC, partkey ASC) — so the plan survives a
+# part dimension of any size. Revenue cumulates as exact cents
+# (BIGINT), and the share is rounded before the class cut so the
+# boundary comparison is engine-identical. (Cent totals stay
+# double-exact below 2^53 ≈ $90 trillion — beyond any catalog.)
+# ---------------------------------------------------------------------------
+
+_Q161_ORACLE = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS v100
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_partkey, v100,
+         SUM(v100) OVER (ORDER BY v100 DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum100,
+         SUM(v100) OVER () AS tot
+  FROM pp
+),
+k AS (
+  SELECT CASE WHEN round(CAST(cum100 AS DOUBLE) / tot, 6) <= 0.8 THEN 'A'
+              WHEN round(CAST(cum100 AS DOUBLE) / tot, 6) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         v100
+  FROM c
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(v100) AS DOUBLE) / 100 AS class_revenue
+FROM k GROUP BY 1
+"""
+
+
+@register("q161_abc_classification", oracle=_Q161_ORACLE, tags=("bi", "pareto", "prefix-sum"))
+def q161_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import distributed_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        (F.sum(dmoney("l_extendedprice")) * 100).cast("bigint").alias("v100")
+    )
+    skey = (
+        (F.lit(10**12) - F.col("v100")).cast("decimal(38,0)") * F.lit(10**10)
+        + F.col("l_partkey")
+    ).alias("skey")
+    keyed = pp.select("l_partkey", "v100", skey)
+    cum = distributed_cumsum(keyed, "skey", "v100", out="cum100")
+    tot = pp.agg(F.sum("v100").alias("tot"))
+    share = F.round(F.col("cum100").cast("double") / F.col("tot"), 6)
+    k = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "v100",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("v100").cast("double") / 100).alias("class_revenue"),
+    )

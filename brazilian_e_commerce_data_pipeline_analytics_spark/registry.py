@@ -147,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q158_hll_calibration",
     "q159_corpus_datacard",
     "q160_version_diff",
+    "q161_abc_classification",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
