@@ -375,3 +375,119 @@ def q161_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         (F.sum("v100").cast("double") / 100).alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q162: event transition matrix — first-order Markov counts over each
+# user's event stream (the sequence-mining staple behind "what do
+# users do next"). lag() per user ordered by (ts, event_id) — a total
+# order, so ties can't flip pairs — then one groupBy over (prev, cur)
+# with per-source-state probabilities. Windows partition by user;
+# state per user = one previous row.
+# ---------------------------------------------------------------------------
+
+_Q162_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS cur_type FROM seq WHERE prev_type IS NOT NULL
+)
+SELECT prev_type, cur_type, COUNT(*) AS n_transitions,
+       round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS prob
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("q162_event_transitions", oracle=_Q162_ORACLE, tags=("events", "sequence", "window"))
+def q162_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "cur_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "cur_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wsrc), 6
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163: exponential smoothing — per-type daily totals folded through
+# s_t = alpha*y_t + (1-alpha)*s_{t-1} (s_0 = first observation), the
+# simplest forecasting baseline. The fold is a LEFT fold over the
+# time-ordered series in BOTH engines (Spark F.aggregate over the
+# sorted tail, DuckDB list_reduce over the same ordered list), so the
+# float sequence is bit-identical; only the final smoothed level is
+# rounded. Series live per group (one array per event_type) — at scale
+# this is groupBy + sorted collect_list bounded by days-per-type, the
+# same envelope as the chunker.
+# ---------------------------------------------------------------------------
+
+_SMOOTH_ALPHA = 0.3
+
+_Q163_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(y ORDER BY d) AS ys, COUNT(*) AS n_days,
+         max_by(y, d) AS last_value
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days, last_value,
+       round(list_reduce(ys,
+             (acc, x) -> acc * {1 - _SMOOTH_ALPHA} + x * {_SMOOTH_ALPHA}), 6)
+         AS smoothed
+FROM series
+"""
+
+
+@register("q163_exp_smoothing", oracle=_Q163_ORACLE, tags=("timeseries", "forecast", "fold"))
+def q163_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+        ).alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.max_by("y", "d").alias("last_value"),
+    )
+    smoothed = F.aggregate(
+        F.slice("ys", 2, F.size("ys") - 1),
+        F.element_at("ys", 1),
+        lambda acc, x: acc * (1 - _SMOOTH_ALPHA) + x * _SMOOTH_ALPHA,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_value",
+        F.round(smoothed, 6).alias("smoothed"),
+    )

@@ -148,6 +148,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q159_corpus_datacard",
     "q160_version_diff",
     "q161_abc_classification",
+    "q162_event_transitions",
+    "q163_exp_smoothing",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
