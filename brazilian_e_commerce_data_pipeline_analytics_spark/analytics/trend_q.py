@@ -491,3 +491,72 @@ def q163_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         F.round(smoothed, 6).alias("smoothed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164: join-key skew report — the diagnostic you run BEFORE choosing
+# between a plain join, AQE skew splitting, and the salted operators
+# (q36/q112): per-key row counts summarized as a Gini concentration
+# coefficient plus the top-5 key share. The Gini rank index comes from
+# distributed_cumsum over a composite (count asc, key asc) decimal
+# key — no unpartitioned row_number anywhere — and all sums are exact
+# (decimal) before ONE pinned double expression at the end.
+# ---------------------------------------------------------------------------
+
+_Q164_ORACLE = """
+WITH kc AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM kc
+),
+t AS (
+  SELECT COUNT(*) AS n, SUM(c) AS s,
+         SUM(CAST(i AS DECIMAL(38,0)) * c) AS si
+  FROM r
+),
+top AS (
+  SELECT SUM(c) AS t5 FROM (SELECT c FROM kc ORDER BY c DESC, k LIMIT 5)
+)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       CAST(s AS BIGINT) AS n_rows,
+       round(CAST(t5 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top5_share,
+       round(2 * CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM t, top
+"""
+
+
+@register("q164_skew_report", oracle=_Q164_ORACLE, tags=("diagnostics", "skew", "prefix-sum"))
+def q164_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    skey = (
+        F.col("c").cast("decimal(38,0)") * F.lit(10**10) + F.col("k")
+    ).alias("skey")
+    idx = distributed_cumsum(
+        kc.select("k", "c", skey, F.lit(1).alias("one")), "skey", "one", out="i"
+    )
+    t = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).alias("si"),
+    )
+    top = (
+        kc.orderBy(F.desc("c"), "k")
+        .limit(5)
+        .agg(F.sum("c").alias("t5"))
+    )
+    n, s = F.col("n").cast("double"), F.col("s").cast("double")
+    return t.crossJoin(top).select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("s").cast("bigint").alias("n_rows"),
+        F.round(F.col("t5").cast("double") / s, 6).alias("top5_share"),
+        F.round(
+            2 * F.col("si").cast("double") / (n * s) - (n + 1) / n, 6
+        ).alias("gini"),
+    )

@@ -150,6 +150,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q161_abc_classification",
     "q162_event_transitions",
     "q163_exp_smoothing",
+    "q164_skew_report",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
