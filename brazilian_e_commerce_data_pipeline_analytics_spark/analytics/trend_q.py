@@ -560,3 +560,82 @@ def q164_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("si").cast("double") / (n * s) - (n + 1) / n, 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165: event debounce — drop repeat (user, type) events arriving
+# within 5 seconds of the previous event, the standard double-click /
+# retry cleanup, with creeping-island semantics (a new island starts
+# where the gap from the PREVIOUS event exceeds the threshold —
+# identical to session_window gap semantics, one window in both
+# engines; only each island's first row is kept).
+#
+# The natural stream is too sparse to debounce (zero drops at every
+# sf — the ADVICE-r1 vacuity trap), so the query simulates the
+# at-least-once reality the op exists for: every 7th event also
+# arrives as a retry ECHO 2 seconds later (same user/type, echoed
+# id). Both engines replay the union, and the echoes are exactly what
+# the debounce must drop.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_S = 5
+
+_Q165_ORACLE = f"""
+WITH src AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+  UNION ALL
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) + INTERVAL 2 SECOND,
+         event_id + 10000000
+  FROM events WHERE event_id % 7 = 0
+),
+g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch(ts)
+                   - epoch(lag(ts)
+                       OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)) <= {_DEBOUNCE_S}
+              THEN 0 ELSE 1 END AS new_island
+  FROM src
+),
+isl AS (
+  SELECT user_id, event_type,
+         SUM(new_island) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island,
+         new_island
+  FROM g
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(new_island) AS BIGINT) AS n_kept
+FROM isl GROUP BY 1, 2
+"""
+
+
+@register("q165_event_debounce", oracle=_Q165_ORACLE, tags=("events", "dedup", "islands"))
+def q165_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    echoes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+        (F.col("event_id") + 10000000).alias("event_id"),
+    )
+    src = ev.unionByName(echoes)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = src.withColumn(
+        "new_island",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            <= _DEBOUNCE_S,
+            0,
+        ).otherwise(1),
+    )
+    return g.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_island").alias("n_kept"),
+    )

@@ -151,6 +151,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q162_event_transitions",
     "q163_exp_smoothing",
     "q164_skew_report",
+    "q165_event_debounce",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
