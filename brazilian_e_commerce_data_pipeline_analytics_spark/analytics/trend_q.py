@@ -639,3 +639,76 @@ def q165_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("new_island").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166: top session paths — the most frequent 3-step event sequences
+# WITHIN a 30-minute-gap session (q162's transition pairs deepened to
+# path mining with session boundaries). Session ids come from the
+# island cumsum per user; the two lags then partition by
+# (user, session) so paths never span a session break. Top-10 by a
+# total order via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_Q166_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   <= {_SESSION_GAP_S}
+              THEN 0 ELSE 1 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+p AS (
+  SELECT lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n_paths
+FROM p WHERE e1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 10
+"""
+
+
+@register("q166_top_session_paths", oracle=_Q166_ORACLE, tags=("events", "sequence", "sessionize"))
+def q166_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "ns",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+            <= _SESSION_GAP_S,
+            0,
+        ).otherwise(1),
+    ).withColumn(
+        "sid",
+        F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    p = s.select(
+        F.lag("event_type", 2).over(ws).alias("e1"),
+        F.lag("event_type", 1).over(ws).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        p.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(10)
+    )
