@@ -712,3 +712,89 @@ def q166_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q167: A/B experiment analysis — assignment by deterministic user
+# bucket (user_id % 2), conversion = "did the user make a high-value
+# purchase" (value > 95 — plain "any purchase" saturates to a pooled
+# rate of 1.0 on this stream, a 0/0 z-statistic), and the
+# two-proportion pooled z-statistic with a 1.96 significance gate.
+# The rates and z ride exact integer counts through ONE pinned double
+# expression (sqrt of products of exact-count ratios — identical IEEE
+# sequence in both engines), so even the hypothesis test is
+# value-exact. This is the experiment-readout every growth team runs;
+# at scale it is two tiny aggregates over a broadcastable assignment.
+# ---------------------------------------------------------------------------
+
+_Q167_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 95 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_conv
+  FROM u GROUP BY 1
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+  FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treat,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score,
+       abs((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant
+FROM w
+"""
+
+
+@register("q167_ab_test_analysis", oracle=_Q167_ORACLE, tags=("experiment", "stats", "events"))
+def q167_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 95), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (c0 + c1) / (F.col("n0") + F.col("n1"))
+    z = (c1 / n1 - c0 / n0) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n0 + 1.0 / n1)
+    )
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("c1").cast("bigint").alias("conv_treat"),
+        F.round(c0 / n0, 6).alias("rate_control"),
+        F.round(c1 / n1, 6).alias("rate_treat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

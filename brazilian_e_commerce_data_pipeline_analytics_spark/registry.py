@@ -153,6 +153,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q164_skew_report",
     "q165_event_debounce",
     "q166_top_session_paths",
+    "q167_ab_test_analysis",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
