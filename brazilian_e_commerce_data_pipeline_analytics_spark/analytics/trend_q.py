@@ -798,3 +798,102 @@ def q167_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: funnel conversion latency — how long from a session's first
+# view to its first subsequent purchase (q113 counts funnel DEPTH;
+# this measures its SPEED, the metric latency SLAs are written
+# against). Sessions reuse the 30-min island machinery; per session,
+# the first view and the first purchase AFTER it come from
+# conditional MIN aggregates — no self-join. Exact latency
+# percentiles ride the percentile()/quantile_cont identity (q27).
+# ---------------------------------------------------------------------------
+
+_Q169_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   <= {_SESSION_GAP_S}
+              THEN 0 ELSE 1 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+f AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM s GROUP BY 1, 2
+),
+conv AS (
+  SELECT f.user_id, f.sid,
+         epoch_us(MIN(CASE WHEN s.event_type = 'purchase'
+                            AND s.ts >= f.first_view THEN s.ts END))
+           - epoch_us(f.first_view) AS latency_us
+  FROM f JOIN s ON f.user_id = s.user_id AND f.sid = s.sid
+  WHERE f.first_view IS NOT NULL
+  GROUP BY f.user_id, f.sid, f.first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_view_sessions,
+       CAST(COUNT(latency_us) AS BIGINT) AS n_converted,
+       quantile_cont(CAST(latency_us AS DOUBLE), 0.5) AS p50_us,
+       quantile_cont(CAST(latency_us AS DOUBLE), 0.9) AS p90_us
+FROM conv
+"""
+
+
+@register("q169_funnel_latency", oracle=_Q169_ORACLE, tags=("events", "funnel", "percentile"))
+def q169_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "ns",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+            <= _SESSION_GAP_S,
+            0,
+        ).otherwise(1),
+    ).withColumn(
+        "sid", F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+        Window.partitionBy("user_id", "sid")
+    )
+    with_fv = s.withColumn("first_view", fv).filter(
+        F.col("first_view").isNotNull()
+    )
+    # microsecond integers on BOTH sides: Spark unix_timestamp truncates
+    # to seconds while DuckDB epoch() keeps fractions — unix_micros /
+    # epoch_us are the exact, engine-identical clock
+    conv = with_fv.groupBy("user_id", "sid", "first_view").agg(
+        (
+            F.unix_micros(
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") >= F.col("first_view")),
+                        F.col("ts"),
+                    )
+                )
+            )
+            - F.unix_micros("first_view")
+        ).alias("latency_us")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_view_sessions"),
+        F.count("latency_us").alias("n_converted"),
+        # exact interpolated microseconds: integer-or-x.5 values are
+        # exactly representable, so no rounding (a /1e6 + round(,6) form
+        # lands on half-up boundaries that the two engines can tip
+        # differently by one ulp)
+        F.expr("percentile(CAST(latency_us AS DOUBLE), 0.5)").alias("p50_us"),
+        F.expr("percentile(CAST(latency_us AS DOUBLE), 0.9)").alias("p90_us"),
+    )

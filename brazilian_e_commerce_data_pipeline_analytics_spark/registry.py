@@ -154,6 +154,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q165_event_debounce",
     "q166_top_session_paths",
     "q167_ab_test_analysis",
+    "q168_arrow_scalar_udf",
+    "q169_funnel_latency",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
