@@ -392,3 +392,35 @@ def test_gap_fill_spine_is_distributed(spark):
     assert "Generate" in plan and "explode(sequence(" in plan
     # the carry window's partition spec must name event_type (not empty)
     assert "windowspecdefinition(event_type" in plan
+
+
+def test_abc_and_skew_use_range_partitioned_prefix_sum(spark):
+    """q161/q164: the global cumulative rank rides distributed_cumsum —
+    a rangepartitioning exchange must appear, and the only unpartitioned
+    window runs over the per-partition totals (n_parts rows)."""
+    for name in ("q161_abc_classification", "q164_skew_report"):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        plan = formatted_plan(df)
+        assert "rangepartitioning" in plan.lower(), name
+
+
+def test_sequence_windows_partition_by_user(spark):
+    """q162/q166/q169: every sequence-mining window partitions by
+    user_id — no corpus-wide WindowExec partition anywhere."""
+    for name in (
+        "q162_event_transitions",
+        "q166_top_session_paths",
+        "q169_funnel_latency",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        plan = formatted_plan(df)
+        assert "windowspecdefinition(user_id" in plan, name
+
+
+def test_arrow_udf_is_arrow_not_pickle(spark):
+    """q168: the scalar UDF must evaluate through ArrowEvalPython (the
+    useArrow=True batch path), not legacy pickled BatchEvalPython."""
+    df = QUERIES["q168_arrow_scalar_udf"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
