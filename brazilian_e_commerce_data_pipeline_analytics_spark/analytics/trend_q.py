@@ -897,3 +897,56 @@ def q169_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(CAST(latency_us AS DOUBLE), 0.5)").alias("p50_us"),
         F.expr("percentile(CAST(latency_us AS DOUBLE), 0.9)").alias("p90_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171: mergeable statistics — the algebra that makes every partial
+# aggregation in this repo scale: per-shard (n, Σx, Σx²) partials
+# merge by plain addition, and mean/variance come off the MERGED sums
+# only at the end. The query computes partials per (event_type,
+# shard), merges them relationally, and the oracle computes the same
+# statistics DIRECTLY — equality proves merge-then-finalize ==
+# compute-globally, which is exactly the property a 1000-executor
+# map-side combine relies on. Sums are exact decimals (value has 2dp,
+# its square 4dp — both exactly representable), so the proof is
+# bit-level, not approximate.
+# ---------------------------------------------------------------------------
+
+_Q171_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_value,
+       round((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+             / COUNT(*), 6) AS var_value
+FROM events GROUP BY 1
+"""
+
+
+@register("q171_mergeable_stats", oracle=_Q171_ORACLE, tags=("agg", "algebra", "events"))
+def q171_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", (F.col("event_id") % 4).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("psx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).alias(
+            "psxx"
+        ),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psx").alias("sx"),
+        F.sum("psxx").alias("sxx"),
+    )
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    n = F.col("n")
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round((sxx - sx * sx / n) / n, 6).alias("var_value"),
+    )

@@ -865,3 +865,124 @@ def q133_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170: canonical selection BY QUALITY — the policy step after
+# clustering: q82 keeps each duplicate cluster's min-id member, but a
+# curation pipeline keeps its BEST member (q42's quality score,
+# min-id tie-break) and records the decision. One row per
+# multi-member cluster: the cluster label, the quality keeper, its
+# score, and how many members were dropped. Cluster machinery and
+# quality arithmetic are both already oracle-proven (q82, q42); this
+# query composes them with an argmax window partitioned by cluster.
+# ---------------------------------------------------------------------------
+
+_Q170_ORACLE = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS label FROM walk GROUP BY a
+),
+q AS (
+  SELECT doc_id,
+         round(0.5 * least(len(regexp_extract_all(text, '\\S+')) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(regexp_extract_all(text, '\\S+')))
+                        / len(regexp_extract_all(text, '\\S+')))
+               + 0.2 * (1.0 - len(list_filter(regexp_extract_all(text, '\\S+'),
+                          x -> x IN ('the', 'a', 'and', 'of', 'is')))
+                        / len(regexp_extract_all(text, '\\S+'))), 6) AS quality
+  FROM documents
+),
+member AS (
+  SELECT c.label AS cluster_id, c.node AS doc_id, q.quality
+  FROM comp c JOIN q ON q.doc_id = c.node
+),
+ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM member
+)
+SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality,
+       CAST(n_members AS INT) AS n_members,
+       CAST(n_members - 1 AS INT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q170_cluster_canonical_by_quality", oracle=_Q170_ORACLE, tags=("dedup", "curation", "graph", "llm"))
+def q170_cluster_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .text import LANG_STOPWORDS, quality_score, stopword_count, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.4)
+    clusters = canonical_docs(d, pairs, "doc_id", "doc_a", "doc_b").filter(
+        F.col("cluster_size") > 1
+    )
+    toks = tokens("text")
+    quality = d.select(
+        "doc_id",
+        quality_score(
+            F.size(toks),
+            F.size(F.array_distinct(toks)),
+            stopword_count(toks, LANG_STOPWORDS["en"]),
+        ).alias("quality"),
+    )
+    member = clusters.select(
+        F.col("canonical_id").alias("cluster_id"), "doc_id"
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    ranked = member.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("quality").alias("keeper_quality"),
+        F.col("n_members").cast("int").alias("n_members"),
+        (F.col("n_members") - 1).cast("int").alias("n_dropped"),
+    )

@@ -156,6 +156,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q167_ab_test_analysis",
     "q168_arrow_scalar_udf",
     "q169_funnel_latency",
+    "q170_cluster_canonical_by_quality",
+    "q171_mergeable_stats",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
