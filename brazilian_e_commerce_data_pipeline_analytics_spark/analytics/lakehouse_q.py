@@ -816,3 +816,58 @@ def q160_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("dn").alias("delta_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172: point-in-time lookup against the SCD2 dimension — the
+# CONSUMPTION side of q115's maintenance: every line item is priced
+# under the customer-priority version in force on its ship date
+# (valid_from <= ship < valid_to, open version = NULL upper bound).
+# Plan shape: the interval predicate rides an EQUI-join on custkey
+# (each customer has few versions), so this is a hash join plus a
+# filter — never an unbounded range join. Items shipped before a
+# customer's first version have no truth to join to and drop out
+# (inner-join semantics, counted by the row totals).
+# ---------------------------------------------------------------------------
+
+_Q172_ORACLE = f"""
+WITH dim AS (
+  {_Q115_ORACLE}
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship, l.l_extendedprice AS price
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.priority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM fact f
+JOIN dim d ON d.custkey = f.custkey
+          AND d.valid_from <= f.ship
+          AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+GROUP BY 1
+"""
+
+
+@register("q172_scd2_pit_lookup", oracle=_Q172_ORACLE, tags=("lakehouse", "scd2", "pit", "join"))
+def q172_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = q115_scd2_customer_dim(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("f_custkey"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    joined = fact.join(
+        dim,
+        (dim.custkey == F.col("f_custkey"))
+        & (dim.valid_from <= F.col("ship"))
+        & (dim.valid_to.isNull() | (F.col("ship") < dim.valid_to)),
+    )
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("price", "revenue"),
+    )
