@@ -141,3 +141,46 @@ def decode_bmp(payload: bytes) -> dict:
         "mean_g": float(px64[:, :, 1].sum() / n),
         "mean_r": float(px64[:, :, 2].sum() / n),
     }
+
+
+# ---------------------------------------------------------------------------
+# "Video": a minimal length-prefixed frame container holding real BMP
+# frames. Real video codecs (H.264 etc.) genuinely need libraries the
+# container lacks; a frame container + still-image codec is the
+# library-free equivalent that exercises the SAME pipeline shape —
+# demux, frame sampling, per-frame decode.
+# ---------------------------------------------------------------------------
+
+VID_MAGIC = b"VID0"
+
+
+def vid_n_frames(media_id: int) -> int:
+    return 4 + media_id % 5
+
+
+def encode_vid(media_id: int) -> bytes:
+    """Container: magic, u32 frame count, then (u32 length, BMP) frames.
+    Frame f's image key is media_id * 1000 + f."""
+    frames = [
+        encode_bmp(media_id * 1000 + f) for f in range(vid_n_frames(media_id))
+    ]
+    out = [VID_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def demux_vid(payload: bytes) -> list:
+    """Parse the container; returns the list of frame payloads."""
+    if payload[:4] != VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        frames.append(payload[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return frames

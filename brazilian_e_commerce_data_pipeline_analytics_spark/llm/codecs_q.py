@@ -145,3 +145,80 @@ def q157_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q173: video frame sampling — demux the frame container, KEEP every
+# 2nd frame (the sample_frames contract: decode cost scales with the
+# sample, not the footage), decode the survivors with the real BMP
+# parser, and emit per-sampled-frame features. Completes the
+# image (q157) / audio (q156) / video triple with value-exact
+# evidence; the container format is honest (magic, counts, length
+# prefixes, trailing-bytes check), only the inner codec is BMP
+# instead of a licensed video codec the container lacks.
+# ---------------------------------------------------------------------------
+
+_VID_STRIDE = 2
+
+_VID_CH = "(((media_id * 1000 + f) * 11 + (i % w) * 3 + (i // w) * 7 + 2 * 31) % 256)"
+
+_Q173_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS nf FROM documents
+),
+fr AS (
+  SELECT media_id, unnest(range(nf)) AS f FROM m
+),
+sampled AS (
+  SELECT media_id, f,
+         5 + (media_id * 1000 + f) % 4 AS w,
+         3 + (media_id * 1000 + f) % 3 AS h
+  FROM fr WHERE f % {_VID_STRIDE} = 0
+)
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(list_sum(list_transform(range(w * h), i -> {_VID_CH}))
+             / (w * h), 6) AS mean_r
+FROM sampled
+"""
+
+
+@register("q173_video_frame_sample", oracle=_Q173_ORACLE, tags=("multimodal", "video", "codec", "llm"))
+def q173_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .codecs import decode_bmp, demux_vid, encode_vid
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [encode_vid(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "mean_r": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = demux_vid(bytes(payload))
+                for f in range(0, len(frames), _VID_STRIDE):
+                    d = decode_bmp(frames[f])
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["mean_r"].append(round(d["mean_r"], 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, frame_idx int, width int, height int, mean_r double",
+    )

@@ -159,6 +159,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q170_cluster_canonical_by_quality",
     "q171_mergeable_stats",
     "q172_scd2_pit_lookup",
+    "q173_video_frame_sample",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
