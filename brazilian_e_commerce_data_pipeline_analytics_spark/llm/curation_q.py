@@ -531,3 +531,86 @@ def q159_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174: collocation mining — bigram association strength as the PMI
+# ratio n(ab)*N / (n(a)*n(b)) (exp of pointwise mutual information),
+# the phrase-induction signal tokenizers and phrase tables are built
+# from. Kept as the exact RATIO of integer counts (one rounded double
+# at the end) rather than its log — no transcendental in the
+# comparison path. Bigrams under a support floor are noise and are
+# cut; top-20 by (ratio, bigram) total order via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_Q174_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+uni AS (
+  SELECT u AS tok, COUNT(*) AS n
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT b AS bigram, COUNT(*) AS nab
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS b
+    FROM toks
+  ) GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nn FROM uni)
+SELECT bigram, CAST(nab AS BIGINT) AS n_pair,
+       round(CAST(nab AS DOUBLE) * nn / (a.n * b.n), 6) AS pmi_ratio
+FROM big
+JOIN uni a ON a.tok = split_part(bigram, ' ', 1)
+JOIN uni b ON b.tok = split_part(bigram, ' ', 2)
+CROSS JOIN tot
+WHERE nab >= {_PMI_MIN_COUNT}
+ORDER BY pmi_ratio DESC, bigram LIMIT 20
+"""
+
+
+@register("q174_collocations_pmi", oracle=_Q174_ORACLE, tags=("text", "tokenizer", "llm"))
+def q174_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    t = d.select(toks.alias("t"))
+    uni = t.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bigrams = t.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat(
+                        F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    big = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("nab"))
+    tot = uni.agg(F.sum("n").alias("nn"))
+    a = uni.select(F.col("tok").alias("ta"), F.col("n").alias("na"))
+    b = uni.select(F.col("tok").alias("tb"), F.col("n").alias("nb"))
+    scored = (
+        big.filter(F.col("nab") >= _PMI_MIN_COUNT)
+        .join(a, F.split("bigram", " ")[0] == F.col("ta"))
+        .join(b, F.split("bigram", " ")[1] == F.col("tb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.col("nab").alias("n_pair"),
+            F.round(
+                F.col("nab").cast("double") * F.col("nn") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), "bigram").limit(20)

@@ -160,6 +160,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q171_mergeable_stats",
     "q172_scd2_pit_lookup",
     "q173_video_frame_sample",
+    "q174_collocations_pmi",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
