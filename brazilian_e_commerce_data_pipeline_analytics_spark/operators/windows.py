@@ -138,8 +138,18 @@ def distributed_cumsum(
     rows (0 for the first row) — the packing/offset convention.
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    r = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint (lazy): the partitioned relation feeds TWO plan
+    # branches (per-partition locals; per-partition totals), and without
+    # a shared materialization Catalyst may plan the range exchange
+    # TWICE — RangePartitioner samples its boundaries per exchange, so
+    # the two branches can disagree on which partition a row belongs
+    # to, silently corrupting prefix+local (caught by the sf0.1
+    # scale-up sim on q164: gini varied run to run). Checkpointing pins
+    # ONE set of sampled boundaries for both consumers.
+    r = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("__pid")

@@ -487,3 +487,34 @@ def test_star_cc_path_graph_log_rounds(spark):
     rows = comp.collect()
     assert len(rows) == 1000
     assert all(r["label"] == 0 for r in rows)
+
+
+def test_distributed_cumsum_branches_agree(spark):
+    """Regression (sf0.1 scale-up catch): distributed_cumsum feeds two
+    plan branches from one range-partitioned relation; without a shared
+    materialization the range boundaries are SAMPLED PER BRANCH and the
+    prefix+local composition silently corrupts. Pin: repeated builds
+    produce identical cums, and they equal a plain global window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import distributed_cumsum
+
+    df = spark.range(5000).select(
+        (F.col("id") * 2654435761 % 97).alias("v"), F.col("id").alias("k")
+    )
+    keyed = df.select("k", "v", (F.col("v") * 100000 + F.col("k")).alias("skey"))
+    runs = []
+    for _ in range(2):
+        got = {
+            r["k"]: r["cum"]
+            for r in distributed_cumsum(keyed, "skey", "v", out="cum").collect()
+        }
+        runs.append(got)
+    assert runs[0] == runs[1]
+    w = Window.orderBy("skey").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        r["k"]: r["cum"]
+        for r in keyed.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert runs[0] == exp
