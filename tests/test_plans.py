@@ -395,13 +395,16 @@ def test_gap_fill_spine_is_distributed(spark):
 
 
 def test_abc_and_skew_use_range_partitioned_prefix_sum(spark):
-    """q161/q164: the global cumulative rank rides distributed_cumsum —
-    a rangepartitioning exchange must appear, and the only unpartitioned
-    window runs over the per-partition totals (n_parts rows)."""
+    """q161/q164: the global cumulative rank rides distributed_cumsum.
+    Since the determinism fix, the range exchange lives BEHIND the
+    operator's lazy localCheckpoint (one pinned boundary sampling for
+    both plan branches), so the final plan shows the checkpointed
+    relation (Scan ExistingRDD) consumed by both branches instead of
+    the exchange itself."""
     for name in ("q161_abc_classification", "q164_skew_report"):
         df = QUERIES[name].builder(spark, SF_SMALL)
         plan = formatted_plan(df)
-        assert "rangepartitioning" in plan.lower(), name
+        assert "Scan ExistingRDD" in plan, name
 
 
 def test_sequence_windows_partition_by_user(spark):
