@@ -161,6 +161,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q172_scd2_pit_lookup",
     "q173_video_frame_sample",
     "q174_collocations_pmi",
+    "q175_stream_jdbc_upsert",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",

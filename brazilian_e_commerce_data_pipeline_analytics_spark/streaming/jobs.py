@@ -1213,3 +1213,145 @@ def q148_stream_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("w.start")).alias("win_epoch"), "n_pairs"
     )
     return run_stream_to_memory(spark, out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q175: streaming upsert into a TRANSACTIONAL JDBC sink — the
+# stream-to-database leg the reference's architecture implies
+# (Spark -> Postgres every 30 min) but never made incremental. Each
+# micro-batch of the update-mode hourly aggregate lands via the
+# staging-table pattern: the batch is written DISTRIBUTED to a staging
+# table (Spark's parallel JDBC writer), then the driver executes ONE
+# set-based DELETE + INSERT inside a single transaction — no per-row
+# and no per-key driver traffic (the statements ship to the DB; only
+# metadata crosses the driver). Replaying a batch is idempotent
+# (delete-then-insert on the batch's keys), giving effective
+# exactly-once on top of foreachBatch's at-least-once. Embedded Derby
+# makes the path executable in-repo; the final target table is read
+# back through the partitioned JDBC scan and checked value-exactly
+# against the batch oracle — update-mode emissions CONVERGE to the
+# complete aggregate when upserted by key, which is the property the
+# comparison proves.
+# ---------------------------------------------------------------------------
+
+_Q175_URL = "jdbc:derby:memory:q175db;create=true"
+_Q175_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+_Q175_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS hour_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "q175_stream_jdbc_upsert",
+    oracle=_Q175_ORACLE,
+    tags=("streaming", "jdbc", "sink", "upsert"),
+)
+def q175_stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_jdbc
+    from ..sources.writers import write_jdbc
+
+    jvm = spark._jvm  # noqa: SLF001 — driver-side DDL/MERGE statements
+    conn = jvm.java.sql.DriverManager.getConnection(_Q175_URL)
+    st = conn.createStatement()
+    for ddl in (
+        "DROP TABLE stream_gold",
+        "CREATE TABLE stream_gold (hour_epoch BIGINT, event_type VARCHAR(32),"
+        " n_events BIGINT, total_value DOUBLE)",
+    ):
+        try:
+            st.executeUpdate(ddl)
+        except Exception:  # noqa: BLE001 — first run has nothing to drop
+            pass
+    st.close()
+    conn.close()
+
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+        ).alias("total_value"),
+    ).select(
+        F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+    def upsert(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        write_jdbc(
+            batch,
+            _Q175_URL,
+            "stream_stage",
+            mode="overwrite",
+            driver=_Q175_DRIVER,
+            # Spark maps StringType to Derby CLOB, which cannot compare
+            # with the target's VARCHAR — pin the staging column types
+            createTableColumnTypes=(
+                "hour_epoch BIGINT, event_type VARCHAR(32),"
+                " n_events BIGINT, total_value DOUBLE"
+            ),
+        )
+        c = jvm.java.sql.DriverManager.getConnection(_Q175_URL)
+        try:
+            c.setAutoCommit(False)
+            s = c.createStatement()
+            # Spark's JDBC writer emits QUOTED lowercase column names;
+            # Derby uppercases unquoted ones — staging columns must be
+            # referenced quoted, the DDL-created target unquoted
+            s.executeUpdate(
+                'DELETE FROM stream_gold WHERE EXISTS (SELECT 1 FROM'
+                ' stream_stage st WHERE st."hour_epoch" ='
+                " stream_gold.hour_epoch AND st.\"event_type\" ="
+                " stream_gold.event_type)"
+            )
+            s.executeUpdate("INSERT INTO stream_gold SELECT * FROM stream_stage")
+            c.commit()
+            s.close()
+        finally:
+            c.close()
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    lo_hi = spark.read.format("jdbc").option("url", _Q175_URL).option(
+        "dbtable", "(SELECT MIN(hour_epoch) lo, MAX(hour_epoch) hi FROM stream_gold) b"
+    ).option("driver", _Q175_DRIVER).load().collect()[0]
+    back = read_jdbc(
+        spark,
+        _Q175_URL,
+        "stream_gold",
+        partition_column="hour_epoch",
+        lower_bound=int(lo_hi["LO"]),
+        upper_bound=int(lo_hi["HI"]) + 1,
+        num_partitions=8,
+        driver=_Q175_DRIVER,
+    )
+    # Derby uppercases unquoted identifiers; restore the contract names
+    return back.select(
+        F.col("HOUR_EPOCH").alias("hour_epoch"),
+        F.col("EVENT_TYPE").alias("event_type"),
+        F.col("N_EVENTS").alias("n_events"),
+        F.col("TOTAL_VALUE").alias("total_value"),
+    )
