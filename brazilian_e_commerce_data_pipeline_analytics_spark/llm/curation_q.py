@@ -50,6 +50,8 @@ from ..registry import register
 # runs inside whole-stage codegen, zero shuffles, zero Python.
 # ---------------------------------------------------------------------------
 
+_DUCK_TOKS_CUR = "regexp_extract_all(text, '\\S+')"
+
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 _IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
@@ -614,3 +616,63 @@ def q174_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_ratio"), "bigram").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q176: quality-score calibration table — the sanity report behind any
+# score-based filter policy: bucket documents by fixed-width quality
+# decile (floor(q*10) — deliberately NOT ntile, whose global ranking
+# window is a scale smell AND whose buckets move with the data) and
+# profile each bucket: volume, mean length, exact-duplicate share.
+# A good quality score should show dup share falling as the bucket
+# rises; the table is how that claim gets checked before the filter
+# threshold ships.
+# ---------------------------------------------------------------------------
+
+_Q176_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len({_DUCK_TOKS_CUR}) AS INT) AS n_tokens,
+         round(0.5 * least(len({_DUCK_TOKS_CUR}) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct({_DUCK_TOKS_CUR}))
+                        / len({_DUCK_TOKS_CUR}))
+               + 0.2 * (1.0 - len(list_filter({_DUCK_TOKS_CUR},
+                          x -> x IN ('the', 'a', 'and', 'of', 'is')))
+                        / len({_DUCK_TOKS_CUR})), 6) AS q
+  FROM documents
+),
+b AS (
+  SELECT CAST(floor(q * 10) AS INT) AS bucket, n_tokens, md5(text) AS h FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM b GROUP BY 1
+"""
+
+
+@register("q176_quality_calibration", oracle=_Q176_ORACLE, tags=("text", "quality", "report", "llm"))
+def q176_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import LANG_STOPWORDS, quality_score, stopword_count, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select(
+        F.size(toks).alias("n_tokens"),
+        quality_score(
+            F.size(toks),
+            F.size(F.array_distinct(toks)),
+            stopword_count(toks, LANG_STOPWORDS["en"]),
+        ).alias("q"),
+        F.md5("text").alias("h"),
+    )
+    return t.groupBy(
+        F.floor(F.col("q") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_tokens"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+    )

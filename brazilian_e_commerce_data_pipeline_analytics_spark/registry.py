@@ -162,6 +162,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q173_video_frame_sample",
     "q174_collocations_pmi",
     "q175_stream_jdbc_upsert",
+    "q176_quality_calibration",
     "q99_gold_monthly_state_sales",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
