@@ -590,10 +590,10 @@ WITH src AS (
 ),
 g AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN epoch(ts)
-                   - epoch(lag(ts)
+         CASE WHEN epoch_us(ts)
+                   - epoch_us(lag(ts)
                        OVER (PARTITION BY user_id, event_type
-                             ORDER BY ts, event_id)) <= {_DEBOUNCE_S}
+                             ORDER BY ts, event_id)) <= {_DEBOUNCE_S} * 1000000
               THEN 0 ELSE 1 END AS new_island
   FROM src
 ),
@@ -627,11 +627,15 @@ def q165_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = ev.unionByName(echoes)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # Gap test on microsecond INTEGERS on both engines (unix_micros /
+    # epoch_us): unix_timestamp truncates to whole seconds while DuckDB
+    # epoch() keeps fractions, so a gap in (G, G+1) would silently
+    # diverge on regenerated fixtures (ADVICE r3).
     g = src.withColumn(
         "new_island",
         F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            <= _DEBOUNCE_S,
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= _DEBOUNCE_S * 1_000_000,
             0,
         ).otherwise(1),
     )
@@ -655,10 +659,10 @@ _SESSION_GAP_S = 1800
 _Q166_ORACLE = f"""
 WITH g AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-                   - epoch(lag(CAST(ts AS TIMESTAMP))
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   <= {_SESSION_GAP_S}
+                   <= {_SESSION_GAP_S} * 1000000
               THEN 0 ELSE 1 END AS ns
   FROM events
 ),
@@ -689,11 +693,12 @@ def q166_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap test on both engines (see q165 / ADVICE r3)
     s = ev.withColumn(
         "ns",
         F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
-            <= _SESSION_GAP_S,
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            <= _SESSION_GAP_S * 1_000_000,
             0,
         ).otherwise(1),
     ).withColumn(
@@ -813,10 +818,10 @@ def q167_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q169_ORACLE = f"""
 WITH g AS (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-         CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-                   - epoch(lag(CAST(ts AS TIMESTAMP))
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   <= {_SESSION_GAP_S}
+                   <= {_SESSION_GAP_S} * 1000000
               THEN 0 ELSE 1 END AS ns
   FROM events
 ),
@@ -854,11 +859,12 @@ def q169_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap test on both engines (see q165 / ADVICE r3)
     s = ev.withColumn(
         "ns",
         F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
-            <= _SESSION_GAP_S,
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            <= _SESSION_GAP_S * 1_000_000,
             0,
         ).otherwise(1),
     ).withColumn(

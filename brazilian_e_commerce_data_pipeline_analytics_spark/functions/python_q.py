@@ -131,6 +131,12 @@ FROM documents
 def q168_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
+    # ASCII-corpus assumption (ADVICE r3): Python s[::-1] reverses CODE
+    # POINTS while DuckDB reverse() operates on grapheme clusters — the
+    # md5 signatures agree only while documents.text stays free of
+    # multi-codepoint graphemes (combining marks, emoji ZWJ), which the
+    # synthetic fixtures guarantee. A byte-level reverse is not portable:
+    # DuckDB reverse() is VARCHAR-only (no BLOB overload, verified).
     @F.udf(returnType="string", useArrow=True)
     def rev_md5(s: str) -> str:
         return hashlib.md5(s[::-1].encode("utf-8")).hexdigest()

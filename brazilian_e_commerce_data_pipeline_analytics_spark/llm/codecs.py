@@ -172,13 +172,24 @@ def encode_vid(media_id: int) -> bytes:
 
 
 def demux_vid(payload: bytes) -> list:
-    """Parse the container; returns the list of frame payloads."""
+    """Parse the container; returns the list of frame payloads.
+
+    Bounds-checked end to end: a truncated/corrupt container raises a
+    container-level ValueError here rather than surfacing later as an
+    unrelated struct/reshape error inside decode_bmp (ADVICE r3).
+    """
     if payload[:4] != VID_MAGIC:
         raise ValueError("not a VID0 container")
+    if len(payload) < 8:
+        raise ValueError("truncated header")
     (n,) = struct.unpack_from("<I", payload, 4)
     pos, frames = 8, []
     for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame length prefix")
         (ln,) = struct.unpack_from("<I", payload, pos)
+        if pos + 4 + ln > len(payload):
+            raise ValueError("truncated frame")
         frames.append(payload[pos + 4 : pos + 4 + ln])
         pos += 4 + ln
     if pos != len(payload):

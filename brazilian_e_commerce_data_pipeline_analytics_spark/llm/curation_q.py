@@ -358,10 +358,16 @@ def _bpe_train(
         )
         top_rows = pc.orderBy(F.desc("pc"), "sym", "nxt").limit(1).collect()
         if not top_rows:
-            # merges exhausted (every word is a single symbol) — classic
-            # BPE stops; the SQL oracle agrees because an empty t{n} CTE
-            # cross-joins everything downstream to empty
-            break
+            # Merges exhausted (every word is one symbol). Fail LOUDLY
+            # instead of breaking: the q153 oracle's s{n} CTE collapses to
+            # empty when t{n} is empty, so a silent early stop would make
+            # Spark return full per-doc stats while the oracle returns 0
+            # rows (ADVICE r3). Exhaustion can only happen on degenerate
+            # corpora; surfacing it beats silently diverging.
+            raise RuntimeError(
+                f"BPE merges exhausted at iteration {it}/{_BPE_ITERS}: "
+                "corpus too degenerate for the fixed-depth oracle CTEs"
+            )
         top = top_rows[0]
         merges.append((it, top["sym"], top["nxt"], top["pc"]))
 

@@ -1260,15 +1260,17 @@ def q175_stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm = spark._jvm  # noqa: SLF001 — driver-side DDL/MERGE statements
     conn = jvm.java.sql.DriverManager.getConnection(_Q175_URL)
     st = conn.createStatement()
-    for ddl in (
-        "DROP TABLE stream_gold",
+    try:
+        st.executeUpdate("DROP TABLE stream_gold")
+    except Exception:  # noqa: BLE001 — first run has nothing to drop
+        pass
+    # CREATE is NOT guarded: a genuine failure (quota, lock, bad DDL) must
+    # surface here, not later as a confusing staging-insert error against
+    # a missing table (ADVICE r3).
+    st.executeUpdate(
         "CREATE TABLE stream_gold (hour_epoch BIGINT, event_type VARCHAR(32),"
-        " n_events BIGINT, total_value DOUBLE)",
-    ):
-        try:
-            st.executeUpdate(ddl)
-        except Exception:  # noqa: BLE001 — first run has nothing to drop
-            pass
+        " n_events BIGINT, total_value DOUBLE)"
+    )
     st.close()
     conn.close()
 
