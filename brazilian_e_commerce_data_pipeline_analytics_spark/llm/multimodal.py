@@ -222,14 +222,34 @@ def q52_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q58: the full multimodal decode pipeline — binary payloads through the
-# Arrow-batched mapInPandas feature extractor (stubbed codec). The
-# decode step is genuinely non-SQL-expressible, so this is registered
-# WITHOUT an oracle (driver records the weaker rows-only check); the
-# SQL-expressible parts of the same pipeline are value-checked by q52.
+# Arrow-batched mapInPandas feature extractor (stubbed codec). Formerly
+# rows-only; now VALUE-EXACT (VERDICT r3 item 3): because the stub codec
+# is deterministic byte arithmetic over the UTF-8 payload, the oracle can
+# replay it in SQL — vec[i] = byte[i % len]/255 via ascii(substring(...))
+# on the ASCII corpus, summed in the same left-to-right IEEE order Python's
+# sum() uses, /8 (exact power of two), then printf('%.6f') which formats
+# the identical double identically to Python's f"{x:.6f}". Real codecs
+# (which genuinely can't be SQL-replayed) are value-checked through the
+# library-free WAV/BMP/video decoders in q156/q157/q173 instead.
 # ---------------------------------------------------------------------------
 
+_Q58_FEAT_TERMS = " + ".join(
+    f"(ascii(substring(text, CAST({i} % octet_length(encode(text)) AS INT) + 1, 1))"
+    " / 255.0)"
+    for i in range(8)
+)
 
-@register("q58_media_features", oracle=None, tags=("multimodal", "map-in-pandas", "llm"))
+_Q58_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       printf('%.6f', ({_Q58_FEAT_TERMS}) / 8) AS feat_mean
+FROM documents
+ORDER BY media_id
+"""
+
+
+@register("q58_media_features", oracle=_Q58_ORACLE, tags=("multimodal", "map-in-pandas", "llm"))
 def q58_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_payload(d)).orderBy("media_id")

@@ -382,3 +382,75 @@ def q158_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: approx_percentile calibration — the oracle-checked proof of the
+# 100 TB quantile path documented in SCALING.md (exact ``percentile``
+# buffers every group value in one aggregator; ``approx_percentile``'s
+# bounded sketch is the swap at extreme group sizes). Same calibration
+# shape as q158: the approx result is NOT emitted (its exact value can
+# vary with partition merge order), only a deterministically-TRUE gate
+# derived from its published guarantee — approx_percentile(x, p, acc)
+# returns an element whose rank r satisfies
+# floor((p - 1/acc)·n) <= r <= ceil((p + 1/acc)·n). With duplicates the
+# returned value occupies the rank interval
+# [count(v < x) + 1, count(v <= x)], so the gate checks that this
+# interval intersects the guaranteed band. Exact p50 rides along and is
+# value-checked against quantile_cont (the q27 identity). Two passes,
+# both map-side-combining aggregations; the 5-row stats relation joins
+# back by broadcast — no scale hazard.
+# ---------------------------------------------------------------------------
+
+_Q177_ACC = 1000
+
+_Q177_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q177_approx_percentile_calibration",
+    oracle=_Q177_ORACLE,
+    tags=("sketch", "approx", "percentile"),
+)
+def q177_approx_percentile_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.expr(
+            f"approx_percentile(o_totalprice, 0.5, {_Q177_ACC})"
+        ).alias("p50_approx"),
+    )
+    joined = o.join(F.broadcast(stats), "o_orderpriority")
+    ranks = joined.groupBy(
+        "o_orderpriority", "n_orders", "p50", "p50_approx"
+    ).agg(
+        F.sum(
+            F.when(F.col("o_totalprice") < F.col("p50_approx"), 1).otherwise(0)
+        ).alias("rank_lt"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("p50_approx"), 1).otherwise(0)
+        ).alias("rank_le"),
+    )
+    n = F.col("n_orders").cast("double")
+    lo = F.floor((0.5 - 1.0 / _Q177_ACC) * n)
+    hi = F.ceil((0.5 + 1.0 / _Q177_ACC) * n)
+    return ranks.select(
+        "o_orderpriority",
+        "n_orders",
+        "p50",
+        ((F.col("rank_lt") + 1 <= hi) & (F.col("rank_le") >= lo)).alias(
+            "within_bound"
+        ),
+    )

@@ -382,6 +382,19 @@ def test_semdedup_joins_on_cell_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_reuses_cached_assignment(spark):
+    """q143: both sides of the pairwise self-join must read the SAME
+    cached assignment relation (two InMemoryTableScan nodes) instead of
+    each replaying the centroid computation + broadcast assignment — the
+    measured 9.5s->4s win at sf0.1, previously protected only by a
+    comment at similarity_q.py (VERDICT r3 item 6)."""
+    df = QUERIES["q143_semdedup"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "cached assignment no longer feeds both join sides"
+    )
+
+
 def test_gap_fill_spine_is_distributed(spark):
     """q151: the hourly grid comes from sequence()+explode inside the
     plan (Generate node over a 1-row agg) — no driver-side date loop,
