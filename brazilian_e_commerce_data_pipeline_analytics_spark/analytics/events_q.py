@@ -789,3 +789,140 @@ def q113_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q179: last-touch revenue attribution — each purchase's value is
+# credited to the most recent non-purchase event type in the SAME
+# 30-minute session (the standard marketing-attribution model; q113
+# measures funnel depth, q169 its speed, this one its credit). The
+# carry is last(non-purchase type, ignorenulls) over a per-(user,
+# session) running window — one pass, no self-join; purchases with no
+# preceding touch in their session credit 'direct'. Session islands use
+# the microsecond-exact gap convention (q165). Value sums ride exact
+# decimals so credit totals are order-independent.
+# ---------------------------------------------------------------------------
+
+_Q179_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   <= 1800 * 1000000
+              THEN 0 ELSE 1 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS touch
+  FROM s
+)
+SELECT COALESCE(touch, 'direct') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS attributed_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("q179_attribution_last_touch", oracle=_Q179_ORACLE, tags=("events", "sessionize", "bi"))
+def q179_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "ns",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            <= 1800 * 1_000_000,
+            0,
+        ).otherwise(1),
+    ).withColumn(
+        "sid", F.sum("ns").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = s.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(ws),
+    )
+    return (
+        t.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+            ).alias("attributed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180: big-big time-window join via bucket expansion — for every
+# event, count same-user events in the preceding 60 seconds. The naive
+# form is a range join (BroadcastNestedLoop or a per-user cross join);
+# at 100 TB neither side is broadcastable, so the scale-safe rewrite
+# buckets time into window-width buckets and EXPANDS the probe side to
+# its two candidate buckets: the range join becomes an equi-join on
+# (user, bucket) — an ordinary shuffle join AQE can size and skew-split
+# — with the exact time predicate applied after. Each qualifying pair
+# lands in exactly one probe bucket, so no dedup pass is needed (the
+# build row's bucket is deterministic, and the probe covers it once).
+# Cost: 2x probe duplication instead of an O(n_user^2) nested loop.
+# ---------------------------------------------------------------------------
+
+_Q180_WINDOW_US = 60 * 1_000_000
+
+_Q180_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+)
+SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.tus - b.tus > 0 AND a.tus - b.tus <= {_Q180_WINDOW_US}
+GROUP BY 1
+"""
+
+
+@register("q180_interval_bucket_join", oracle=_Q180_ORACLE, tags=("join", "range", "events", "scale"))
+def q180_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    w = _Q180_WINDOW_US
+    build = ev.select(
+        "user_id",
+        F.col("tus").alias("btus"),
+        F.floor(F.col("tus") / w).alias("bk"),
+    )
+    probe = ev.select(
+        "user_id",
+        "tus",
+        F.explode(
+            F.array(F.floor(F.col("tus") / w) - 1, F.floor(F.col("tus") / w))
+        ).alias("bk"),
+    )
+    pairs = probe.join(build, ["user_id", "bk"]).filter(
+        (F.col("tus") - F.col("btus") > 0) & (F.col("tus") - F.col("btus") <= w)
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -956,3 +956,167 @@ def q171_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / n, 6).alias("mean_value"),
         F.round((sxx - sx * sx / n) / n, 6).alias("var_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q178: exact correlation matrix — pairwise Pearson correlation between
+# lineitem measures (quantity, extendedprice, discount) per returnflag.
+# ``corr()`` built-ins accumulate running doubles whose value depends on
+# partition merge order, so instead the moments are summed as EXACT
+# decimals (inputs are 2dp values; decimal products are exact) and the
+# closed form corr = (n·Σxy − ΣxΣy)/√((n·Σx²−Σx²)(n·Σy²−Σy²)) is
+# evaluated once on the merged sums — the same merge-then-finalize
+# algebra q171 proves, applied to second moments. One map-side-combined
+# aggregation, no second pass.
+# ---------------------------------------------------------------------------
+
+_Q178_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         SUM(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+         SUM(CAST(l_discount AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS spd
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+             6) AS corr_qty_price,
+       round((n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
+             6) AS corr_qty_disc,
+       round((n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
+             6) AS corr_price_disc
+FROM s
+"""
+
+
+@register("q178_corr_matrix", oracle=_Q178_ORACLE, tags=("stats", "agg", "exact"))
+def q178_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.col("l_discount").cast("decimal(18,2)").alias("d"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def _corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n").cast("double")
+        xy = F.col(sxy).cast("double")
+        x, y = F.col(sx).cast("double"), F.col(sy).cast("double")
+        xx, yy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        return F.round(
+            (n * xy - x * y) / F.sqrt((n * xx - x * x) * (n * yy - y * y)), 6
+        )
+
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        _corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        _corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        _corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189: winsorized statistics — per-segment p05/p95 clipping of order
+# totals, the standard outlier-robust normalization before training on
+# monetary features. Clip boundaries are the exact interpolated
+# percentiles (q27 identity) rounded to 2dp and cast back to DECIMAL so
+# the clipped column stays EXACT: interior values keep their 2dp
+# decimals, clipped values take the 2dp boundary — the final mean is a
+# decimal sum, order-independent. Two aggregation passes with the 5-row
+# boundary relation broadcast back; no window over segment-sized
+# partitions (that would funnel each segment through one task).
+# ---------------------------------------------------------------------------
+
+_Q189_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+b AS (
+  SELECT segment,
+         CAST(round(quantile_cont(CAST(x AS DOUBLE), 0.05), 2) AS DECIMAL(18,2)) AS lo,
+         CAST(round(quantile_cont(CAST(x AS DOUBLE), 0.95), 2) AS DECIMAL(18,2)) AS hi
+  FROM j GROUP BY 1
+)
+SELECT j.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN j.x < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN j.x > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       round(CAST(SUM(CASE WHEN j.x < b.lo THEN b.lo
+                           WHEN j.x > b.hi THEN b.hi
+                           ELSE j.x END) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean
+FROM j JOIN b USING (segment)
+GROUP BY 1
+"""
+
+
+@register("q189_winsorized_stats", oracle=_Q189_ORACLE, tags=("stats", "percentile", "robust"))
+def q189_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    b = j.groupBy("segment").agg(
+        F.round(F.percentile(F.col("x").cast("double"), F.lit(0.05)), 2)
+        .cast("decimal(18,2)")
+        .alias("lo"),
+        F.round(F.percentile(F.col("x").cast("double"), F.lit(0.95)), 2)
+        .cast("decimal(18,2)")
+        .alias("hi"),
+    )
+    clipped = (
+        j.join(F.broadcast(b), "segment")
+        .withColumn(
+            "xw",
+            F.when(F.col("x") < F.col("lo"), F.col("lo"))
+            .when(F.col("x") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("x")),
+        )
+    )
+    return clipped.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_hi"),
+        F.round(
+            F.sum("xw").cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean"),
+    )

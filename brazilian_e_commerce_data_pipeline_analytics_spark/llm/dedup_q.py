@@ -986,3 +986,105 @@ def q170_cluster_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataF
         F.col("n_members").cast("int").alias("n_members"),
         (F.col("n_members") - 1).cast("int").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183: n-gram CONTAINMENT near-dup — the asymmetric companion to q45/
+# q81's Jaccard. containment(src→dst) = |S(src) ∩ S(dst)| / |S(src)|
+# catches the case Jaccard structurally misses: a short document wholly
+# contained in a much longer one (quote inclusion, page-in-site), where
+# the size mismatch crushes the union term. This is the measure CCNet-
+# style pipelines use to drop subsumed documents. Same scale shape as
+# q81: df-capped inverted-index self-join (never all-pairs), narrow
+# (id, shingle-hash) shuffle rows, intersection/size integers so the
+# containment ratio is a bit-identical integer-division double. Each
+# unordered pair is computed once and emitted per qualifying DIRECTION.
+# ---------------------------------------------------------------------------
+
+_Q183_TAU = 0.3
+_Q183_MAX_DF = 20
+
+_Q183_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1
+),
+qualified AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_Q183_MAX_DF}
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM qualified)
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT doc_a AS src, doc_b AS dst, n_common,
+         n_common / sa.n_sh AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst, n_common,
+         n_common / sb.n_sh AS containment
+  FROM common JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT src, dst, CAST(n_common AS BIGINT) AS n_common, containment
+FROM both_dirs WHERE containment >= {_Q183_TAU}
+"""
+
+
+@register("q183_containment_neardup", oracle=_Q183_ORACLE, tags=("dedup", "llm", "containment"))
+def q183_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import exploded_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingles(d, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qualified = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _Q183_MAX_DF))
+        .select("sh")
+    )
+    exq = ex.join(qualified, "sh")
+    a = exq.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = exq.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    withsz = common.join(sa, "doc_a").join(sb, "doc_b")
+    d1 = withsz.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        "n_common",
+        (F.col("n_common") / F.col("na")).alias("containment"),
+    )
+    d2 = withsz.select(
+        F.col("doc_b").alias("src"),
+        F.col("doc_a").alias("dst"),
+        "n_common",
+        (F.col("n_common") / F.col("nb")).alias("containment"),
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= _Q183_TAU)

@@ -1148,3 +1148,87 @@ def q136_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(canon_names), "canonical_id")
         .select("p_name", "canonical_name", "cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186: interpolated bigram language model — the step up from q132's
+# unigram perplexity proxy: score(doc) = mean over bigram instances of
+# ln(λ·p(w2|w1) + (1−λ)·p(w2)), with both distributions estimated from
+# the corpus itself (Jelinek-Mercer interpolation, the classic smoothing
+# that keeps unseen-context scores finite). Better garbled-text
+# separation than unigram because word ORDER now matters.
+#
+# Plan: three map-side-combined count aggs (unigram, bigram, context
+# totals) build the model; the per-doc pass joins bigram instances to
+# the model and averages. The model relation is vocabulary²-bounded but
+# Zipf-concentrated; at corpus scale it's an ordinary shuffle join on
+# (w1, w2) — never a driver-side dict. All probabilities are integer-
+# division doubles evaluated in one pinned expression order; ln() is the
+# lone libm call and round-6 after the mean absorbs its 1-ulp skew
+# (q132's precedent).
+# ---------------------------------------------------------------------------
+
+_Q186_LAMBDA = 0.7
+
+_Q186_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+u AS (SELECT unnest(t) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS n1 FROM u GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM u),
+bgpos AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
+),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bgpos),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c2) AS ctx FROM c2 GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(ln({_Q186_LAMBDA} * (c2.c2 / ctx.ctx)
+                    + {1 - _Q186_LAMBDA} * (uc.n1 / tot.n))) / COUNT(*), 6)
+         AS avg_logprob
+FROM bg
+JOIN c2 USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN uc ON uc.w = bg.w2
+CROSS JOIN tot
+GROUP BY bg.doc_id
+"""
+
+
+@register("q186_bigram_lm", oracle=_Q186_ORACLE, tags=("text", "llm", "quality"))
+def q186_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    u = d.select(F.explode(tokens("text")).alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    lam = _Q186_LAMBDA
+    p = lam * (F.col("c2") / F.col("ctx")) + (1 - lam) * (
+        F.col("n1") / F.col("n")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uc, bg.w2 == uc.w)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.trend_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.llm.features_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.dedup_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.sketch_q",
