@@ -15,6 +15,7 @@ from ..catalog import load_table
 from ..registry import register
 from .similarity import (
     ann_bucketed,
+    cosine,
     ivf_ann,
     knn_bruteforce,
     l2_norm,
@@ -818,4 +819,194 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("vec_id", "cell").agg(
         F.min("ia").alias("keeper_id"), F.min_by("s", "ia").alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187: distributed k-means (Lloyd's algorithm, 2 unrolled iterations)
+# — the clustering primitive under q143's IVF cells, exposed and
+# oracle-checked end to end. Determinism contract, in engine-identical
+# arithmetic:
+#   * vectors are pre-quantized to integers (floor(x*1000)) so
+#     iteration-1 distances and ALL centroid sums are exact;
+#   * iteration-1 init is the first k vectors by vec_id (no RNG);
+#   * iteration-2 centroids are s/n doubles — exact IEEE division of
+#     exact integers, bit-identical in both engines — and the distance
+#     fold is pinned left-to-right (F.aggregate vs list_reduce, with
+#     0.0+t1 == t1 making the init-vs-no-init grouping identical), so
+#     even near-tie assignments agree exactly;
+#   * argmin tie-breaks on cell id.
+# Plan shape: assignments are a crossJoin against the BROADCAST k-row
+# codebook (never a shuffle of the corpus); centroid updates are
+# map-side-combined (cell, dim) integer sums — the exact shape a
+# 1000-executor run needs. No driver collect anywhere: the new codebook
+# stays a DataFrame and re-broadcasts.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIMS = 64
+
+_Q187_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, q AS c FROM v WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT v.vec_id, c0.cell,
+         list_reduce(list_transform(list_zip(v.q, c0.c),
+                                    s -> (s[1] - s[2]) * (s[1] - s[2])),
+                     (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cell FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+),
+p1 AS (
+  SELECT a1.cell, u.i, v.q[u.i] AS qi
+  FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, {_KM_DIMS + 1}) AS u(i)
+),
+s1 AS (SELECT cell, i, SUM(qi) AS s, COUNT(*) AS n FROM p1 GROUP BY 1, 2),
+c1 AS (SELECT cell, list(s / n ORDER BY i) AS c FROM s1 GROUP BY 1),
+d2 AS (
+  SELECT v.vec_id, c1.cell,
+         list_reduce(list_transform(list_zip(v.q, c1.c),
+                                    s -> (s[1] - s[2]) * (s[1] - s[2])),
+                     (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cell FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+)
+SELECT a2.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(SUM(v.q[1]) / COUNT(*), 6) AS c_dim1,
+       round(SUM(v.q[2]) / COUNT(*), 6) AS c_dim2
+FROM a2 JOIN v USING (vec_id)
+GROUP BY 1
+"""
+
+
+def _km_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: crossJoin the broadcast k-row
+    codebook, squared-L2 via a pinned left fold, argmin via min(struct)
+    (lexicographic: dist first, cell id breaks ties)."""
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", F.struct(dist.alias("dist"), F.col("cell")).alias("dc")
+    )
+    return d.groupBy("vec_id", "q").agg(F.min("dc").alias("dc")).select(
+        "vec_id", "q", F.col("dc.cell").alias("cell")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New codebook from exact integer (cell, dim) sums; the per-cell
+    centroid list reassembles in dim order via array_sort over structs."""
+    p = assigned.select("cell", F.posexplode("q").alias("i", "qi"))
+    s = p.groupBy("cell", "i").agg(
+        F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return s.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", (F.col("s") / F.col("n")).alias("m")))),
+            lambda st: st.m,
+        ).alias("c")
+    )
+
+
+@register("q187_kmeans_lloyd", oracle=_Q187_ORACLE, tags=("ml", "clustering", "iterative"))
+def q187_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")), lambda x: F.floor(x * 1000.0)
+        ).alias("q"),
+    )
+    c0 = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("q", lambda x: x.cast("double")).alias("c"),
+    )
+    a1 = _km_assign(v, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(v, c1)
+    return a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.element_at("q", 1)) / F.count(F.lit(1)), 6
+        ).alias("c_dim1"),
+        F.round(
+            F.sum(F.element_at("q", 2)) / F.count(F.lit(1)), 6
+        ).alias("c_dim2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188: hard-negative mining — for each query vector, the single most
+# cosine-similar vector with a DIFFERENT label: the contrastive-training
+# staple (the "hardest" negatives are the near-misses, not random
+# draws). Brute-force scoring against the label-mismatched corpus with
+# the same determinism contract as q48 (round-6 cosine, neighbor-id
+# tie-break). At corpus scale the candidate pass swaps to the
+# ANN-bucketed variants (q51/q75/q130) with a label-mismatch filter —
+# the scoring/argmax stage here is unchanged.
+# ---------------------------------------------------------------------------
+
+_Q188_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS label_q, embedding::DOUBLE[] AS q_vec
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+c AS (
+  SELECT vec_id AS neg_id, label AS label_neg, embedding::DOUBLE[] AS c_vec
+  FROM embeddings
+)
+SELECT query_id, label_q, neg_id, label_neg, score
+FROM (
+  SELECT query_id, label_q, neg_id, label_neg,
+         round(list_cosine_similarity(q_vec, c_vec), 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(q_vec, c_vec)
+                                           , 6) DESC, neg_id) AS rn
+  FROM q JOIN c ON label_q <> label_neg
+) WHERE rn = 1
+"""
+
+
+@register("q188_hard_negatives", oracle=_Q188_ORACLE, tags=("similarity", "ml", "llm"))
+def q188_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label_q"),
+        as_double(F.col("embedding")).alias("q_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("label_neg"),
+        as_double(F.col("embedding")).alias("c_vec"),
+    )
+    scored = q.join(F.broadcast(c), F.col("label_q") != F.col("label_neg")).select(
+        "query_id",
+        "label_q",
+        "neg_id",
+        "label_neg",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

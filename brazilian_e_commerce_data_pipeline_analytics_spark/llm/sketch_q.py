@@ -454,3 +454,93 @@ def q177_approx_percentile_calibration(
             "within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190: count-min sketch — the fixed-memory frequency sketch (Cormode &
+# Muthukrishnan): d=4 hash rows x w=256 counters; estimate(token) =
+# min over rows of its counter, guaranteed >= the true count and within
+# eN/w with probability 1-(1/2)^d. Unlike q97's engine-internal HLL,
+# every hash here is the repo's portable md5 bucket (sampling.py), so
+# the ENTIRE sketch — counters and estimates — replays bit-exactly in
+# the oracle: the driver hash-checks the estimates themselves, not just
+# a bound gate. Sketch build is one map-side-combined (row, bucket) agg
+# whose state is d*w counters regardless of vocabulary size — the whole
+# point at 100 TB — and the probe joins the 20-row heavy-hitter set
+# against the 1024-row counter table.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+_Q190_ORACLE = f"""
+WITH t AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+ex AS (
+  SELECT token, j,
+         CAST(concat('0x', substr(md5(token || ':' || CAST(j AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM t CROSS JOIN range(0, {_CMS_D}) AS r(j)
+),
+counters AS (
+  SELECT j, bucket, COUNT(*) AS c FROM ex GROUP BY 1, 2
+),
+top AS (
+  SELECT token, COUNT(*) AS true_cnt FROM t GROUP BY 1
+  ORDER BY true_cnt DESC, token LIMIT 20
+),
+probes AS (
+  SELECT top.token, top.true_cnt, r.j,
+         CAST(concat('0x', substr(md5(top.token || ':' || CAST(r.j AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM top CROSS JOIN range(0, {_CMS_D}) AS r(j)
+)
+SELECT p.token, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+       MIN(c.c) >= p.true_cnt AS never_underestimates
+FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.token, p.true_cnt
+"""
+
+
+def _cms_bucket(token, j):
+    salted = F.concat(token, F.lit(":"), j.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint") % _CMS_W
+    )
+
+
+@register("q190_cms_frequency", oracle=_Q190_ORACLE, tags=("sketch", "frequency", "llm"))
+def q190_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens("text")).alias("token"))
+    js = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ex = t.select("token", F.explode(js).alias("j")).select(
+        "j", _cms_bucket(F.col("token"), F.col("j")).alias("bucket")
+    )
+    counters = ex.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+    )
+    probes = top.select(
+        "token", "true_cnt", F.explode(js).alias("j")
+    ).select(
+        "token", "true_cnt", "j", _cms_bucket(F.col("token"), F.col("j")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            "true_cnt",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("true_cnt")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
