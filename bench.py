@@ -61,6 +61,10 @@ BENCH_EXTENDED = (
     "q143_semdedup",
     "q145_range_sorted_write",
     "q147_zorder_layout",
+    # round-4 additions: ML primitives + the bucket-expansion range join
+    "q180_interval_bucket_join",
+    "q186_bigram_lm",
+    "q187_kmeans_lloyd",
 )
 
 

@@ -271,7 +271,12 @@ def _bpe_iter_sql(n: int) -> str:
   GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
 ),
 m{n} AS (
-  SELECT p.*, (p.sym = t.l AND p.nxt = t.r) AS m FROM {p} p CROSS JOIN {t} t
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when {t} is EMPTY (merges
+  -- exhausted on a degenerate corpus) every row must pass through with
+  -- m=FALSE so s{n} == s{n-1}; a cross join would annihilate the
+  -- relation and diverge from the trainer's graceful stop (ADVICE r3)
+  SELECT p.*, COALESCE(p.sym = t.l AND p.nxt = t.r, FALSE) AS m
+  FROM {p} p LEFT JOIN {t} t ON TRUE
 ),
 g{n} AS (
   SELECT word, pos,
@@ -358,16 +363,13 @@ def _bpe_train(
         )
         top_rows = pc.orderBy(F.desc("pc"), "sym", "nxt").limit(1).collect()
         if not top_rows:
-            # Merges exhausted (every word is one symbol). Fail LOUDLY
-            # instead of breaking: the q153 oracle's s{n} CTE collapses to
-            # empty when t{n} is empty, so a silent early stop would make
-            # Spark return full per-doc stats while the oracle returns 0
-            # rows (ADVICE r3). Exhaustion can only happen on degenerate
-            # corpora; surfacing it beats silently diverging.
-            raise RuntimeError(
-                f"BPE merges exhausted at iteration {it}/{_BPE_ITERS}: "
-                "corpus too degenerate for the fixed-depth oracle CTEs"
-            )
+            # Merges exhausted (every word is one symbol) — classic BPE
+            # stops. The SQL oracle now agrees: its m{n} stage is a LEFT
+            # JOIN ON TRUE against the empty t{n}, so s{n} passes through
+            # unchanged (== this break keeping the last relation) and the
+            # exhausted iterations contribute no merge rows on either
+            # engine (ADVICE r3, oracle-side fix).
+            break
         top = top_rows[0]
         merges.append((it, top["sym"], top["nxt"], top["pc"]))
 

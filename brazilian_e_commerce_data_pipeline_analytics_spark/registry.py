@@ -70,70 +70,10 @@ _REGISTRY: dict[str, Query] = {}
 # already green in CORRECTNESS_r01.json keep their evidence and rotate
 # behind. Update this list each round as rows turn green.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-3 rotation --
-    # never driver-checked (registered at positions 51-61 in r02):
-    "q104_jdbc_roundtrip",
-    "q101_minhash_recall",
-    "q102_token_zipf",
-    "q103_token_entropy",
-    "q105_python_datasource",
-    "q106_variant_props",
-    "q107_udtf_token_positions",
-    "q108_udaf_xor_signature",
-    "q109_ensemble_neardup",
-    "q110_geo_nearest_seller",
-    "q111_basket_lift",
-    # r02 red rows, fixed this round (oracle HUGEINT→BIGINT casts):
-    "q88_sequence_packing",
-    "q90_mad_outliers",
-    "q98_decontamination",
-    # new this round: value-exact portable twin of q46 (LSH pairs)
-    "q46p_minhash_lsh_portable",
-    # new round-3 queries needing a first driver row:
-    "q112_skew_salted_topk_join",
-    "q113_sessionized_funnel",
-    "q114_incremental_gold_merge",
-    "q115_scd2_customer_dim",
-    "q116_dim_lineage_checks",
-    "q117_scalable_exact_median",
-    "q118_bloom_join_prefilter",
-    "q119_stream_late_drop",
-    "q120_compaction_plan",
-    "q121_repeated_spans",
-    "q122_mixture_rebalance",
-    "q123_copurchase_triangles",
-    "q124_versioned_merge_timetravel",
-    # new this session: sketch family, iterative graph, format roundtrip
-    "q125_heavy_hitters",
-    "q126_weighted_sample",
-    "q127_tfidf_top_terms",
-    "q128_pagerank_copurchase",
-    "q129_format_roundtrip",
-    "q130_ann_pq",
-    "q131_domain_caps",
-    "q132_unigram_logprob",
-    "q133_incremental_neardup",
-    "q134_ann_pq_trained",
-    "q135_stream_incremental_dedup",
-    "q136_entity_resolution",
-    "q137_versioned_cdc_apply",
-    "q138_stream_outer_join",
-    # new this session: corpus curation (PII / boilerplate / BPE)
-    "q139_pii_redaction",
-    "q140_boilerplate_lines",
-    "q141_bpe_merges",
-    # new this session: JL sign projection + SemDeDup
-    "q142_random_projection",
-    "q143_semdedup",
-    # new this session: chained stateful streaming, sorted lakehouse write
-    "q144_stream_chained_windows",
-    "q145_range_sorted_write",
-    # new this session: closed-form OLS trends
-    "q146_revenue_trend_ols",
-    # -- outside the 50-row window (VERDICT r2 asked for q101-q111 rows
-    # in r03, so the deferrals are new-this-session queries whose FAMILY
-    # keeps an in-window representative: q147 layout via q145, q148
-    # cascade via q144; all deferred rotate into the round-4 window) --
+    # -- round-4 rotation (tools/round_checklist.py verified every entry
+    # below sim-green at sf0.01 before this list was cut) --
+    # the 30 round-3 late additions, deferred past r03's window, all
+    # sim-verified twice (r03 session + this one):
     "q147_zorder_layout",
     "q148_stream_join_agg_cascade",
     "q149_longest_streaks",
@@ -164,7 +104,83 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q174_collocations_pmi",
     "q175_stream_jdbc_upsert",
     "q176_quality_calibration",
+    # q58 gained a value-exact oracle this round (was rows-only in r02),
+    # so it needs a fresh hash-checked row:
+    "q58_media_features",
+    # new round-4 queries (approx-quantile calibration, stats, features,
+    # dedup variants, ML primitives, CMS sketch):
+    "q177_approx_percentile_calibration",
+    "q178_corr_matrix",
+    "q179_attribution_last_touch",
+    "q180_interval_bucket_join",
+    "q181_target_encoding_loo",
+    "q182_feature_hashing",
+    "q183_containment_neardup",
+    "q184_vocab_oov_rate",
+    "q185_doc_chunking",
+    "q186_bigram_lm",
+    "q187_kmeans_lloyd",
+    "q188_hard_negatives",
+    "q189_winsorized_stats",
+    "q190_cms_frequency",
+    # refresh sample of earlier greens (one per round/family) so old
+    # evidence keeps getting re-confirmed:
+    "q20_monthly_revenue_yoy",
     "q99_gold_monthly_state_sales",
+    "q53_stream_hourly",
+    "q46p_minhash_lsh_portable",
+    "q115_scd2_customer_dim",
+    # -- below here: outside the 50-row window; everything has a green
+    # row in CORRECTNESS_r01/r02/r03 (or is by-design rows-only with a
+    # value-exact twin: q46->q46p, q47->q68, q97->q158) --
+    "q104_jdbc_roundtrip",
+    "q101_minhash_recall",
+    "q102_token_zipf",
+    "q103_token_entropy",
+    "q105_python_datasource",
+    "q106_variant_props",
+    "q107_udtf_token_positions",
+    "q108_udaf_xor_signature",
+    "q109_ensemble_neardup",
+    "q110_geo_nearest_seller",
+    "q111_basket_lift",
+    "q88_sequence_packing",
+    "q90_mad_outliers",
+    "q98_decontamination",
+    "q112_skew_salted_topk_join",
+    "q113_sessionized_funnel",
+    "q114_incremental_gold_merge",
+    "q116_dim_lineage_checks",
+    "q117_scalable_exact_median",
+    "q118_bloom_join_prefilter",
+    "q119_stream_late_drop",
+    "q120_compaction_plan",
+    "q121_repeated_spans",
+    "q122_mixture_rebalance",
+    "q123_copurchase_triangles",
+    "q124_versioned_merge_timetravel",
+    "q125_heavy_hitters",
+    "q126_weighted_sample",
+    "q127_tfidf_top_terms",
+    "q128_pagerank_copurchase",
+    "q129_format_roundtrip",
+    "q130_ann_pq",
+    "q131_domain_caps",
+    "q132_unigram_logprob",
+    "q133_incremental_neardup",
+    "q134_ann_pq_trained",
+    "q135_stream_incremental_dedup",
+    "q136_entity_resolution",
+    "q137_versioned_cdc_apply",
+    "q138_stream_outer_join",
+    "q139_pii_redaction",
+    "q140_boilerplate_lines",
+    "q141_bpe_merges",
+    "q142_random_projection",
+    "q143_semdedup",
+    "q144_stream_chained_windows",
+    "q145_range_sorted_write",
+    "q146_revenue_trend_ols",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
     "q46_minhash_lsh_pairs",
@@ -178,7 +194,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q75_ann_ivf",
     "q57_knn_pandas_udf",
     "q52_blob_meta",
-    "q53_stream_hourly",
     "q55_stream_sessions_closed",
     "q56_stream_hourly_append",
     "q60_native_session_window",

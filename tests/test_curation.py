@@ -229,3 +229,45 @@ def test_bmp_decoder_handles_top_down_and_padding():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"NOTABMP")
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """Degenerate corpus (every word one char): merges exhaust at
+    iteration 1. The trainer breaks gracefully; the ORACLE must agree —
+    its m{n} stage is a LEFT JOIN ON TRUE against the empty top-pair
+    CTE, so s{n} passes through unchanged instead of annihilating
+    (ADVICE r3: a CROSS JOIN there returned 0 oracle rows while Spark
+    returned full per-doc stats). Both engines, both queries, compared."""
+    import duckdb
+
+    import brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q as cq
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q import (
+        _Q141_ORACLE,
+        _Q153_ORACLE,
+        q141_bpe_merges,
+        q153_bpe_apply,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c")], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, 'a b c a'), (2, 'b c')) t(doc_id, text)")
+
+    orig = cq.load_table
+    try:
+        cq.load_table = lambda _s, _sf, _n: df  # type: ignore[assignment]
+        merges = q141_bpe_merges(spark, "unused").collect()
+        stats = {r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+                 for r in q153_bpe_apply(spark, "unused").collect()}
+    finally:
+        cq.load_table = orig
+
+    oracle_merges = con.execute(_Q141_ORACLE).fetchall()
+    oracle_stats = {r[0]: (r[1], r[3]) for r in con.execute(_Q153_ORACLE).fetchall()}
+    con.close()
+
+    assert merges == [] and oracle_merges == []  # exhausted on both engines
+    # pass-through: every word stays a single symbol, so subwords == tokens
+    assert stats == oracle_stats == {1: (4, 4), 2: (2, 2)}
