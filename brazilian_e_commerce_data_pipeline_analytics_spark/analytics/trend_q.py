@@ -1120,3 +1120,147 @@ def q189_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xw").cast("double") / F.count(F.lit(1)), 6
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191: PSI drift monitor — Population Stability Index between two feed
+# generations (1995 vs 1996 order totals), the standard "has my feature
+# distribution shifted" gate run before retraining. q154 flags drift
+# per-quantile; PSI collapses the whole distribution into one audited
+# number: Σ (p_i − q_i)·ln(p_i / q_i) over FIXED-WIDTH bins (data-
+# independent binning keeps the bins engine-identical; Laplace add-one
+# smoothing keeps empty bins finite). Counts are exact integers; the
+# smoothed ratios are pinned-order doubles; ln's 1-ulp skew is absorbed
+# by round-6 on the final sum. One scan, one map-side-combined agg per
+# generation, a 12-row join — nothing here scales with data volume
+# except the scan.
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 50_000
+_PSI_MAX_BIN = 9  # bins 0..9, top bin open-ended
+
+
+_Q191_ORACLE = f"""
+WITH binned AS (
+  SELECT year(o_orderdate) AS yr,
+         least(CAST(floor(CAST(o_totalprice AS DOUBLE) / {_PSI_BIN_W}) AS INT),
+               {_PSI_MAX_BIN}) AS bin
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+c AS (
+  SELECT bin,
+         SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS c_ref,
+         SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS c_new
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_new) AS n_new FROM c),
+terms AS (
+  SELECT c.bin,
+         (c.c_ref + 1) / CAST(tot.n_ref + {_PSI_MAX_BIN + 1} AS DOUBLE) AS p,
+         (c.c_new + 1) / CAST(tot.n_new + {_PSI_MAX_BIN + 1} AS DOUBLE) AS q
+  FROM c CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       round(SUM((p - q) * ln(p / q)), 6) AS psi,
+       round(SUM((p - q) * ln(p / q)), 6) >= 0.1 AS drift_flag
+FROM terms
+"""
+
+
+@register("q191_psi_drift", oracle=_Q191_ORACLE, tags=("stats", "drift", "monitoring"))
+def q191_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    binned = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / _PSI_BIN_W).cast("int"),
+            F.lit(_PSI_MAX_BIN),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("c_new"),
+    )
+    tot = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_new").alias("n_new")
+    )
+    k = _PSI_MAX_BIN + 1
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c_ref") + 1) / (F.col("n_ref") + k).cast("double")).alias("p"),
+        ((F.col("c_new") + 1) / (F.col("n_new") + k).cast("double")).alias("q"),
+    )
+    psi = F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6)
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        psi.alias("psi"),
+        (psi >= 0.1).alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193: session Markov entropy rate — how predictable each user's next
+# event is, computed from the q162 transition machinery: for each source
+# state s, H(s) = −Σ_t p(t|s)·ln p(t|s), plus the stationary-weighted
+# corpus rate Σ_s w(s)·H(s). The behavioral-complexity summary used to
+# segment bots (near-zero entropy) from organic users. Transition counts
+# are exact integers over a total event order; probabilities and
+# entropies are pinned-order doubles rounded once.
+# ---------------------------------------------------------------------------
+
+_Q193_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+tr AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+srcs AS (SELECT src, SUM(c) AS n FROM tr GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_all FROM tr),
+h AS (
+  SELECT tr.src, srcs.n,
+         -SUM((tr.c / CAST(srcs.n AS DOUBLE))
+              * ln(tr.c / CAST(srcs.n AS DOUBLE))) AS h_src
+  FROM tr JOIN srcs USING (src) GROUP BY 1, 2
+)
+SELECT h.src,
+       CAST(h.n AS BIGINT) AS n_transitions,
+       round(h.h_src, 6) AS entropy,
+       round(h.h_src * (h.n / CAST(tot.n_all AS DOUBLE)), 6) AS weighted_entropy
+FROM h CROSS JOIN tot
+"""
+
+
+@register("q193_markov_entropy", oracle=_Q193_ORACLE, tags=("events", "stats", "sequence"))
+def q193_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    tr = seq.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    srcs = tr.groupBy("src").agg(F.sum("c").alias("n"))
+    tot = tr.agg(F.sum("c").alias("n_all"))
+    p = F.col("c") / F.col("n").cast("double")
+    h = (
+        tr.join(F.broadcast(srcs), "src")
+        .groupBy("src", "n")
+        .agg((-F.sum(p * F.log(p))).alias("h_src"))
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "src",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round("h_src", 6).alias("entropy"),
+        F.round(
+            F.col("h_src") * (F.col("n") / F.col("n_all").cast("double")), 6
+        ).alias("weighted_entropy"),
+    )

@@ -544,3 +544,63 @@ def q190_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q192: mergeable bottom-k sample — the sampling analogue of q171's
+# mergeable moments. A bottom-k sketch (k lowest md5 priorities) is
+# mergeable: take each shard's k lowest, union the shard candidates,
+# take the k lowest of that — and you MUST get exactly the global k
+# lowest, because a globally-bottom-k element is bottom-k within its
+# shard a fortiori. That identity is what lets 1000 executors each keep
+# k candidates and a coordinator merge 1000·k rows instead of the
+# corpus; the oracle computes the global bottom-k DIRECTLY, so equality
+# proves merge-then-select == select-globally, key for key. Priorities
+# are the portable md5 hash (pure function of the key), so the "sample"
+# is deterministic and engine-identical; doc_id breaks the (measure-zero
+# but representable) priority ties.
+# ---------------------------------------------------------------------------
+
+_Q192_K = 20
+_Q192_SHARDS = 8
+
+_Q192_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':rsv'), 1, 15))
+              AS BIGINT) AS priority
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rank,
+       doc_id, priority
+FROM pri
+ORDER BY priority, doc_id
+LIMIT {_Q192_K}
+"""
+
+
+@register("q192_bottomk_merge", oracle=_Q192_ORACLE, tags=("sketch", "sampling", "algebra"))
+def q192_bottomk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("priority"),
+        (F.col("doc_id") % _Q192_SHARDS).alias("shard"),
+    )
+    shard_w = Window.partitionBy("shard").orderBy("priority", "doc_id")
+    candidates = (
+        pri.withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= _Q192_K)
+        .drop("rn", "shard")
+    )
+    merged = candidates.orderBy("priority", "doc_id").limit(_Q192_K)
+    final_w = Window.orderBy("priority", "doc_id")
+    return merged.withColumn(
+        "rank", F.row_number().over(final_w).cast("int")
+    ).select("rank", "doc_id", "priority")

@@ -123,16 +123,19 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q188_hard_negatives",
     "q189_winsorized_stats",
     "q190_cms_frequency",
-    # refresh sample of earlier greens (one per round/family) so old
-    # evidence keeps getting re-confirmed:
+    "q191_psi_drift",
+    "q192_bottomk_merge",
+    "q193_markov_entropy",
+    # refresh sample of earlier greens so old evidence keeps getting
+    # re-confirmed (2 slots left after the 48 pending entries):
     "q20_monthly_revenue_yoy",
-    "q99_gold_monthly_state_sales",
     "q53_stream_hourly",
-    "q46p_minhash_lsh_portable",
-    "q115_scd2_customer_dim",
     # -- below here: outside the 50-row window; everything has a green
     # row in CORRECTNESS_r01/r02/r03 (or is by-design rows-only with a
     # value-exact twin: q46->q46p, q47->q68, q97->q158) --
+    "q99_gold_monthly_state_sales",
+    "q46p_minhash_lsh_portable",
+    "q115_scd2_customer_dim",
     "q104_jdbc_roundtrip",
     "q101_minhash_recall",
     "q102_token_zipf",

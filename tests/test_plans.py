@@ -440,3 +440,52 @@ def test_arrow_udf_is_arrow_not_pickle(spark):
     plan = formatted_plan(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucket_join_is_equi_join(spark):
+    """q180: the time-window join must compile to an ordinary equi-join
+    on (user, bucket) — no BroadcastNestedLoopJoin / CartesianProduct
+    (the shapes a raw range predicate degrades to, which are the exact
+    failure this rewrite exists to avoid at scale)."""
+    df = QUERIES["q180_interval_bucket_join"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_broadcasts_codebook(spark):
+    """q187: both Lloyd assignment passes must crossJoin a BROADCAST
+    codebook (k rows) — the corpus itself never shuffles for an
+    assignment — and centroid updates stay JVM-side (no Python)."""
+    df = QUERIES["q187_kmeans_lloyd"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert not has_python_eval(df)
+
+
+def test_target_encoding_broadcasts_category_stats(spark):
+    """q181: the per-category (Σ, n) relation joins back by broadcast —
+    the encode is a map-side lookup, not a shuffle of the fact table."""
+    df = QUERIES["q181_target_encoding_loo"].builder(spark, SF_SMALL)
+    assert uses_broadcast_join(df)
+
+
+def test_round4_queries_stay_jvm_side(spark):
+    """Round-4 additions built from DataFrame expressions must not
+    cross into Python (q188's scoring fold, q182's hashing, q186's LM
+    joins are all built-ins)."""
+    for name in (
+        "q178_corr_matrix",
+        "q179_attribution_last_touch",
+        "q180_interval_bucket_join",
+        "q182_feature_hashing",
+        "q183_containment_neardup",
+        "q184_vocab_oov_rate",
+        "q185_doc_chunking",
+        "q186_bigram_lm",
+        "q188_hard_negatives",
+        "q189_winsorized_stats",
+        "q190_cms_frequency",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert not has_python_eval(df), f"{name} plan crosses into Python"
