@@ -1,0 +1,141 @@
+"""Spark 4 SQL-surface extensions: recursive CTEs, pipe syntax, and SQL
+UDFs — the three query-language features Spark 4 added beyond the
+reference's Spark 3.5 surface (`/root/reference/Readme.md:22`), each
+registered with a value-exact DuckDB oracle.
+
+These matter for parity because they're USER-facing: a user migrating
+SQL from another warehouse (recursive hierarchies, pipe-style
+exploration, CREATE FUNCTION macros) can run it here unchanged. They
+compile to ordinary Catalyst plans — a recursive CTE is an iterative
+union the optimizer bounds, pipe syntax is sugar, a SQL UDF inlines into
+the plan as an expression (NOT a Python boundary) — so nothing here
+costs scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q194: recursive CTE — transitive reachability over a co-purchase
+# subgraph (q79/q123's edges, traversed instead of enumerated): parts
+# reachable from the seed (min partkey in the subgraph) within 3 hops,
+# with the shortest hop count. UNION ALL recursion with an explicit
+# depth bound and a min(depth) rollup keeps the semantics identical in
+# both engines (DuckDB's recursive UNION would dedup rows
+# mid-iteration; bounding + final GROUP BY avoids depending on that).
+# UNION ALL enumerates PATHS, not nodes — frontier grows with degree^h
+# — so the walked graph is the sparse partkey%20 slice; on a dense
+# graph use the UNION (visited-set) form or the iterative min-label
+# operator (operators/graph.py, q82) instead. Recursion cost model:
+# |frontier| x avg-degree shuffle joins per hop, same as q128's
+# PageRank steps.
+# ---------------------------------------------------------------------------
+
+_Q194_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 20 = 0 AND b.l_partkey % 20 = 0
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst AS src, src AS dst FROM pairs
+),
+seed AS (SELECT MIN(src) AS p FROM edges),
+reach(part, depth) AS (
+  SELECT p AS part, 0 AS depth FROM seed
+  UNION ALL
+  SELECT e.dst AS part, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.part
+  WHERE r.depth < 3
+)
+SELECT CAST(depth AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM (SELECT part, MIN(depth) AS depth FROM reach GROUP BY part)
+GROUP BY depth
+"""
+
+
+@register("q194_recursive_cte", oracle=_Q194_SQL, tags=("sql-api", "recursive", "graph"))
+def q194_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_Q194_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q195: SQL pipe syntax (|>) — the linear FROM-first query style
+# (SPARK-49555, from the SQL:2023 pipe-query direction). Same logical
+# plan as the nested form; registered so the surface is proven, with the
+# conventional-SQL oracle showing the equivalence.
+# ---------------------------------------------------------------------------
+
+_Q195_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n_orders,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS revenue
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 0
+"""
+
+_Q195_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 0
+"""
+
+
+@register("q195_pipe_syntax", oracle=_Q195_ORACLE, tags=("sql-api", "pipe"))
+def q195_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_Q195_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q196: SQL UDF (CREATE FUNCTION ... RETURN expr) — a declarative scalar
+# macro that Catalyst INLINES into the plan (no Python boundary, no
+# serialization: the plan shows a CASE expression, pinned in
+# tests/test_plans.py). The portable way to share business logic like
+# price banding across queries without shipping code.
+# ---------------------------------------------------------------------------
+
+_Q196_BAND = (
+    "CASE WHEN {x} < 50000 THEN 'low' WHEN {x} < 150000 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+_Q196_ORACLE = f"""
+SELECT {_Q196_BAND.format(x="CAST(o_totalprice AS DOUBLE)")} AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("q196_sql_udf", oracle=_Q196_ORACLE, tags=("sql-api", "udf"))
+def q196_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) "
+        "RETURNS STRING RETURN "
+        + _Q196_BAND.format(x="x")
+    )
+    return spark.sql(
+        """
+        SELECT price_band(CAST(o_totalprice AS DOUBLE)) AS band,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+        """
+    )

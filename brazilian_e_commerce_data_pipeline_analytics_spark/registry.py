@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.lakehouse_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.graph_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.trend_q",
+    "brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.text_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q",
     "brazilian_e_commerce_data_pipeline_analytics_spark.llm.features_q",
@@ -126,13 +127,18 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q191_psi_drift",
     "q192_bottomk_merge",
     "q193_markov_entropy",
-    # refresh sample of earlier greens so old evidence keeps getting
-    # re-confirmed (2 slots left after the 48 pending entries):
+    # Spark 4 SQL-surface additions (recursive CTE / SQL UDF in-window;
+    # q195 pipe syntax is slot 51 — sim-verified twice, family-covered
+    # by q194/q196, rotates in next round):
+    "q194_recursive_cte",
+    "q196_sql_udf",
+    # -- below here: outside the 50-row window. First the deferral, then
+    # earlier greens (CORRECTNESS_r01/r02/r03 rows) and the by-design
+    # rows-only queries with value-exact twins (q46->q46p, q47->q68,
+    # q97->q158) --
+    "q195_pipe_syntax",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
-    # -- below here: outside the 50-row window; everything has a green
-    # row in CORRECTNESS_r01/r02/r03 (or is by-design rows-only with a
-    # value-exact twin: q46->q46p, q47->q68, q97->q158) --
     "q99_gold_monthly_state_sales",
     "q46p_minhash_lsh_portable",
     "q115_scd2_customer_dim",

@@ -489,3 +489,12 @@ def test_round4_queries_stay_jvm_side(spark):
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
+def test_sql_udf_inlines_no_python(spark):
+    """q196: a SQL UDF must inline into the plan as a CASE expression —
+    zero Python evaluation nodes (that's the whole point of CREATE
+    FUNCTION ... RETURN over a Python UDF)."""
+    df = QUERIES["q196_sql_udf"].builder(spark, SF_SMALL)
+    assert not has_python_eval(df)
+    assert "CASE WHEN" in formatted_plan(df)
