@@ -497,3 +497,106 @@ def test_forward_fill_matches_python_reference(spark, obs):
             carry = float(lookup[h])
         exp[h] = carry
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# q180's bucket-expansion rewrite: for ANY set of (user, time) events,
+# the bucketed equi-join must count exactly the brute-force pairs —
+# each qualifying pair once (the build row's bucket is covered by
+# exactly one of the probe's two expanded buckets), none dropped at
+# bucket boundaries, none double-counted.
+# ---------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # user
+        st.integers(min_value=0, max_value=500),     # time (units)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(evs=events_strategy)
+@settings(**SETTINGS)
+def test_bucket_expansion_join_equals_bruteforce(spark, evs):
+    w = 60
+    df = spark.createDataFrame(
+        [Row(user_id=u, tus=t) for u, t in evs]
+    )
+    build = df.select(
+        "user_id", F.col("tus").alias("btus"), F.floor(F.col("tus") / w).alias("bk")
+    )
+    probe = df.select(
+        "user_id",
+        "tus",
+        F.explode(
+            F.array(F.floor(F.col("tus") / w) - 1, F.floor(F.col("tus") / w))
+        ).alias("bk"),
+    )
+    got = (
+        probe.join(build, ["user_id", "bk"])
+        .filter((F.col("tus") - F.col("btus") > 0) & (F.col("tus") - F.col("btus") <= w))
+        .count()
+    )
+    brute = sum(
+        1
+        for (ua, ta) in evs
+        for (ub, tb) in evs
+        if ua == ub and 0 < ta - tb <= w
+    )
+    assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# q187's Lloyd step: the Spark assignment/update pipeline must agree
+# with a plain-Python reference on ANY integer vector set — argmin with
+# cell-id tie-break, integer-exact centroid sums, two iterations.
+# ---------------------------------------------------------------------------
+
+vecs_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),  # tiny 2-d int vectors
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(vs=vecs_strategy)
+@settings(**SETTINGS)
+def test_kmeans_lloyd_matches_python_reference(spark, vs):
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.similarity_q import (
+        _km_assign,
+        _km_update,
+    )
+
+    k = min(2, len(vs))
+    v = spark.createDataFrame(
+        [Row(vec_id=i, q=[float(a), float(b)]) for i, (a, b) in enumerate(vs)]
+    )
+    c0 = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("c")
+    )
+    a1 = _km_assign(v, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(v, c1)
+    got = {r["vec_id"]: r["cell"] for r in a2.collect()}
+
+    # reference in plain Python (same tie-break: min (dist, cell))
+    def assign(points, cents):
+        out = {}
+        for i, p in points.items():
+            out[i] = min(
+                ((sum((a - b) ** 2 for a, b in zip(p, c)), cid) for cid, c in cents.items())
+            )[1]
+        return out
+
+    pts = {i: (float(a), float(b)) for i, (a, b) in enumerate(vs)}
+    cents0 = {i: pts[i] for i in range(k)}
+    ref_a1 = assign(pts, cents0)
+    cents1 = {}
+    for cid in set(ref_a1.values()):
+        members = [pts[i] for i, c in ref_a1.items() if c == cid]
+        n = len(members)
+        cents1[cid] = tuple(sum(m[d] for m in members) / n for d in range(2))
+    ref_a2 = assign(pts, cents1)
+    assert got == ref_a2
