@@ -65,6 +65,10 @@ BENCH_EXTENDED = (
     "q180_interval_bucket_join",
     "q186_bigram_lm",
     "q187_kmeans_lloyd",
+    # round-5 additions: deep-BPE fertility + weighted LSH (the two new
+    # heavyweight families; the stats/cube queries are scan-bound)
+    "q197_tokenizer_fertility",
+    "q198_idf_weighted_minhash",
 )
 
 

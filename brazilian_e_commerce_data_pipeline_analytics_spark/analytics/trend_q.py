@@ -1264,3 +1264,340 @@ def q193_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_src") * (F.col("n") / F.col("n_all").cast("double")), 6
         ).alias("weighted_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201: KL-divergence segment drift — the companion to q191's PSI:
+# instead of one global drift number between two generations, measure
+# how far EACH segment's (order-priority's) price distribution sits
+# from the corpus-wide distribution, as forward KL(seg ‖ global),
+# reverse KL(global ‖ seg), and their sum (Jeffreys divergence — the
+# symmetric form monitoring dashboards alert on). Same fixed-width
+# data-independent bins as q191 (engine-identical binning), and the
+# same Laplace add-one smoothing so empty bins stay finite — which
+# requires the DENSE bin spine: a zero-count bin still contributes
+# ~(1/(n+10))·ln(...) to the sum, so both engines materialize all 10
+# bins per segment via a generated spine, never just observed bins.
+#
+# Scale: one scan → map-side-combined (segment, bin) counts; the spine
+# cross join is |segments|×|bins| rows (tiny, data-independent); global
+# bin counts derive from the segment counts (no second scan). Doubles
+# appear only in the final pinned KL expressions, rounded once.
+# ---------------------------------------------------------------------------
+
+_Q201_BIN_W = 50_000
+_Q201_NBINS = 10  # bins 0..9, top bin open-ended
+
+_Q201_ORACLE = f"""
+WITH binned AS (
+  SELECT o_orderpriority AS seg,
+         least(CAST(floor(CAST(o_totalprice AS DOUBLE) / {_Q201_BIN_W}) AS INT),
+               {_Q201_NBINS - 1}) AS bin
+  FROM orders
+),
+c AS (SELECT seg, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+spine AS (
+  SELECT seg, b.bin
+  FROM (SELECT DISTINCT seg FROM c)
+  CROSS JOIN (SELECT unnest(range({_Q201_NBINS})) AS bin) b
+),
+dense AS (
+  SELECT spine.seg, spine.bin, COALESCE(c.c, 0) AS c
+  FROM spine LEFT JOIN c ON spine.seg = c.seg AND spine.bin = c.bin
+),
+g AS (SELECT bin, SUM(c) AS gc FROM dense GROUP BY 1),
+nseg AS (SELECT seg, SUM(c) AS n FROM dense GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_all FROM dense),
+terms AS (
+  SELECT d.seg,
+         nseg.n,
+         (d.c + 1) / CAST(nseg.n + {_Q201_NBINS} AS DOUBLE) AS p,
+         (g.gc + 1) / CAST(tot.n_all + {_Q201_NBINS} AS DOUBLE) AS q
+  FROM dense d
+  JOIN g USING (bin)
+  JOIN nseg USING (seg)
+  CROSS JOIN tot
+)
+SELECT seg AS o_orderpriority,
+       CAST(MIN(n) AS BIGINT) AS n_orders,
+       round(SUM(p * ln(p / q)), 6) AS kl_fwd,
+       round(SUM(q * ln(q / p)), 6) AS kl_rev,
+       round(SUM(p * ln(p / q)) + SUM(q * ln(q / p)), 6) AS jeffreys
+FROM terms
+GROUP BY seg
+"""
+
+
+@register("q201_kl_segment_drift", oracle=_Q201_ORACLE, tags=("stats", "drift", "monitoring"))
+def q201_kl_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / _Q201_BIN_W).cast("int"),
+            F.lit(_Q201_NBINS - 1),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("seg", "bin").agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        c.select("seg")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                o.sparkSession.range(_Q201_NBINS).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+    )
+    dense = spine.join(c, ["seg", "bin"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    g = dense.groupBy("bin").agg(F.sum("c").alias("gc"))
+    nseg = dense.groupBy("seg").agg(F.sum("c").alias("n"))
+    tot = dense.agg(F.sum("c").alias("n_all"))
+    k = _Q201_NBINS
+    terms = (
+        dense.join(F.broadcast(g), "bin")
+        .join(F.broadcast(nseg), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n",
+            ((F.col("c") + 1) / (F.col("n") + k).cast("double")).alias("p"),
+            ((F.col("gc") + 1) / (F.col("n_all") + k).cast("double")).alias("q"),
+        )
+    )
+    kl_fwd = F.sum(F.col("p") * F.log(F.col("p") / F.col("q")))
+    kl_rev = F.sum(F.col("q") * F.log(F.col("q") / F.col("p")))
+    return terms.groupBy("seg").agg(
+        F.min("n").cast("bigint").alias("n_orders"),
+        F.round(kl_fwd, 6).alias("kl_fwd"),
+        F.round(kl_rev, 6).alias("kl_rev"),
+        F.round(kl_fwd + kl_rev, 6).alias("jeffreys"),
+    ).select(
+        F.col("seg").alias("o_orderpriority"),
+        "n_orders",
+        "kl_fwd",
+        "kl_rev",
+        "jeffreys",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203: Markov next-event prediction accuracy — q193 measured how
+# predictable sessions are in-sample; this is the out-of-time eval a
+# model gate actually runs: transition counts TRAINED on the first half
+# of the month (source-event ts < Jan 16) produce an argmax
+# next-event predictor per source state (ties broken lexicographically,
+# a total order), which is then scored top-1 on the HELD-OUT second
+# half. Train/test leakage is impossible by construction: the split
+# keys on the source event's timestamp, and the per-user lead() window
+# is computed once over the full sequence so boundary transitions
+# (train-source → test-target) land in exactly one side.
+#
+# Scale: per-user lag/lead state is O(1); the model is |states|² rows;
+# scoring joins the test stream against the broadcast 5-row predictor.
+# Accuracy is an integer division evaluated identically on both sides.
+# ---------------------------------------------------------------------------
+
+_Q203_SPLIT = "2024-01-16 00:00:00"
+
+_Q203_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+tr AS (
+  SELECT event_type AS src, nxt AS dst, ts
+  FROM seq WHERE nxt IS NOT NULL
+),
+train AS (
+  SELECT src, dst, COUNT(*) AS c
+  FROM tr WHERE ts < TIMESTAMP '{_Q203_SPLIT}'
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT src, dst AS pred_dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT src, dst FROM tr WHERE ts >= TIMESTAMP '{_Q203_SPLIT}'
+)
+SELECT t.src,
+       p.pred_dst,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.dst = p.pred_dst THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN t.dst = p.pred_dst THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM test t
+LEFT JOIN pred p USING (src)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q203_next_event_accuracy",
+    oracle=_Q203_ORACLE,
+    tags=("events", "ml", "sequence", "eval"),
+)
+def q203_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"), "ts")
+    )
+    split = F.lit(_Q203_SPLIT).cast("timestamp")
+    train = tr.filter(F.col("ts") < split).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_src = Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+    pred = (
+        train.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("pred_dst"))
+    )
+    test = tr.filter(F.col("ts") >= split).select("src", "dst")
+    correct = F.sum(F.when(F.col("dst") == F.col("pred_dst"), 1).otherwise(0))
+    return (
+        test.join(F.broadcast(pred), "src", "left")
+        .groupBy("src", "pred_dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            correct.cast("bigint").alias("n_correct"),
+            (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: chi-square test of independence — the categorical companion to
+# q167's two-proportion z-test: is order priority independent of order
+# status? Expected cell counts from the margin products, the chi²
+# statistic over the full contingency table, degrees of freedom from
+# the observed level counts. Everything up to the final statistic is
+# exact integer arithmetic (observed counts, margins, n); the per-cell
+# (obs − exp)²/exp terms are doubles summed once and round-6'd (q191's
+# libm/ordering precedent).
+#
+# Scale: one scan, one (r×c)-cell map-side-combined count; margins
+# derive from the cells (no second scan); the statistic is a fold over
+# r×c rows. Nothing scales with data volume except the scan.
+# ---------------------------------------------------------------------------
+
+_Q205_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+rows_ AS (SELECT s, SUM(c) AS rc FROM cells GROUP BY 1),
+cols_ AS (SELECT p, SUM(c) AS cc FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+terms AS (
+  SELECT cells.c,
+         (rows_.rc * cols_.cc) / CAST(tot.n AS DOUBLE) AS exp
+  FROM cells JOIN rows_ USING (s) JOIN cols_ USING (p) CROSS JOIN tot
+)
+SELECT CAST((SELECT COUNT(*) FROM rows_) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM cols_) AS BIGINT) AS n_cols,
+       CAST(((SELECT COUNT(*) FROM rows_) - 1)
+            * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+       round(SUM((c - exp) * (c - exp) / exp), 6) AS chi2
+FROM terms
+"""
+
+
+@register("q205_chi_square_independence", oracle=_Q205_ORACLE, tags=("stats", "test"))
+def q205_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows_ = cells.groupBy("s").agg(F.sum("c").alias("rc"))
+    cols_ = cells.groupBy("p").agg(F.sum("c").alias("cc"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rows_), "s")
+        .join(F.broadcast(cols_), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            ((F.col("rc") * F.col("cc")) / F.col("n").cast("double")).alias("exp"),
+        )
+    )
+    nr = rows_.count()
+    nc = cols_.count()
+    return terms.agg(
+        F.lit(nr).cast("bigint").alias("n_rows"),
+        F.lit(nc).cast("bigint").alias("n_cols"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum((F.col("c") - F.col("exp")) * (F.col("c") - F.col("exp")) / F.col("exp")),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206: Benford first-digit audit — the classic fabricated-data screen
+# run over monetary columns in ingest QA: the leading digit of
+# o_totalprice against Benford's expected log10(1 + 1/d) share, with
+# the per-digit deviation and the summary MAD (mean absolute deviation,
+# the statistic Nigrini's audit tables threshold on). First digits are
+# string-extracted (no float log tricks on the data path), counts are
+# exact, and the only doubles are the 9 expected shares (pinned
+# closed-form literals evaluated identically) and the final round-6'd
+# deviations.
+#
+# Scale: one scan → 9-row count; everything downstream is constant-size.
+# ---------------------------------------------------------------------------
+
+_Q206_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_all FROM c)
+SELECT c.digit,
+       CAST(c.n AS BIGINT) AS n_orders,
+       round(c.n / CAST(tot.n_all AS DOUBLE), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+       round(abs(c.n / CAST(tot.n_all AS DOUBLE)
+                 - log10(1.0 + 1.0 / c.digit)), 6) AS abs_dev
+FROM c CROSS JOIN tot
+"""
+
+
+@register("q206_benford_audit", oracle=_Q206_ORACLE, tags=("stats", "quality", "audit"))
+def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("n_all"))
+    obs = F.col("n") / F.col("n_all").cast("double")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(obs, 6).alias("obs_share"),
+        F.round(ben, 6).alias("benford_share"),
+        F.round(F.abs(obs - ben), 6).alias("abs_dev"),
+    )

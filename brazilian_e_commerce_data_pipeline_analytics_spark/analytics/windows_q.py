@@ -684,3 +684,62 @@ def q93_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q200: gold-layer data cube with grouping_id level selection — extends
+# q19/q25/q26 from "emit every grouping-set combination" to the shape a
+# BI serving layer actually materializes: a 3-dim cube over
+# (order year, customer nation, order priority) where grouping_id()
+# FILTERS the 8 cube levels down to the 4 a dashboard serves (full
+# detail, priority rolled up, year totals, grand total) — the other 4
+# margins (those aggregating across years at sub-total grain) are
+# never queried and never stored. Catalyst evaluates the whole cube in
+# ONE Expand+Aggregate pass and the gid filter prunes expanded rows
+# before the shuffle, so the discarded levels cost no aggregation
+# state — exactly how a 100 TB cube build avoids materializing 2^k
+# levels. grouping_id bit order (leftmost grouping col = MSB) is
+# verified identical between Spark and DuckDB's GROUPING(a,b,c).
+# ---------------------------------------------------------------------------
+
+_Q200_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       n_name,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate), n_name, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY CUBE (1, 2, 3)
+HAVING CAST(GROUPING(year(o_orderdate), n_name, o_orderpriority) AS INT)
+         IN (0, 1, 3, 7)
+"""
+
+
+@register("q200_gold_cube_levels", oracle=_Q200_ORACLE, tags=("cube", "agg", "gold"))
+def q200_gold_cube_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "n_name",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+    gid = F.grouping_id().cast("int")
+    return (
+        base.cube("o_year", "n_name", "o_orderpriority")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .filter(F.col("gid").isin(0, 1, 3, 7))
+    )

@@ -257,10 +257,18 @@ _BPE_ITERS = 3
 
 
 def _bpe_iter_sql(n: int) -> str:
-    """One BPE iteration as a CTE block: s{n-1} -> t{n} (top pair) -> s{n}."""
+    """One BPE iteration as a CTE block: s{n-1} -> t{n} (top pair) -> s{n}.
+
+    ``p{n}`` and ``s{n}`` are MATERIALIZED: DuckDB's default CTE
+    inlining re-expands multiply-referenced CTEs, which makes an
+    unrolled merge chain super-linear in iteration depth (measured:
+    the 6-iteration q197 oracle fell from 334s to seconds at sf0.001
+    once pinned). Materializing matches what the Spark side's
+    localCheckpoint does anyway.
+    """
     p, t, s_in, s_out = f"p{n}", f"t{n}", f"s{n - 1}", f"s{n}"
     return f"""
-{p} AS (
+{p} AS MATERIALIZED (
   SELECT word, cnt, pos, sym,
          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
   FROM {s_in}
@@ -298,7 +306,7 @@ k{n} AS (
               AS consumed
   FROM j{n}
 ),
-{s_out} AS (
+{s_out} AS MATERIALIZED (
   SELECT word, cnt,
          row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
          CASE WHEN acc THEN sym || nxt ELSE sym END AS sym
@@ -307,10 +315,12 @@ k{n} AS (
 
 
 # Shared CTE prefix: vocabulary, char split, and the unrolled merge
-# iterations — ends with the post-merge symbol relation s{_BPE_ITERS}.
-# q141 selects the merge table from it; q153 applies it to the corpus.
-_BPE_CTE_PREFIX = (
-    """
+# iterations — ends with the post-merge symbol relation s{iters}.
+# q141 selects the merge table from it; q153 applies it to the corpus;
+# q197 unrolls deeper for the fertility study.
+def _bpe_cte_prefix(iters: int) -> str:
+    return (
+        """
 WITH wc AS (
   SELECT t AS word, COUNT(*) AS cnt
   FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
@@ -321,8 +331,11 @@ s0 AS (
   SELECT word, cnt, pos, chars[pos + 1] AS sym
   FROM (SELECT word, cnt, chars, unnest(range(len(chars))) AS pos FROM c0)
 ),"""
-    + ",".join(_bpe_iter_sql(n) for n in range(1, _BPE_ITERS + 1))
-)
+        + ",".join(_bpe_iter_sql(n) for n in range(1, iters + 1))
+    )
+
+
+_BPE_CTE_PREFIX = _bpe_cte_prefix(_BPE_ITERS)
 
 _Q141_ORACLE = (
     _BPE_CTE_PREFIX
@@ -336,7 +349,7 @@ _Q141_ORACLE = (
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS
 ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
     """Run the merge loop; return (post-merge symbol relation, merge table)."""
     d = load_table(spark, sf_dir, "documents")
@@ -354,7 +367,7 @@ def _bpe_train(
 
     w_word = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
-    for it in range(1, _BPE_ITERS + 1):
+    for it in range(1, iters + 1):
         pairs = s.withColumn("nxt", F.lead("sym").over(w_word))
         pc = (
             pairs.filter(F.col("nxt").isNotNull())
@@ -477,6 +490,78 @@ def q153_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("int").alias("n_subwords"),
             F.round(
                 F.sum(F.length("word")) / F.sum("n_sub"), 6
+            ).alias("compression"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197: tokenizer fertility by language — the metric tokenizer teams
+# actually tune for: subwords emitted per word (fertility) and chars
+# absorbed per subword (compression), split by language, under a DEEPER
+# merge table than q141/q153's 3 (6 merges here; TODO r4 "deeper BPE"
+# item). Languages whose character sequences the learned merges cover
+# poorly show high fertility — the signal that drives vocab-budget
+# reallocation in multilingual tokenizer training.
+#
+# Distribution: identical economics to q153 — the merge loop's unit of
+# work is the vocabulary (word TYPES), never the token stream; the
+# per-language rollup joins the subword-count-per-word relation onto
+# the exploded token stream by word (shuffle on the Zipf-concentrated
+# vocab key; at corpus scale the wordlen relation is tiny and
+# broadcastable). Deeper unrolls are linear: each merge is the same
+# CTE block / window pass. Fertility and compression are single-division
+# doubles rounded once.
+# ---------------------------------------------------------------------------
+
+_Q197_ITERS = 6
+
+_Q197_ORACLE = (
+    _bpe_cte_prefix(_Q197_ITERS)
+    + f""",
+wordlen AS (SELECT word, COUNT(*) AS n_sub FROM s{_Q197_ITERS} GROUP BY word),
+tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       round(SUM(n_sub) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       round(SUM(length(word)) / CAST(SUM(n_sub) AS DOUBLE), 6) AS compression
+FROM tok JOIN wordlen USING (word)
+GROUP BY lang
+"""
+)
+
+
+@register(
+    "q197_tokenizer_fertility",
+    oracle=_Q197_ORACLE,
+    tags=("text", "tokenizer", "llm", "iterative"),
+)
+def q197_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, _ = _bpe_train(spark, sf_dir, iters=_Q197_ITERS)
+    wordlen = s.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "word"
+        ),
+    )
+    return (
+        tok.join(wordlen, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_sub").cast("double"), 6
             ).alias("compression"),
         )
     )
@@ -683,4 +768,75 @@ def q176_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
         (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204: temperature-scaled mixture sampling — the multilingual-corpus
+# rebalancing rule (share_i ∝ n_i^α, α=0.3) that upsamples low-resource
+# languages for training without letting the head language drown them
+# (the exponent scheme used by multilingual LM data recipes). Outputs,
+# per language: token mass, the natural share, the α-share the sampler
+# should draw at, and the boost factor (α-share / natural share) the
+# data loader applies as a per-language sampling rate.
+#
+# q131 (domain caps) clamps ABSOLUTE counts; q122 (mixture rebalance)
+# hits EXPLICIT targets; temperature sampling is the third policy —
+# smooth, parameter-light reweighting. Scale: one scan to a per-lang
+# token count (map-side combined); everything downstream operates on
+# the |languages|-row relation. pow() is the only libm call; shares
+# are round-6'd once (the q191 ln() precedent).
+# ---------------------------------------------------------------------------
+
+_Q204_ALPHA = 0.3
+
+_Q204_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_tokens) AS all_tokens,
+         SUM(pow(n_tokens, {_Q204_ALPHA})) AS all_alpha
+  FROM t
+)
+SELECT t.lang,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       t.n_tokens,
+       round(t.n_tokens / CAST(tot.all_tokens AS DOUBLE), 6) AS share_natural,
+       round(pow(t.n_tokens, {_Q204_ALPHA}) / tot.all_alpha, 6) AS share_alpha,
+       round((pow(t.n_tokens, {_Q204_ALPHA}) / tot.all_alpha)
+             / (t.n_tokens / CAST(tot.all_tokens AS DOUBLE)), 6) AS boost
+FROM t CROSS JOIN tot
+"""
+
+
+@register(
+    "q204_temperature_mixture",
+    oracle=_Q204_ORACLE,
+    tags=("curation", "sampling", "llm"),
+)
+def q204_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = t.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.sum(F.pow("n_tokens", F.lit(_Q204_ALPHA))).alias("all_alpha"),
+    )
+    nat = F.col("n_tokens") / F.col("all_tokens").cast("double")
+    alp = F.pow("n_tokens", F.lit(_Q204_ALPHA)) / F.col("all_alpha")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(nat, 6).alias("share_natural"),
+        F.round(alp, 6).alias("share_alpha"),
+        F.round(alp / nat, 6).alias("boost"),
     )

@@ -1088,3 +1088,204 @@ def q183_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_common") / F.col("nb")).alias("containment"),
     )
     return d1.unionByName(d2).filter(F.col("containment") >= _Q183_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q198: IDF-weighted MinHash — near-dup detection where RARE shingles
+# count more than boilerplate. Plain MinHash (q46/q46p) treats "click
+# here to subscribe" and a distinctive 3-gram as equal evidence;
+# weighted Jaccard  J_w(A,B) = Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s)  fixes
+# that, and the classic integer-weight reduction makes it MinHash-able:
+# replicate each shingle into w(s) distinct virtual elements
+# (shingle#1 … shingle#w) and run UNWEIGHTED MinHash over the expanded
+# universe — the collision probability is then exactly J_w. Weights
+# here are deterministic integer IDF tiers (df=1 → 3, df≤3 → 2,
+# else 1): a real ln(N/df) weight would put float boundaries inside a
+# discretization both engines must agree on, while tiers keep every
+# intermediate an exact integer (the q46p portability rule).
+#
+# Scale: df is one map-side-combined count over the exploded shingle
+# relation; the expansion multiplies rows by ≤3 (bounded by the top
+# tier, independent of corpus size); candidates are docs×bands rows
+# joined on band key — never all-pairs; exact verify touches candidate
+# pairs only, and the weighted overlap join carries the broadcast
+# weight relation. Same (k=32, bands=8) config as the q46 production
+# pipeline, chosen by the q101 recall study.
+# ---------------------------------------------------------------------------
+
+
+def _wmh_oracle(n: int, k: int, bands: int, threshold_pct: int) -> str:
+    rows = k // bands
+    consts = _mh_consts(k)
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(consts)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(t) >= {n}
+),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+wt AS (
+  SELECT shingle,
+         CASE WHEN df = 1 THEN 3 WHEN df <= 3 THEN 2 ELSE 1 END AS w
+  FROM df
+),
+expanded AS (
+  SELECT sh.doc_id, sh.shingle, r
+  FROM sh JOIN wt USING (shingle)
+  CROSS JOIN unnest(range(1, wt.w + 1)) AS u(r)
+),
+ex AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle || '#' || CAST(r AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS v
+  FROM expanded
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (
+  SELECT doc_id, SUM(w) AS tw
+  FROM sh JOIN wt USING (shingle) GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, SUM(wt.w) AS w_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  JOIN wt ON wt.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.w_common AS BIGINT) AS w_common,
+       CAST(sa.tw + sb.tw - m.w_common AS BIGINT) AS w_union,
+       m.w_common / (sa.tw + sb.tw - m.w_common) AS wjaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+WHERE {threshold_pct} * m.w_common >= sa.tw + sb.tw - m.w_common
+"""
+
+
+@register(
+    "q198_idf_weighted_minhash",
+    oracle=_wmh_oracle(3, _Q101_K, _Q101_BANDS, 20),
+    tags=("dedup", "lsh", "llm", "weighted"),
+)
+def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, k, bands = 3, _Q101_K, _Q101_BANDS
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    sh = (
+        d.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        # 4 consumers (df count, expansion, both exact-verify sides) —
+        # uncached the tokenize+shingle explode would run 4x
+        .cache()
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wt = df.select(
+        "shingle",
+        F.when(F.col("df") == 1, 3).when(F.col("df") <= 3, 2).otherwise(1).alias("w"),
+    )
+    shw = sh.join(wt, "shingle")  # (doc_id, shingle, w)
+    expanded = shw.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.expr("sequence(1, w)")).alias("r"),
+    )
+    ex = expanded.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("r").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("__v"),
+    )
+    aggs = [
+        F.min((F.col("__v") % _MH_P * F.lit(a) + F.lit(b)) % _MH_P).alias(f"__h{s}")
+        for s, (a, b) in enumerate(_mh_consts(k))
+    ]
+    sigs = ex.groupBy("doc_id").agg(*aggs)
+    banded = _band_keys(sigs, "doc_id", k, bands)
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shw.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    ea = shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("w_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("__wa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("__wb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("w_union", F.col("__wa") + F.col("__wb") - F.col("w_common"))
+        .filter(F.lit(20) * F.col("w_common") >= F.col("w_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("w_common").cast("bigint").alias("w_common"),
+            F.col("w_union").cast("bigint").alias("w_union"),
+            (F.col("w_common") / F.col("w_union")).alias("wjaccard"),
+        )
+    )

@@ -1010,3 +1010,135 @@ def q188_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q202: ANN recall calibration — the embedding-family analogue of
+# q101's LSH recall gate: measure, per exact-rank, how often the IVF
+# index (q75's exact configuration: 8 cells, 2 probes) surfaces the
+# TRUE top-k neighbor found by brute force (q48's arithmetic). This is
+# the number an ANN rollout is gated on — "recall@k ≥ X before the
+# brute-force path is switched off" — and like q101 it is registered
+# as a first-class oracle-checked query, so the calibration itself is
+# evidence, not a notebook artifact.
+#
+# Scale: the brute-force side is the 1%-query contract (q48); the IVF
+# side shares its candidate economics with q75 (probed cells only).
+# The recall join is exact-top-k sized (queries × k rows). Recall is
+# an integer division evaluated identically on both engines. At corpus
+# scale the brute-force truth set would come from a SAMPLED query set
+# — the gate's statistical character is unchanged.
+# ---------------------------------------------------------------------------
+
+_Q202_K = _IVF_K  # compare at the index's serving k
+
+_Q202_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, e.v), 6) DESC,
+                      e.vec_id
+           ) AS rank
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_Q202_K}
+),
+seeds AS (
+  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cell
+           ) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cell, [{_MEAN_EXPRS}] AS cv FROM a1 GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE e.vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_PROBE}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a2.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(p.q_vec, a2.v), 6) DESC,
+                      a2.vec_id
+           ) AS rank
+    FROM a2 JOIN probes p USING (cell)
+    WHERE a2.vec_id <> p.query_id
+  ) WHERE rank <= {_Q202_K}
+)
+SELECT ex.rank,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact ex
+LEFT JOIN approx ap
+  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.rank
+"""
+
+
+@register(
+    "q202_ann_recall_calibration",
+    oracle=_Q202_ORACLE,
+    tags=("similarity", "ivf", "recall", "llm"),
+)
+def q202_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    exact = knn_bruteforce(
+        e, queries, id_col="vec_id", vec_col="embedding", k=_Q202_K
+    ).select("query_id", "neighbor_id", "rank")
+    approx = ivf_ann(
+        e,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_Q202_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        dims=_IVF_DIMS,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            hit.cast("bigint").alias("n_hit"),
+            (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

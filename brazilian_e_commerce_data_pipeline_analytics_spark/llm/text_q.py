@@ -1232,3 +1232,169 @@ def q186_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q199: curriculum binning — the stage assignment a curriculum-learning
+# data loader consumes: every document placed on a 2-d grid of
+# (heuristic quality band from q42) × (bigram-LM fluency tercile from
+# q186's scorer), with per-cell counts and mean scores. The two signals
+# disagree exactly where curricula care (high-quality-but-stilted vs
+# fluent-but-thin text), so the grid, not either axis alone, is the
+# schedule. Tercile boundaries are EXACT percentiles of the per-doc LM
+# score (q27's bit-identical interpolation precedent) broadcast back as
+# a 1-row relation — deliberately NOT a global ntile() window, which
+# would sort the whole corpus on one task; boundary-compare keeps the
+# assignment a broadcast map-side projection at any scale (the
+# SCALING.md approx_percentile swap applies verbatim when exactness is
+# relaxed). Docs sitting exactly on a boundary compare identically in
+# both engines because the per-doc scores are round-6-pinned doubles.
+# ---------------------------------------------------------------------------
+
+_Q199_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         CASE WHEN round(0.5 * least(len({_DUCK_TOKS}) / 100.0, 1.0)
+                         + 0.3 * (len(list_distinct({_DUCK_TOKS}))
+                                  / len({_DUCK_TOKS}))
+                         + 0.2 * (1.0 - {_duck_stop_count(LANG_STOPWORDS['en'])}
+                                  / len({_DUCK_TOKS})), 6) >= 0.7 THEN 'high'
+              WHEN round(0.5 * least(len({_DUCK_TOKS}) / 100.0, 1.0)
+                         + 0.3 * (len(list_distinct({_DUCK_TOKS}))
+                                  / len({_DUCK_TOKS}))
+                         + 0.2 * (1.0 - {_duck_stop_count(LANG_STOPWORDS['en'])}
+                                  / len({_DUCK_TOKS})), 6) >= 0.4 THEN 'medium'
+              ELSE 'low' END AS band,
+         round(0.5 * least(len({_DUCK_TOKS}) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct({_DUCK_TOKS})) / len({_DUCK_TOKS}))
+               + 0.2 * (1.0 - {_duck_stop_count(LANG_STOPWORDS['en'])}
+                        / len({_DUCK_TOKS})), 6) AS quality
+  FROM documents
+),
+u AS (SELECT unnest(t) AS w FROM t),
+uc AS (SELECT w, COUNT(*) AS n1 FROM u GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM u),
+bgpos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bgpos),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c2) AS ctx FROM c2 GROUP BY 1),
+lm AS (
+  SELECT bg.doc_id,
+         round(SUM(ln(0.7 * (c2.c2 / ctx.ctx) + 0.3 * (uc.n1 / tot.n)))
+               / COUNT(*), 6) AS lp
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN uc ON uc.w = bg.w2
+  CROSS JOIN tot
+  GROUP BY bg.doc_id
+),
+scored AS (SELECT q.doc_id, q.band, q.quality, lm.lp FROM qual q JOIN lm USING (doc_id)),
+b AS (
+  SELECT quantile_cont(lp, 1.0/3) AS b1, quantile_cont(lp, 2.0/3) AS b2
+  FROM scored
+)
+SELECT band,
+       1 + CAST(lp > b.b1 AS INT) + CAST(lp > b.b2 AS INT) AS lm_tercile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (CAST(SUM(CAST(round(quality * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        / COUNT(*)) / 1e6 AS avg_quality,
+       (CAST(SUM(CAST(round(lp * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        / COUNT(*)) / 1e6 AS avg_logprob
+FROM scored CROSS JOIN b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q199_curriculum_bins",
+    oracle=_Q199_ORACLE,
+    tags=("text", "llm", "quality", "curriculum"),
+)
+def q199_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))).alias("n_stop"),
+    )
+    q = quality_score(F.col("n_tokens"), F.col("n_distinct"), F.col("n_stop"))
+    qual = base.select(
+        "doc_id",
+        q.alias("quality"),
+        F.when(q >= 0.7, "high").when(q >= 0.4, "medium").otherwise("low").alias("band"),
+    )
+
+    # per-doc bigram-LM score — q186's model, reduced to (doc_id, lp)
+    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    u = d.select(F.explode(toks).alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    p = 0.7 * (F.col("c2") / F.col("ctx")) + 0.3 * (F.col("n1") / F.col("n"))
+    lm = (
+        bg.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uc, bg.w2 == uc.w)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("lp"))
+    )
+
+    scored = qual.join(lm, "doc_id")
+    b = scored.agg(
+        F.percentile("lp", F.lit(1.0 / 3)).alias("b1"),
+        F.percentile("lp", F.lit(2.0 / 3)).alias("b2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(b))
+        .withColumn(
+            "lm_tercile",
+            F.lit(1)
+            + (F.col("lp") > F.col("b1")).cast("int")
+            + (F.col("lp") > F.col("b2")).cast("int"),
+        )
+        .groupBy("band", "lm_tercile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # NOT round(avg(...)): averaging round-6 doubles sums them in
+            # engine-specific order, and round-6 of a ulp-divergent sum
+            # tips half boundaries differently (caught at sf0.01: Spark
+            # -3.405009 vs DuckDB -3.40501). The per-doc scores are exact
+            # at 6 decimals, so sum them as micro-unit INTEGERS and do
+            # the (identical-expression) double division once — every
+            # intermediate is then bit-equal across engines, no final
+            # round needed.
+            (
+                (
+                    F.sum(F.round(F.col("quality") * 1e6, 0).cast("bigint")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                )
+                / F.lit(1e6)
+            ).alias("avg_quality"),
+            (
+                (
+                    F.sum(F.round(F.col("lp") * 1e6, 0).cast("bigint")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+    )

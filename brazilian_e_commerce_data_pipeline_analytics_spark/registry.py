@@ -137,6 +137,18 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # rows-only queries with value-exact twins (q46->q46p, q47->q68,
     # q97->q158) --
     "q195_pipe_syntax",
+    # round-5 additions (sim-verified this round; rotate into the
+    # round-5 window with q195):
+    "q197_tokenizer_fertility",
+    "q198_idf_weighted_minhash",
+    "q199_curriculum_bins",
+    "q200_gold_cube_levels",
+    "q201_kl_segment_drift",
+    "q202_ann_recall_calibration",
+    "q203_next_event_accuracy",
+    "q204_temperature_mixture",
+    "q205_chi_square_independence",
+    "q206_benford_audit",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

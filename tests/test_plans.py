@@ -498,3 +498,58 @@ def test_sql_udf_inlines_no_python(spark):
     df = QUERIES["q196_sql_udf"].builder(spark, SF_SMALL)
     assert not has_python_eval(df)
     assert "CASE WHEN" in formatted_plan(df)
+
+
+def test_round5_queries_stay_jvm_side(spark):
+    """Round-5 additions are pure DataFrame expression plans — the BPE
+    trainer, weighted LSH, curriculum grid, cube, and every stats op
+    run without crossing into Python."""
+    for name in (
+        "q197_tokenizer_fertility",
+        "q198_idf_weighted_minhash",
+        "q199_curriculum_bins",
+        "q200_gold_cube_levels",
+        "q201_kl_segment_drift",
+        "q202_ann_recall_calibration",
+        "q203_next_event_accuracy",
+        "q204_temperature_mixture",
+        "q205_chi_square_independence",
+        "q206_benford_audit",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
+def test_curriculum_has_no_global_window(spark):
+    """q199: tercile assignment must come from broadcast percentile
+    boundaries, never a global ntile() window (which would sort the
+    whole corpus on one task — the exact plan this query's design
+    note forbids)."""
+    df = QUERIES["q199_curriculum_bins"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+
+
+def test_cube_expands_once(spark):
+    """q200: the 4 served cube levels must evaluate in ONE
+    Expand+Aggregate pass over the joined fact — not one aggregation
+    per grouping set."""
+    df = QUERIES["q200_gold_cube_levels"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    # one logical Expand (formatted output may list it in both the
+    # header tree and the node details; never more than one node id)
+    import re as _re
+
+    expand_nodes = _re.findall(r"\(\d+\) Expand", plan)
+    assert len(expand_nodes) <= 1
+
+
+def test_weighted_minhash_band_join_is_equi(spark):
+    """q198: LSH candidates must come from an equi-join on the band
+    key (docs x bands rows) — no nested-loop/cartesian pair
+    enumeration anywhere in the plan."""
+    df = QUERIES["q198_idf_weighted_minhash"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
