@@ -1398,3 +1398,161 @@ def q199_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q207: n-gram novelty scoring — dedup-aware sampling's ranking signal:
+# how much of each document's 3-gram mass appears for the FIRST time in
+# the corpus (ordered by doc_id, the ingest order)? A document whose
+# shingles were all seen in earlier documents is recombinated bulk; a
+# high-novelty one carries new content. novelty = fraction of the doc's
+# distinct shingles whose global first-occurrence doc IS this doc.
+#
+# The "cumulative distinct" is NOT a running scan: the first occurrence
+# of every shingle is a single min(doc_id) aggregation over the
+# exploded shingle relation, joined back to per-doc shingles — two
+# map-side-combined aggs and one shuffle join on the shingle key, the
+# q45/q81 inverted-index economics. At 100 TB the min-doc relation is
+# vocabulary-sized (Zipf-concentrated), and the same df-cap rule
+# applies if it must shrink.
+# ---------------------------------------------------------------------------
+
+_Q207_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         ))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+first_ AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM sh JOIN first_ f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@register("q207_ngram_novelty", oracle=_Q207_ORACLE, tags=("text", "dedup", "llm"))
+def q207_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 3
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    sh = (
+        d.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        # feeds the first-occurrence agg AND the per-doc rollup
+        .cache()
+    )
+    first_ = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: k-fold split audit — the check run after any hash-based CV
+# split: folds must be (a) deterministic and (b) stratum-balanced.
+# Fold id = the q83/q86 portable md5 bucket mod K (stable per doc_id
+# regardless of partitioning or corpus growth — a re-run or a late
+# partition cannot move a document between folds). The audit compares
+# each fold's per-language share against the corpus share and reports
+# the fold's worst absolute deviation — the number a split-quality gate
+# thresholds before training starts.
+#
+# Scale: one scan → (fold, lang) counts (map-side combined, K×|langs|
+# rows out); margins derive from the cells; the deviation fold is over
+# the constant-size cell relation. Exact-integer counts; shares are
+# single divisions round-6'd once.
+# ---------------------------------------------------------------------------
+
+_Q208_FOLDS = 5
+
+_Q208_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':13'),
+                                       1, 15)) AS BIGINT) % {_Q208_FOLDS} AS INT)
+           AS fold
+  FROM documents
+),
+cells AS (SELECT fold, lang, COUNT(*) AS c FROM f GROUP BY 1, 2),
+per_fold AS (SELECT fold, SUM(c) AS nf FROM cells GROUP BY 1),
+per_lang AS (SELECT lang, SUM(c) AS nl FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells),
+dev AS (
+  SELECT cells.fold,
+         abs(cells.c / CAST(per_fold.nf AS DOUBLE)
+             - per_lang.nl / CAST(tot.n AS DOUBLE)) AS d
+  FROM cells JOIN per_fold USING (fold) JOIN per_lang USING (lang)
+  CROSS JOIN tot
+)
+SELECT per_fold.fold,
+       CAST(per_fold.nf AS BIGINT) AS n_docs,
+       round(MAX(dev.d), 6) AS max_share_dev
+FROM per_fold JOIN dev USING (fold)
+GROUP BY 1, 2
+"""
+
+
+@register("q208_kfold_split_audit", oracle=_Q208_ORACLE, tags=("sampling", "eval", "llm"))
+def q208_kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":13"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % _Q208_FOLDS
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    cells = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("c"))
+    per_fold = cells.groupBy("fold").agg(F.sum("c").alias("nf"))
+    per_lang = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    dev = (
+        cells.join(F.broadcast(per_fold), "fold")
+        .join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "nf",
+            F.abs(
+                F.col("c") / F.col("nf").cast("double")
+                - F.col("nl") / F.col("n").cast("double")
+            ).alias("d"),
+        )
+    )
+    return dev.groupBy("fold", F.col("nf").cast("bigint").alias("n_docs")).agg(
+        F.round(F.max("d"), 6).alias("max_share_dev")
+    ).select("fold", "n_docs", "max_share_dev")

@@ -149,6 +149,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q204_temperature_mixture",
     "q205_chi_square_independence",
     "q206_benford_audit",
+    "q207_ngram_novelty",
+    "q208_kfold_split_audit",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

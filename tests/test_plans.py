@@ -515,6 +515,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q204_temperature_mixture",
         "q205_chi_square_independence",
         "q206_benford_audit",
+        "q207_ngram_novelty",
+        "q208_kfold_split_audit",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
