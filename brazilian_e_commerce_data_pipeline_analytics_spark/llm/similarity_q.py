@@ -1142,3 +1142,86 @@ def q202_ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: nearest-centroid classification — the cheapest embedding-space
+# classifier and the standard probe for "are these embeddings linearly
+# separable by label": per-label centroids (the ivf_centroids decimal-
+# mean recipe, so the centroid doubles replay bit-identically), every
+# vector assigned to its nearest centroid by round-6 cosine (ties to
+# the lowest label — q75's argmax contract), accuracy reported per true
+# label. Centroids INCLUDE each vector's own contribution (the plain
+# Rocchio form; at 56 vectors/label the self-term shifts nothing).
+#
+# Scale: centroids are |labels|×dims decimal partials (map-side
+# combined); assignment is a narrow map against the broadcast codebook
+# — the corpus never shuffles; the accuracy rollup is a |labels|-row
+# agg. Same economics as the q187 assignment pass.
+# ---------------------------------------------------------------------------
+
+_Q210_MEANS = ", ".join(
+    f"CAST(SUM(CAST(round(v[{j + 1}], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    for j in range(_IVF_DIMS)
+)
+
+_Q210_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, [{_Q210_MEANS}] AS cv FROM e GROUP BY label
+),
+pred AS (
+  SELECT vec_id, label, cell AS pred_label FROM (
+    SELECT e.vec_id, e.label, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM pred
+GROUP BY label
+"""
+
+
+@register(
+    "q210_nearest_centroid",
+    oracle=_Q210_ORACLE,
+    tags=("similarity", "ml", "eval", "llm"),
+)
+def q210_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _best_cell, _codebook_row
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("__v")
+    )
+    ex = e.select(F.col("label").alias("cell"), F.posexplode("__v").alias("pos", "x"))
+    dim_means = ex.groupBy("cell", "pos").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = (
+        dim_means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"))
+        .select(F.col("cell").cast("bigint").alias("cell"), F.transform("__pm", lambda s: s["m"]).alias("cv"))
+    )
+    pred = e.crossJoin(F.broadcast(_codebook_row(cent))).select(
+        "label", _best_cell(F.col("__v"), F.col("__cents")).alias("pred_label")
+    )
+    correct = F.sum(F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0))
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

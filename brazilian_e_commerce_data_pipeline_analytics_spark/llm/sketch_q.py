@@ -604,3 +604,97 @@ def q192_bottomk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn(
         "rank", F.row_number().over(final_w).cast("int")
     ).select("rank", "doc_id", "priority")
+
+
+# ---------------------------------------------------------------------------
+# q209: AMS F2 sketch — the second-moment estimator (Alon-Matias-
+# Szegedy) that query optimizers use to estimate SELF-JOIN SIZE from
+# bounded state: 16 counters Z_j = Σ_v f_v·s_j(v), where s_j(v) = ±1
+# comes from bit j of the value's portable md5 hash; E[Z_j²] = F2 =
+# Σ_v f_v² exactly. Every counter is an EXACT integer (signed sum of
+# token multiplicities), every Z² is an exact integer, so — like
+# q190's CMS — the sketch's estimates replay bit-for-bit in the
+# oracle: this is a value-checked sketch, not a tolerance gate. The
+# true F2 (token self-join size) rides along for the relative-error
+# row the estimator is judged on.
+#
+# Scale: state is 16 integers regardless of vocabulary (the entire
+# point); the counter aggregation is one map-side-combined sum per
+# sign-hash; counters merge across shards by ADDITION (same mergeable
+# algebra as q171/q192). True-F2 needs the exact per-token counts —
+# at 100 TB that side is the expensive one, which is why the sketch
+# exists; here it is the audit.
+# ---------------------------------------------------------------------------
+
+_AMS_J = 16
+
+
+_Q209_ORACLE = f"""
+WITH t AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+h AS (
+  SELECT token,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS v
+  FROM t
+),
+signs AS (
+  SELECT r.j,
+         SUM(CASE WHEN (h.v // r.p) % 2 = 1 THEN 1 ELSE -1 END) AS z
+  FROM h CROSS JOIN (
+    SELECT j, CAST(pow(2, j) AS BIGINT) AS p FROM range(0, {_AMS_J}) AS r0(j)
+  ) r
+  GROUP BY r.j
+),
+est AS (SELECT SUM(z * z) AS sum_z2 FROM signs),
+truth AS (
+  SELECT SUM(cnt * cnt) AS f2 FROM (
+    SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+  )
+)
+SELECT CAST({_AMS_J} AS INT) AS n_estimators,
+       CAST(truth.f2 AS BIGINT) AS true_f2,
+       CAST(est.sum_z2 AS BIGINT) AS sum_z2,
+       (CAST(est.sum_z2 AS DOUBLE) / {_AMS_J}) AS f2_estimate,
+       round(abs(CAST(est.sum_z2 AS DOUBLE) / {_AMS_J} - truth.f2)
+             / truth.f2, 6) AS rel_error
+FROM est CROSS JOIN truth
+"""
+
+
+@register("q209_ams_f2_sketch", oracle=_Q209_ORACLE, tags=("sketch", "moment", "llm"))
+def q209_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens("text")).alias("token"))
+    h = t.select(
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint").alias("v")
+    )
+    jp = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(2**j).cast("bigint").alias("p"))
+            for j in range(_AMS_J)
+        ]
+    )
+    signs = (
+        h.select("v", F.explode(jp).alias("r"))
+        .select(
+            F.col("r.j").alias("j"),
+            F.when(F.expr("(v div r.p) % 2 = 1"), 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("j")
+        .agg(F.sum("s").alias("z"))
+    )
+    est = signs.agg(F.sum(F.col("z") * F.col("z")).alias("sum_z2"))
+    truth = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    )
+    f2_est = F.col("sum_z2").cast("double") / _AMS_J
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.lit(_AMS_J).cast("int").alias("n_estimators"),
+        F.col("f2").cast("bigint").alias("true_f2"),
+        F.col("sum_z2").cast("bigint").alias("sum_z2"),
+        f2_est.alias("f2_estimate"),
+        F.round(F.abs(f2_est - F.col("f2")) / F.col("f2"), 6).alias("rel_error"),
+    )

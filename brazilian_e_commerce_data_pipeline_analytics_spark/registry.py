@@ -151,6 +151,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q206_benford_audit",
     "q207_ngram_novelty",
     "q208_kfold_split_audit",
+    "q209_ams_f2_sketch",
+    "q210_nearest_centroid",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

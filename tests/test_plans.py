@@ -517,6 +517,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q206_benford_audit",
         "q207_ngram_novelty",
         "q208_kfold_split_audit",
+        "q209_ams_f2_sketch",
+        "q210_nearest_centroid",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
