@@ -600,3 +600,70 @@ def test_kmeans_lloyd_matches_python_reference(spark, vs):
         cents1[cid] = tuple(sum(m[d] for m in members) / n for d in range(2))
     ref_a2 = assign(pts, cents1)
     assert got == ref_a2
+
+
+# ---------------------------------------------------------------------------
+# q198's weighted-MinHash reduction: for ANY two sets with ANY positive
+# integer per-element weights, the PLAIN Jaccard of the expanded
+# universes (element#1..element#w replicas) must equal the weighted
+# Jaccard Σmin(w)/Σmax(w) — the identity that licenses running
+# unweighted MinHash over the expansion. Pure-Python check (the
+# identity is set algebra, not Spark).
+# ---------------------------------------------------------------------------
+
+wsets_strategy = st.tuples(
+    st.dictionaries(st.integers(0, 9), st.integers(1, 4), min_size=1, max_size=8),
+    st.dictionaries(st.integers(0, 9), st.integers(1, 4), min_size=1, max_size=8),
+)
+
+
+@given(ab=wsets_strategy)
+@settings(max_examples=200, deadline=None)
+def test_weighted_jaccard_equals_expanded_jaccard(ab):
+    wa, wb = ab
+    exp_a = {(e, r) for e, w in wa.items() for r in range(1, w + 1)}
+    exp_b = {(e, r) for e, w in wb.items() for r in range(1, w + 1)}
+    plain = len(exp_a & exp_b) / len(exp_a | exp_b)
+    keys = set(wa) | set(wb)
+    num = sum(min(wa.get(e, 0), wb.get(e, 0)) for e in keys)
+    den = sum(max(wa.get(e, 0), wb.get(e, 0)) for e in keys)
+    assert plain == num / den
+    # q198's doc-independent weights are the min==max special case:
+    # common elements contribute w to BOTH numerator terms
+    common = {e: wa[e] for e in set(wa) & set(wb) if wa[e] == wb.get(e)}
+    if common and all(wa.get(e) == wb.get(e) for e in set(wa) & set(wb)):
+        assert num == sum(common.values())
+
+
+# ---------------------------------------------------------------------------
+# q209's AMS mergeability + correctness-in-expectation: counters from
+# disjoint shards must sum to the global counters for ANY token stream
+# and ANY ±1 sign function, and each Z_j must equal Σ_v f_v·s_j(v)
+# (the estimator identity). Pure-Python — pins the algebra the Spark
+# map-side combine relies on.
+# ---------------------------------------------------------------------------
+
+stream_strategy = st.lists(st.integers(0, 7), min_size=1, max_size=40)
+
+
+@given(stream=stream_strategy, cut=st.integers(0, 40), salt=st.integers(0, 1000))
+@settings(max_examples=200, deadline=None)
+def test_ams_counters_merge_and_match_frequency_form(stream, cut, salt):
+    import hashlib
+
+    def sign(v, j):
+        h = int.from_bytes(
+            hashlib.md5(f"{v}:{salt}".encode()).digest()[:8], "big"
+        )
+        return 1 if (h >> j) & 1 else -1
+
+    J = 4
+    cut = min(cut, len(stream))
+    shard1, shard2 = stream[:cut], stream[cut:]
+    for j in range(J):
+        z1 = sum(sign(v, j) for v in shard1)
+        z2 = sum(sign(v, j) for v in shard2)
+        z_global = sum(sign(v, j) for v in stream)
+        assert z1 + z2 == z_global
+        freqs = {v: stream.count(v) for v in set(stream)}
+        assert z_global == sum(f * sign(v, j) for v, f in freqs.items())
