@@ -1601,3 +1601,263 @@ def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford_share"),
         F.round(F.abs(obs - ben), 6).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211: time-weighted average value (TWAP) — the metric for any signal
+# sampled at IRREGULAR intervals, where a plain mean over-weights burst
+# periods: each observation carries its value until the next one, so
+# the average weighs value by holding time. Per user over the month:
+# Σ v_i·Δt_i / Σ Δt_i, Δt in exact microseconds (unix_micros/epoch_us —
+# the ADVICE-r3 clock rule), values quantized to exact cents. The
+# v·Δt products sum as DECIMAL(28,0) — a cent × a month of micros
+# overflows BIGINT at sf0.1 (1.3e17/term × hundreds of events), and
+# decimal sums are the exact, HUGEINT-free cross-engine algebra (the
+# q171 rule). The final division is one pinned double expression.
+#
+# Scale: one per-user lead() window (O(1) state), one map-side-combined
+# agg. The last observation of each user has no successor and drops —
+# standard TWAP edge semantics, identical on both engines.
+# ---------------------------------------------------------------------------
+
+_Q211_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt_us
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         nxt_us - tus AS dt
+  FROM seq WHERE nxt_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       (CAST(SUM(CAST(vc * dt AS DECIMAL(28,0))) AS DOUBLE)
+        / CAST(SUM(dt) AS DOUBLE)) / 100.0 AS twap
+FROM d
+GROUP BY user_id
+"""
+
+
+@register("q211_time_weighted_avg", oracle=_Q211_ORACLE, tags=("events", "stats", "window"))
+def q211_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("tus"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    d = seq.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        (F.col("nxt_us") - F.col("tus")).alias("dt"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dt").cast("bigint").alias("span_us"),
+        (
+            (
+                F.sum((F.col("vc") * F.col("dt")).cast("decimal(28,0)")).cast("double")
+                / F.sum("dt").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212: weekly cohort retention — THE product-analytics table: users
+# cohorted by the ISO week of their first event; for each (cohort week,
+# activity week) cell, how many cohort members were active, and what
+# fraction of the cohort that is. One month of events gives a 5×5 upper
+# triangle. date_trunc('week') is ISO-Monday in both engines.
+#
+# Scale: first-event week is one min-agg per user (map-side combined);
+# the activity relation is user×week distinct; the matrix join carries
+# the tiny cohort-size relation by broadcast. Retention is an integer
+# division in one pinned expression.
+# ---------------------------------------------------------------------------
+
+_Q212_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+           AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           AS activity_week
+  FROM events
+),
+cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY 1
+)
+SELECT f.cohort_week,
+       a.activity_week,
+       CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) AS DOUBLE) / cs.n_cohort AS retention
+FROM active a
+JOIN firsts f USING (user_id)
+JOIN cohort_size cs USING (cohort_week)
+GROUP BY f.cohort_week, a.activity_week, cs.n_cohort
+"""
+
+
+@register("q212_cohort_retention", oracle=_Q212_ORACLE, tags=("events", "bi", "cohort"))
+def q212_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+    ).distinct()
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        active.join(firsts, "user_id")
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy("cohort_week", "activity_week", "n_cohort")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "cohort_week",
+            "activity_week",
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.col("__n").cast("bigint").alias("n_active"),
+            (F.col("__n").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213: equi-depth histogram — the optimizer statistic every CBO
+# stores per column (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS
+# builds exactly this): 9 exact decile boundaries of o_totalprice plus
+# the count and exact NDV the selectivity estimator divides by. The
+# boundary spine is generated (1..9 — data-independent), one percentile
+# per row via the q27 bit-identical interpolation; at 100 TB this swaps
+# to approx_percentile under q177's calibration gate.
+#
+# Scale: one scan for the percentile agg + one count-distinct agg
+# (both map-side combined); everything else is the 9-row spine.
+# ---------------------------------------------------------------------------
+
+_Q213_ORACLE = """
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS ndv,
+         quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM orders
+)
+SELECT d.decile,
+       bs[d.decile] AS boundary,
+       CAST(stats.n AS BIGINT) AS n_rows,
+       CAST(stats.ndv AS BIGINT) AS ndv
+FROM stats CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+"""
+
+
+@register("q213_equidepth_histogram", oracle=_Q213_ORACLE, tags=("stats", "percentile", "catalog"))
+def q213_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("o_totalprice").cast("decimal(18,2)")).alias("ndv"),
+        F.percentile(
+            F.col("o_totalprice").cast("double"),
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("bs"),
+    )
+    spine = o.sparkSession.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    return (
+        spine.crossJoin(F.broadcast(stats))
+        .select(
+            "decile",
+            F.element_at("bs", F.col("decile").cast("int")).alias("boundary"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("ndv").cast("bigint").alias("ndv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: session bounce rate by day — the engagement KPI next to q113's
+# funnel: a session with exactly one event is a bounce; rate reported
+# per session-start date. Sessionization is q54/q113's 30-minute-gap
+# rule with the microsecond-exact clock (unix_micros/epoch_us, the
+# ADVICE-r3 standard — whole-second truncation would misfile gaps in
+# (1800, 1801)). Session state is one lag() per user partition; the
+# rollup is session-grained.
+# ---------------------------------------------------------------------------
+
+_Q214_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT *, CAST(SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_seq
+  FROM seq
+),
+sess AS (
+  SELECT user_id, session_seq,
+         CAST(MIN(ts) AS DATE) AS start_date,
+         COUNT(*) AS n_events
+  FROM ids GROUP BY 1, 2
+)
+SELECT start_date,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS bounce_rate
+FROM sess
+GROUP BY start_date
+"""
+
+
+@register("q214_bounce_rate", oracle=_Q214_ORACLE, tags=("events", "bi", "sessionize"))
+def q214_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ids = ev.withColumn("__new", new_s).withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    sess = ids.groupBy("user_id", "session_seq").agg(
+        F.min("ts").cast("date").alias("start_date"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("start_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

@@ -153,6 +153,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q208_kfold_split_audit",
     "q209_ams_f2_sketch",
     "q210_nearest_centroid",
+    "q211_time_weighted_avg",
+    "q212_cohort_retention",
+    "q213_equidepth_histogram",
+    "q214_bounce_rate",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

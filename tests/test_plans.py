@@ -519,6 +519,10 @@ def test_round5_queries_stay_jvm_side(spark):
         "q208_kfold_split_audit",
         "q209_ams_f2_sketch",
         "q210_nearest_centroid",
+        "q211_time_weighted_avg",
+        "q212_cohort_retention",
+        "q213_equidepth_histogram",
+        "q214_bounce_rate",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
