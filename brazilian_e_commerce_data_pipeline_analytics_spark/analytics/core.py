@@ -1195,3 +1195,73 @@ def q123_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.pb").alias("part_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q215: TPC-H Q5 (local supplier volume) — the canonical multi-join
+# plan stressor: region⋈nation⋈customer⋈orders⋈lineitem⋈supplier with
+# the CORRELATION predicate c_nationkey = s_nationkey (customer and
+# supplier must share a nation), a region filter and a two-year date
+# window (the testdata's order dates start 1995, so TPC-H's 1994 year
+# is shifted to 1995-96 to keep the result non-vacuous at sf0.001). The join graph is what CBO join-ordering papers benchmark;
+# on Spark the right shape is: dims (region/nation/supplier-nation)
+# broadcast, facts (orders⋈lineitem) shuffled once on orderkey, the
+# supplier attach keyed on (suppkey) with the nation-equality applied
+# as a post-join filter on two broadcast-provided columns. Revenue is
+# the exact decimal Σ l_extendedprice·(1−l_discount).
+# ---------------------------------------------------------------------------
+
+_Q215_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q215_tpch_q5_local_supplier", oracle=_Q215_ORACLE, tags=("join", "agg", "tpch"))
+def q215_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    cust = customer.join(
+        F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    # facts shuffle once on orderkey; the customer attach broadcasts
+    # (ASIA customers are a filtered dim-sized relation)
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    # supplier attach by suppkey (broadcast), nation correlation as a
+    # post-join filter over two already-present columns
+    j = fact.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    rev = dmoney("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+    )

@@ -1861,3 +1861,67 @@ def q214_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounces.cast("bigint").alias("n_bounces"),
         (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q216: Gini coefficient by segment — the single-number inequality
+# index (marketplace concentration, revenue inequality) via the exact
+# rank formula G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending-
+# sorted values. Equal values commute under the formula (swapping tied
+# x's leaves Σ i·x_i unchanged), so ties need no tiebreak for
+# correctness — o_orderkey still pins a total order for plan
+# determinism. Values are exact cents; the i·x products are summed as
+# DECIMAL(38,0) (a rank × a cent value × rows overflows BIGINT by
+# sf1); the Gini itself is one pinned double expression round-6'd.
+# q161's ABC classes bucket the same concentration; Gini is the
+# scalar the two are reconciled against.
+#
+# Scale: the per-segment rank is a window over the segment partition
+# (each segment sorts its own rows — the partition IS the unit of
+# parallelism); everything after is a map-side-combined agg.
+# ---------------------------------------------------------------------------
+
+_Q216_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS xc,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+         ) AS i
+  FROM orders
+)
+SELECT seg AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(2.0 * CAST(SUM(CAST(i * xc AS DECIMAL(38,0))) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+GROUP BY seg
+"""
+
+
+@register("q216_gini_by_segment", oracle=_Q216_ORACLE, tags=("stats", "inequality"))
+def q216_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey"
+    )
+    r = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("xc"),
+        F.row_number().over(w).alias("i"),
+    )
+    s1 = F.sum((F.col("i") * F.col("xc")).cast("decimal(38,0)")).cast("double")
+    s0 = F.sum(F.col("xc").cast("decimal(38,0)")).cast("double")
+    n = F.count(F.lit(1))
+    return r.groupBy(F.col("seg").alias("o_orderpriority")).agg(
+        n.cast("bigint").alias("n_orders"),
+        F.round(
+            F.lit(2.0) * s1 / (n * s0) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )

@@ -1556,3 +1556,107 @@ def q208_kfold_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.groupBy("fold", F.col("nf").cast("bigint").alias("n_docs")).agg(
         F.round(F.max("d"), 6).alias("max_share_dev")
     ).select("fold", "n_docs", "max_share_dev")
+
+
+# ---------------------------------------------------------------------------
+# q217: Heaps' law fit — vocabulary growth V(n) ≈ k·n^β, the corpus
+# statistic that predicts how much NEW vocabulary the next TB of data
+# buys (β≈0.5 for natural text; β→1 means unbounded novelty — a
+# synthetic-data red flag next to q102's Zipf check). Per-doc new-type
+# counts come from q207's first-occurrence index (one min-agg, no
+# running scan); the cumulative (n, V) curve is a window over the
+# per-DOC relation — corpus-sized in docs, so at 100 TB this window is
+# the q88 distributed two-level prefix sum; here the single window is
+# honest about that swap. The log-log OLS slope is computed from
+# micro-integer quantized ln values (round(ln·1e6) as BIGINT), so every
+# moment is an EXACT integer sum (DECIMAL(38,0) — products reach 2e18)
+# and β is bit-identical cross-engine — the q199 micro-int rule applied
+# to regression moments.
+# ---------------------------------------------------------------------------
+
+_Q217_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_inst FROM tok GROUP BY 1
+),
+first_ AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+),
+new_types AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM first_ GROUP BY 1
+),
+curve AS (
+  SELECT p.doc_id,
+         SUM(p.n_inst) OVER (ORDER BY p.doc_id) AS n_cum,
+         SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.doc_id) AS v_cum
+  FROM per_doc p LEFT JOIN new_types nt USING (doc_id)
+),
+q AS (
+  SELECT CAST(round(ln(n_cum) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(v_cum) * 1e6, 0) AS BIGINT) AS y
+  FROM curve
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS heaps_beta,
+       round(((CAST(sy AS DOUBLE)
+               - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / n) / 1e6, 6) AS ln_k
+FROM m
+"""
+
+
+@register("q217_heaps_law_fit", oracle=_Q217_ORACLE, tags=("text", "stats", "llm"))
+def q217_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inst"))
+    first_ = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_types, "doc_id", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .select(
+            F.sum("n_inst").over(w_cum).alias("n_cum"),
+            F.sum("n_new").over(w_cum).alias("v_cum"),
+        )
+    )
+    q = curve.select(
+        F.round(F.log("n_cum") * 1e6, 0).cast("bigint").alias("x"),
+        F.round(F.log("v_cum") * 1e6, 0).cast("bigint").alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(((sy - beta * sx) / n) / F.lit(1e6), 6).alias("ln_k"),
+    )

@@ -157,6 +157,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q212_cohort_retention",
     "q213_equidepth_histogram",
     "q214_bounce_rate",
+    "q215_tpch_q5_local_supplier",
+    "q216_gini_by_segment",
+    "q217_heaps_law_fit",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

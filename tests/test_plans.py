@@ -523,6 +523,9 @@ def test_round5_queries_stay_jvm_side(spark):
         "q212_cohort_retention",
         "q213_equidepth_histogram",
         "q214_bounce_rate",
+        "q215_tpch_q5_local_supplier",
+        "q216_gini_by_segment",
+        "q217_heaps_law_fit",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
