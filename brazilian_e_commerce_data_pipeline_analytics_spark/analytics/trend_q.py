@@ -1925,3 +1925,73 @@ def q216_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * s1 / (n * s0) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219: out-of-orderness audit — the measurement that CHOOSES a
+# watermark: per user stream (event_id = arrival order within a user),
+# an event's lateness is how far the stream's running-max event time
+# has already advanced past it when it arrives. The per-day rollup of
+# (late events, max and p95 lateness) tells the streaming jobs (q53+,
+# q119's late-drop rule) what `withWatermark` bound loses how much
+# data — measured on the same events the stream replays.
+#
+# Clock rule: lateness in exact microseconds (unix_micros/epoch_us).
+# Fixture rule: the synthetic events arrive exactly in event-time
+# order (verified: zero late events under event_id order), which would
+# make the audit vacuous — so arrival order is a deterministic md5
+# permutation of event_id that BOTH engines replay (the non-vacuous-
+# fixture rule, q139's precedent). The measurement machinery — running
+# event-time max per stream, per-day lateness profile — is the
+# contract; real deployments feed it the true arrival sequence.
+# Scale: running max is O(1) state per user partition (the same
+# per-user window every sessionizer uses); the rollup is day-grained.
+# p95 is exact here; the approx_percentile swap is q177's.
+# ---------------------------------------------------------------------------
+
+_Q219_ORACLE = """
+WITH seq AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts,
+         GREATEST(
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             PARTITION BY user_id
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ROWS UNBOUNDED PRECEDING
+           ) - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS lateness_us
+  FROM events
+)
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us,
+       quantile_cont(CAST(lateness_us AS DOUBLE), 0.95) AS p95_lateness_us
+FROM seq
+GROUP BY 1
+"""
+
+
+@register("q219_out_of_orderness", oracle=_Q219_ORACLE, tags=("events", "streaming", "audit"))
+def q219_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    seq = ev.select(
+        "ts",
+        F.greatest(
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"), F.lit(0)
+        ).alias("lateness_us"),
+    )
+    return seq.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
+        F.percentile(F.col("lateness_us").cast("double"), F.lit(0.95)).alias(
+            "p95_lateness_us"
+        ),
+    )

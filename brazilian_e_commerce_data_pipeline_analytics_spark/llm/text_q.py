@@ -1660,3 +1660,78 @@ def q217_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(((sy - beta * sx) / n) / F.lit(1e6), 6).alias("ln_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: intra-document repetition (the Gopher/MassiveText rule) —
+# q121 measures spans repeated ACROSS documents; this is the other
+# canon repetition filter: n-gram duplication WITHIN one document
+# (looping generation, scraped pagination, chart spam). For n ∈ {2,3}:
+# dup fraction = 1 − distinct/total over the doc's own n-gram
+# instances, plus the Gopher-style flag at the 3-gram threshold.
+# Instances here are NOT de-duplicated before counting (unlike the
+# dedup family's distinct shingles) — repetition is exactly what
+# dedup's array_distinct throws away.
+#
+# Scale: pure per-document array expressions (size/array_distinct over
+# transform) — a projection, no shuffle, no explode; the cheapest
+# curation signal in the battery.
+# ---------------------------------------------------------------------------
+
+_Q218_FLAG = 0.18  # Gopher's dup-3gram-fraction cutoff (order of magnitude)
+
+_Q218_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS g2,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+  FROM t WHERE len(t) >= 3
+)
+SELECT doc_id,
+       CAST(len(g2) AS INT) AS n_2grams,
+       CAST(len(g2) - len(list_distinct(g2)) AS INT) AS n_dup_2grams,
+       round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 6)
+         AS dup_frac_2,
+       CAST(len(g3) AS INT) AS n_3grams,
+       CAST(len(g3) - len(list_distinct(g3)) AS INT) AS n_dup_3grams,
+       round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 6)
+         AS dup_frac_3,
+       (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+         > {_Q218_FLAG} AS repetition_flag
+FROM g
+"""
+
+
+@register("q218_intradoc_repetition", oracle=_Q218_ORACLE, tags=("text", "quality", "curation", "llm"))
+def q218_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    g = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(regexp_extract_all(text, '\\\\S+', 0)) - 1),"
+            " i -> concat_ws(' ', slice(regexp_extract_all(text, '\\\\S+', 0), i, 2)))"
+        ).alias("g2"),
+        F.expr(
+            "transform(sequence(1, size(regexp_extract_all(text, '\\\\S+', 0)) - 2),"
+            " i -> concat_ws(' ', slice(regexp_extract_all(text, '\\\\S+', 0), i, 3)))"
+        ).alias("g3"),
+    ).filter(F.size(toks) >= 3)
+    d2 = F.size("g2") - F.size(F.array_distinct("g2"))
+    d3 = F.size("g3") - F.size(F.array_distinct("g3"))
+    frac3 = d3 / F.size("g3").cast("double")
+    return g.select(
+        "doc_id",
+        F.size("g2").cast("int").alias("n_2grams"),
+        d2.cast("int").alias("n_dup_2grams"),
+        F.round(d2 / F.size("g2").cast("double"), 6).alias("dup_frac_2"),
+        F.size("g3").cast("int").alias("n_3grams"),
+        d3.cast("int").alias("n_dup_3grams"),
+        F.round(frac3, 6).alias("dup_frac_3"),
+        (frac3 > _Q218_FLAG).alias("repetition_flag"),
+    )

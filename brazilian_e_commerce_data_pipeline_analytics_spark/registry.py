@@ -160,6 +160,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q215_tpch_q5_local_supplier",
     "q216_gini_by_segment",
     "q217_heaps_law_fit",
+    "q218_intradoc_repetition",
+    "q219_out_of_orderness",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

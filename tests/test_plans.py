@@ -526,6 +526,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q215_tpch_q5_local_supplier",
         "q216_gini_by_segment",
         "q217_heaps_law_fit",
+        "q218_intradoc_repetition",
+        "q219_out_of_orderness",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
