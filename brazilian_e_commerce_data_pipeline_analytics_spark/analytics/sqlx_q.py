@@ -139,3 +139,29 @@ def q196_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q222: correlated LATERAL subquery — the SQL-surface form of
+# "top-N per group" every warehouse migrator reaches for before
+# learning window functions: for each nation, the LATERAL subquery
+# re-executes with the outer row's nationkey in scope (ORDER BY ...
+# LIMIT 3 inside the correlation). Catalyst decorrelates it into the
+# same rank-per-group plan q22 builds explicitly — proving users can
+# bring this syntax unchanged. Tie-break on (c_acctbal DESC, c_name)
+# is a total order, so the 3 rows per nation are engine-identical.
+# ---------------------------------------------------------------------------
+
+_Q222_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+"""
+
+
+@register("q222_lateral_topk", oracle=_Q222_SQL, tags=("sql-api", "lateral", "topk"))
+def q222_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("nation", "customer"))
+    return spark.sql(_Q222_SQL)

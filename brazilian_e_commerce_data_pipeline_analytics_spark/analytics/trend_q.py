@@ -1995,3 +1995,144 @@ def q219_out_of_orderness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_lateness_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220: Pareto frontier (skyline) — "show the orders where no other
+# order in the segment is both cheaper AND earlier": the multi-criteria
+# dominance operator research systems ship as SKYLINE. The naive form
+# is an O(n²) dominance self-join; the scale-safe rewrite is a sort-
+# based sweep expressed in ONE window pass: ordering by price, an order
+# is dominated iff min(date) over STRICTLY-cheaper orders is ≤ its
+# date (a RANGE frame excluding the current price), or min(date)
+# within its own price group is < its date. Prices are exact cents,
+# dates exact epoch days, so dominance is pure integer comparison.
+#
+# Scale: the window partitions by segment (segments are the
+# parallelism unit — a single-segment skyline needs the q88 prefix
+# rewrite, same note as q216); output is the frontier itself, which is
+# O(log n) expected under independence — tiny.
+# ---------------------------------------------------------------------------
+
+_Q220_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority AS seg, o_orderkey,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS xc,
+         CAST(o_orderdate AS DATE) AS od,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+),
+m AS (
+  SELECT *,
+         MIN(d) OVER (PARTITION BY seg ORDER BY xc
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_d_cheaper,
+         MIN(d) OVER (PARTITION BY seg, xc) AS min_d_same
+  FROM r
+)
+SELECT seg AS o_orderpriority, o_orderkey,
+       xc AS price_cents, od AS o_orderdate
+FROM m
+WHERE (min_d_cheaper IS NULL OR min_d_cheaper > d) AND min_d_same >= d
+"""
+
+
+@register("q220_pareto_frontier", oracle=_Q220_ORACLE, tags=("skyline", "window", "analytics"))
+def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("seg"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("xc"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d"),
+    )
+    w_cheaper = (
+        Window.partitionBy("seg")
+        .orderBy("xc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("seg", "xc")
+    m = r.select(
+        "*",
+        F.min("d").over(w_cheaper).alias("min_d_cheaper"),
+        F.min("d").over(w_same).alias("min_d_same"),
+    )
+    return m.filter(
+        (F.col("min_d_cheaper").isNull() | (F.col("min_d_cheaper") > F.col("d")))
+        & (F.col("min_d_same") >= F.col("d"))
+    ).select(
+        F.col("seg").alias("o_orderpriority"),
+        "o_orderkey",
+        F.col("xc").alias("price_cents"),
+        "od",
+    ).withColumnRenamed("od", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# q221: exact weighted median — the robust aggregate for "median price
+# per unit SOLD" (weight = quantity): the smallest value x with
+# 2·Σ_{y≤x} w ≥ W, per return flag. Weights collapse to per-distinct-
+# value sums FIRST (map-side combined), so the cumulative window runs
+# over the |distinct values| relation, not the raw rows; the 2·cum ≥ W
+# rule is pure integer arithmetic (no /2 half boundary — the q46p
+# integer-threshold trick). At extreme distinct-value cardinality the
+# cumulative swaps to q88's distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+_Q221_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS xc,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, xc, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY xc
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM g
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(xc) AS BIGINT) AS weighted_median_cents
+FROM c
+WHERE 2 * cumw >= tw
+GROUP BY flag
+"""
+
+
+@register("q221_weighted_median", oracle=_Q221_ORACLE, tags=("stats", "percentile", "agg"))
+def q221_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("xc"),
+    ).agg(F.sum(F.round("l_quantity", 0).cast("bigint")).cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag").orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "xc",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cumw") >= F.col("tw"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("tw").cast("bigint").alias("total_weight"),
+            F.min("xc").cast("bigint").alias("weighted_median_cents"),
+        )
+    )

@@ -162,6 +162,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q217_heaps_law_fit",
     "q218_intradoc_repetition",
     "q219_out_of_orderness",
+    "q220_pareto_frontier",
+    "q221_weighted_median",
+    "q222_lateral_topk",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

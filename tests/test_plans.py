@@ -528,6 +528,9 @@ def test_round5_queries_stay_jvm_side(spark):
         "q217_heaps_law_fit",
         "q218_intradoc_repetition",
         "q219_out_of_orderness",
+        "q220_pareto_frontier",
+        "q221_weighted_median",
+        "q222_lateral_topk",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
