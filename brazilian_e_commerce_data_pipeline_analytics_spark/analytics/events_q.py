@@ -926,3 +926,50 @@ def q180_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tus") - F.col("btus") > 0) & (F.col("tus") - F.col("btus") <= w)
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# q225: map-typed higher-order functions — the MapType API surface
+# (map_from_entries / map_filter / map_keys / explode over maps) that
+# feature-store rows actually use (a user's feature map travels as ONE
+# column through serving). Per user: event-type counts collapse into a
+# map, map_filter keeps the frequent entries (>= 5), and the map
+# explodes back to rows for the value-exact compare. The map stays a
+# column expression end to end — building it is one groupBy, never a
+# driver-side dict.
+# ---------------------------------------------------------------------------
+
+_Q225_MIN = 5
+
+_Q225_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, COUNT(*) AS n_types FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(t.n_types AS INT) AS n_types,
+       c.event_type,
+       CAST(c.cnt AS BIGINT) AS cnt
+FROM c JOIN t USING (user_id)
+WHERE c.cnt >= {_Q225_MIN}
+"""
+
+
+@register("q225_map_feature_column", oracle=_Q225_ORACLE, tags=("events", "map", "hof"))
+def q225_map_feature_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("fm")
+    )
+    filtered = m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("fm"))).cast("int").alias("n_types"),
+        F.map_filter("fm", lambda k, v: v >= _Q225_MIN).alias("freq"),
+    )
+    return filtered.select(
+        "user_id", "n_types", F.explode("freq").alias("event_type", "cnt")
+    ).select("user_id", "n_types", "event_type", F.col("cnt").cast("bigint").alias("cnt"))

@@ -698,3 +698,48 @@ def q209_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f2_est.alias("f2_estimate"),
         F.round(F.abs(f2_est - F.col("f2")) / F.col("f2"), 6).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: DataSketches HLL union — the MERGEABLE-sketch API that q158's
+# approx_count_distinct cannot express: per-partition (here: per-day)
+# HLL sketches built independently, UNIONED with hll_union_agg, and
+# only then estimated — the exact shape of a 1000-executor distinct
+# count (each executor sketches its shard; the driver merges kilobytes,
+# never re-reads data; daily sketches also persist for rolling windows
+# without rescans). The sketch binary is engine-specific, so — the
+# q158/q177 calibration rule — the estimate is NOT emitted; the gate
+# derived from the published lgK=12 error bound (±1.6% std, gated at
+# 5%) is deterministically TRUE and value-checked, with the exact
+# distinct count riding along. The per-day sketch count proves the
+# fan-out actually happened.
+# ---------------------------------------------------------------------------
+
+_Q223_ORACLE = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+       TRUE AS union_within_bounds
+FROM events
+"""
+
+
+@register("q223_hll_sketch_union", oracle=_Q223_ORACLE, tags=("sketch", "approx", "mergeable"))
+def q223_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("n_daily_sketches").cast("bigint").alias("n_daily_sketches"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("union_within_bounds"),
+    )

@@ -165,6 +165,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q220_pareto_frontier",
     "q221_weighted_median",
     "q222_lateral_topk",
+    "q223_hll_sketch_union",
+    "q224_binaryfile_source",
+    "q225_map_feature_column",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

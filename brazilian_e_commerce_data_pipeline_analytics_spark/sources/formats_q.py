@@ -380,3 +380,49 @@ def q155_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224: binaryFile source — Spark's built-in whole-file reader, the
+# ingestion front door for the multimodal pipeline (q52/q156/q157/
+# q173 decode binary COLUMNS; this is how raw files BECOME those
+# columns at 100 TB: a distributed directory scan where each file is
+# one row of (path, modificationTime, length, content), partitioned by
+# Spark's file-listing — no driver-side reads). The fixture writes one
+# .bin file per sampled document (driver-side, 20 metadata-sized
+# files — the fixture is the stand-in for an existing object-store
+# prefix); the DISTRIBUTED part under test is the binaryFile scan and
+# the binary-content expressions (md5/length over BinaryType). The
+# oracle replays filename, length, and content hash straight from the
+# documents table, proving the file roundtrip byte-lossless.
+# ---------------------------------------------------------------------------
+
+_Q224_N_FILES = 20
+
+_Q224_ORACLE = f"""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS filename,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {_Q224_N_FILES}
+"""
+
+
+@register("q224_binaryfile_source", oracle=_Q224_ORACLE, tags=("source", "binary", "multimodal"))
+def q224_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q224_N_FILES
+    )
+    out = _scratch_dir(sf_dir, "binfiles")
+    os.makedirs(out, exist_ok=True)
+    # fixture: materialize the sampled docs as real files (ASCII corpus,
+    # so text bytes == utf-8 encode on both engines)
+    for row in d.select("doc_id", "text").collect():
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(out)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("filename"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

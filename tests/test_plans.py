@@ -531,6 +531,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q220_pareto_frontier",
         "q221_weighted_median",
         "q222_lateral_topk",
+        "q223_hll_sketch_union",
+        "q225_map_feature_column",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
