@@ -165,3 +165,95 @@ LATERAL (SELECT c_name, c_acctbal FROM customer c
 def q222_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("nation", "customer"))
     return spark.sql(_Q222_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q226: join-strategy hints — the knob a 100 TB tuner actually turns
+# when AQE's choice is wrong: the same customer⋈orders aggregation
+# computed twice, once under MERGE (sort-merge) and once under
+# SHUFFLE_HASH, unioned with the strategy tagged per row. Results must
+# be bit-identical (hints change the PHYSICAL operator, never
+# semantics) — which is exactly what the oracle proves by replaying
+# one plain join for both tags. The plan pin (tests/test_plans.py)
+# asserts the hints actually took: one SortMergeJoin and one
+# ShuffledHashJoin node, no broadcast for either branch.
+# ---------------------------------------------------------------------------
+
+_Q226_HALF = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+_Q226_ORACLE = (
+    "SELECT 'merge' AS strategy, * FROM (" + _Q226_HALF + ")"
+    " UNION ALL SELECT 'shuffle_hash' AS strategy, * FROM (" + _Q226_HALF + ")"
+)
+
+
+@register("q226_join_strategy_hints", oracle=_Q226_ORACLE, tags=("sql-api", "hints", "join"))
+def q226_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def half(hint: str, tag: str) -> DataFrame:
+        return (
+            c.hint(hint)
+            .join(o, c.c_custkey == o.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(F.lit(tag).alias("strategy"), "*")
+        )
+
+    return half("merge", "merge").unionAll(half("shuffle_hash", "shuffle_hash"))
+
+
+# ---------------------------------------------------------------------------
+# q227: parameterized SQL — spark.sql(query, args={...}) with named
+# parameter markers (Spark 3.4+): the API that kills SQL-injection-by-
+# f-string in every query service. Parameters bind as literals BEFORE
+# analysis, so Catalyst constant-folds them into pushed filters —
+# identical plan to hand-inlined literals (no "dynamic SQL" penalty).
+# The oracle inlines the same values, proving the binding is
+# semantically transparent.
+# ---------------------------------------------------------------------------
+
+_Q227_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= :start_date AND o_orderstatus = :status
+GROUP BY o_orderpriority
+"""
+
+_Q227_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q227_parameterized_sql", oracle=_Q227_ORACLE, tags=("sql-api", "parameters"))
+def q227_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        _Q227_SQL,
+        args={"start_date": datetime.date(1996, 1, 1), "status": "O"},
+    )

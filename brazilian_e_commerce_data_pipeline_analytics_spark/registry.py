@@ -168,6 +168,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q223_hll_sketch_union",
     "q224_binaryfile_source",
     "q225_map_feature_column",
+    "q226_join_strategy_hints",
+    "q227_parameterized_sql",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

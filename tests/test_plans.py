@@ -571,3 +571,24 @@ def test_weighted_minhash_band_join_is_equi(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_hints_take_effect(spark):
+    """q226: the MERGE and SHUFFLE_HASH hints must produce their named
+    physical operators — one SortMergeJoin and one ShuffledHashJoin —
+    and neither branch may silently fall back to broadcast (which
+    would make the 'strategy' tag a lie)."""
+    df = QUERIES["q226_join_strategy_hints"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_parameterized_sql_pushes_folded_literals(spark):
+    """q227: named parameters must bind before optimization so the date
+    filter reaches the parquet scan as a pushed literal predicate."""
+    df = QUERIES["q227_parameterized_sql"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
