@@ -871,3 +871,137 @@ def q172_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("price", "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228: erasure propagation audit (GDPR/right-to-be-forgotten) — the
+# compliance op every lakehouse runs: a deletion list of subjects
+# (fixture: custkey % 97 == 0, deterministic on both engines) must
+# cascade through every derived table, and the AUDIT — not the delete
+# — is the hard part: per table, how many rows the erasure removes and
+# how many survive, with the fact tables reached through the key
+# chain (customer → orders → lineitem). Anti-join (NOT the NOT IN
+# trap — null-safe by construction) is the propagation operator; at
+# 100 TB each anti-join is one shuffle on the already-partitioned key,
+# and the deletion list is broadcast-sized.
+# ---------------------------------------------------------------------------
+
+_Q228_ORACLE = """
+WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+del_orders AS (
+  SELECT o_orderkey FROM orders JOIN del ON o_custkey = c_custkey
+)
+SELECT 'customer' AS tbl,
+       (SELECT COUNT(*) FROM del) AS n_erased,
+       (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del)
+         AS n_surviving
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem JOIN del_orders ON l_orderkey = o_orderkey),
+       (SELECT COUNT(*) FROM lineitem)
+         - (SELECT COUNT(*) FROM lineitem
+            JOIN del_orders ON l_orderkey = o_orderkey)
+"""
+
+
+@register("q228_erasure_propagation", oracle=_Q228_ORACLE, tags=("lakehouse", "compliance", "anti-join"))
+def q228_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = o.join(F.broadcast(del_c), o.o_custkey == del_c.c_custkey).select(
+        "o_orderkey"
+    )
+    del_li = li.join(F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey)
+
+    def row(tbl: str, total: DataFrame, erased: DataFrame) -> DataFrame:
+        n_t = total.agg(F.count(F.lit(1)).alias("t"))
+        n_e = erased.agg(F.count(F.lit(1)).alias("e"))
+        return n_t.crossJoin(n_e).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("e").alias("n_erased"),
+            (F.col("t") - F.col("e")).alias("n_surviving"),
+        )
+
+    return (
+        row("customer", c, del_c)
+        .unionAll(row("orders", o, del_o))
+        .unionAll(row("lineitem", li, del_li))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229: column completeness profile — the per-column data-profiling
+# table every catalog/quality tool ships (null rate, distinct count,
+# min/max rendered as text): ONE scan computes every column's profile
+# as parallel aggregates, then the wide row UNPIVOTS to the long
+# (column, metric...) shape the catalog stores. The anti-pattern this
+# replaces is one scan per column — 11 passes over 100 TB instead of
+# one. String rendering pins cross-engine formatting: values are cast
+# through DECIMAL/DATE before VARCHAR so both engines print identical
+# text.
+# ---------------------------------------------------------------------------
+
+_Q229_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_orderkey) AS nn_key,  COUNT(DISTINCT o_orderkey) AS nd_key,
+         COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+         COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS nd_tp,
+         COUNT(o_orderdate) AS nn_od,  COUNT(DISTINCT o_orderdate) AS nd_od,
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_tp,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_tp,
+         CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_od,
+         CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_od
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, CAST(n - nn_key AS BIGINT) AS n_nulls,
+       CAST(nd_key AS BIGINT) AS n_distinct, NULL AS min_val, NULL AS max_val FROM s
+UNION ALL
+SELECT 'o_orderstatus', CAST(n - nn_st AS BIGINT), CAST(nd_st AS BIGINT), NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', CAST(n - nn_tp AS BIGINT), CAST(nd_tp AS BIGINT), min_tp, max_tp FROM s
+UNION ALL
+SELECT 'o_orderdate', CAST(n - nn_od AS BIGINT), CAST(nd_od AS BIGINT), min_od, max_od FROM s
+"""
+
+
+@register("q229_completeness_profile", oracle=_Q229_ORACLE, tags=("quality", "profile", "catalog"))
+def q229_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct(F.col("o_totalprice").cast("decimal(18,2)")).alias("nd_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("min_tp"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("max_tp"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_od"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_od"),
+    )
+
+    def prof(col, nn, nd, mn, mx):
+        return s.select(
+            F.lit(col).alias("col"),
+            (F.col("n") - F.col(nn)).cast("bigint").alias("n_nulls"),
+            F.col(nd).cast("bigint").alias("n_distinct"),
+            (F.col(mn) if mn else F.lit(None).cast("string")).alias("min_val"),
+            (F.col(mx) if mx else F.lit(None).cast("string")).alias("max_val"),
+        )
+
+    return (
+        prof("o_orderkey", "nn_key", "nd_key", None, None)
+        .unionAll(prof("o_orderstatus", "nn_st", "nd_st", None, None))
+        .unionAll(prof("o_totalprice", "nn_tp", "nd_tp", "min_tp", "max_tp"))
+        .unionAll(prof("o_orderdate", "nn_od", "nd_od", "min_od", "max_od"))
+    )

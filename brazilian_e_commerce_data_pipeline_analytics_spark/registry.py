@@ -170,6 +170,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q225_map_feature_column",
     "q226_join_strategy_hints",
     "q227_parameterized_sql",
+    "q228_erasure_propagation",
+    "q229_completeness_profile",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -533,6 +533,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q222_lateral_topk",
         "q223_hll_sketch_union",
         "q225_map_feature_column",
+        "q228_erasure_propagation",
+        "q229_completeness_profile",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
