@@ -1289,3 +1289,218 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_common") / F.col("w_union")).alias("wjaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q230: SimHash recall calibration — the q101 recall-gate pattern
+# applied to the OTHER LSH family: over the exact 3-shingle near-dup
+# pair universe (q45, j ≥ 0.05), how many pairs does a Hamming-radius-
+# 12 SimHash policy catch, banded by token-set Jaccard? This is the
+# measurement that picks the radius before a SimHash dedup pass is
+# trusted at scale (q47's production path) — high-overlap pairs must
+# land within radius; low-overlap pairs that also land show the
+# radius's false-accept cost. Signatures are q68's portable 60-bit
+# md5 vote construction packed into a BIGINT so Hamming distance is
+# bit_count(xor) — exact integers end to end; the jaccard BANDS use
+# integer threshold arithmetic (2c≥u, 5c≥u), never float boundaries.
+#
+# Scale: the pair universe is the q45 inverted-index join (never
+# all-pairs); signatures attach per pair side; everything downstream
+# is pair-count sized. The banding-to-buckets candidate GENERATION at
+# production scale is q47's; this query is its licensing measurement.
+# ---------------------------------------------------------------------------
+
+_Q230_H = 12
+
+_Q230_SIG = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(_N_BITS)
+)
+
+_Q230_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         ))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, c, sa.n_sh + sb.n_sh - c AS u
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 20 * c >= sa.n_sh + sb.n_sh - c
+),
+tokv AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS v
+  FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS t
+    FROM documents
+  )
+),
+sig AS (
+  SELECT doc_id, {_Q230_SIG} AS s FROM tokv GROUP BY doc_id
+),
+scored AS (
+  SELECT CASE WHEN 2 * p.c >= p.u THEN 'high'
+              WHEN 5 * p.c >= p.u THEN 'mid'
+              ELSE 'low' END AS jacc_band,
+         bit_count(xor(ga.s, gb.s)) AS hd
+  FROM pairs p
+  JOIN sig ga ON ga.doc_id = p.doc_a
+  JOIN sig gb ON gb.doc_id = p.doc_b
+)
+SELECT jacc_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN hd <= {_Q230_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_radius,
+       CAST(SUM(CASE WHEN hd <= {_Q230_H} THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall
+FROM scored
+GROUP BY jacc_band
+"""
+
+
+@register(
+    "q230_simhash_recall",
+    oracle=_Q230_ORACLE,
+    tags=("dedup", "simhash", "recall", "llm"),
+)
+def q230_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.05).select(
+        "doc_a", "doc_b", "n_common", "n_union"
+    )
+    toks = F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    tok_val = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+    exploded = d.select("doc_id", F.explode(toks).alias("__tok")).withColumn(
+        "__v", tok_val
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        sum(
+            [
+                F.when(
+                    F.sum(
+                        F.when(
+                            F.shiftright(F.col("__v"), b).bitwiseAND(F.lit(1)) == 1, 1
+                        ).otherwise(-1)
+                    )
+                    > 0,
+                    F.lit(1 << b).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for b in range(_N_BITS)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("s")
+    )
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("__sa"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("__sb"))
+    scored = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.when(2 * F.col("n_common") >= F.col("n_union"), "high")
+            .when(5 * F.col("n_common") >= F.col("n_union"), "mid")
+            .otherwise("low")
+            .alias("jacc_band"),
+            F.bit_count(F.expr("__sa ^ __sb")).alias("hd"),
+        )
+    )
+    hit = F.sum(F.when(F.col("hd") <= _Q230_H, 1).otherwise(0))
+    return scored.groupBy("jacc_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        hit.cast("bigint").alias("n_within_radius"),
+        (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231: cross-source duplication matrix (syndication detection) — the
+# question a crawl-curation team asks after dedup finds pairs: WHICH
+# feeds are copying each other? High-similarity pairs (exact 3-shingle
+# Jaccard ≥ 0.5, integer 2c≥u threshold) roll up into an unordered
+# (source, source) matrix; off-diagonal mass is syndication (drop one
+# feed), diagonal mass is within-feed boilerplate (fix the extractor)
+# — two different remediations, which is why the matrix and not the
+# pair list is the deliverable.
+#
+# Scale: reuses the q45 inverted-index pair economics; the rollup is
+# |sources|²-bounded. Sources attach to the pair relation by two
+# broadcast joins of the (doc_id, source) projection.
+# ---------------------------------------------------------------------------
+
+_Q231_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         ))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * c >= sa.n_sh + sb.n_sh - c
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       source_a <> source_b AS cross_source
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+@register("q231_cross_source_dups", oracle=_Q231_ORACLE, tags=("dedup", "curation", "llm"))
+def q231_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__s1"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__s2"))),
+            "doc_b",
+        )
+        .select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+    )

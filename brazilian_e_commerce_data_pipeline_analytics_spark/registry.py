@@ -172,6 +172,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q227_parameterized_sql",
     "q228_erasure_propagation",
     "q229_completeness_profile",
+    "q230_simhash_recall",
+    "q231_cross_source_dups",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

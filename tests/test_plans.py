@@ -535,6 +535,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q225_map_feature_column",
         "q228_erasure_propagation",
         "q229_completeness_profile",
+        "q230_simhash_recall",
+        "q231_cross_source_dups",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
