@@ -174,6 +174,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q229_completeness_profile",
     "q230_simhash_recall",
     "q231_cross_source_dups",
+    "q232_parquet_agg_pushdown",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -426,3 +426,59 @@ def q224_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: parquet aggregate pushdown — MIN/MAX/COUNT answered from file
+# FOOTER METADATA, zero data pages read: the reason "how many rows,
+# what key range" costs milliseconds on a 100 TB table. Requires the
+# DSv2 scan path (useV1SourceList='') plus parquet.aggregatePushdown;
+# both confs are scoped to this builder — the physical plan is forced
+# (executedPlan is materialized once per QueryExecution and reused by
+# the driver's collect) BEFORE the confs are restored, so no other
+# registered query's plan shifts to v2 as a side effect. The plan pin
+# (tests/test_plans.py) asserts `PushedAggregation:
+# [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]` on the BatchScan.
+# ---------------------------------------------------------------------------
+
+_Q232_ORACLE = """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+"""
+
+
+@register("q232_parquet_agg_pushdown", oracle=_Q232_ORACLE, tags=("source", "pushdown", "optimizer"))
+def q232_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .agg(
+                F.min("o_orderkey").alias("min_orderkey"),
+                F.max("o_orderkey").alias("max_orderkey"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        # materialize the physical plan (a cached lazy val on this
+        # QueryExecution) while the pushdown confs are active
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

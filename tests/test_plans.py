@@ -596,3 +596,16 @@ def test_parameterized_sql_pushes_folded_literals(spark):
     plan = formatted_plan(df)
     assert "PushedFilters" in plan
     assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_parquet_agg_pushdown_reads_metadata_only(spark):
+    """q232: MIN/MAX/COUNT must be answered by the scan itself —
+    `PushedAggregation` on the BatchScan — with the pushdown confs
+    already restored (the builder scopes them via eager physical
+    planning), proving no session-wide side effect leaks."""
+    df = QUERIES["q232_parquet_agg_pushdown"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "PushedAggregation" in plan
+    assert "MIN(o_orderkey)" in plan and "COUNT(*)" in plan
+    # confs were restored by the builder
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) != ""
