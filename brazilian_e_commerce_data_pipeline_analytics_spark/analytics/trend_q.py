@@ -1531,16 +1531,21 @@ def q205_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cols_), "p")
         .crossJoin(F.broadcast(tot))
         .select(
+            "s",
+            "p",
             "c",
             ((F.col("rc") * F.col("cc")) / F.col("n").cast("double")).alias("exp"),
         )
     )
-    nr = rows_.count()
-    nc = cols_.count()
+    # level counts as IN-PLAN aggregates over the cell relation — a
+    # driver-side .count() here would trigger two extra full scans at
+    # build time (caught in audit; the r×c cells come from ONE scan)
+    nr = F.countDistinct("s")
+    nc = F.countDistinct("p")
     return terms.agg(
-        F.lit(nr).cast("bigint").alias("n_rows"),
-        F.lit(nc).cast("bigint").alias("n_cols"),
-        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        nr.cast("bigint").alias("n_rows"),
+        nc.cast("bigint").alias("n_cols"),
+        ((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
         F.round(
             F.sum((F.col("c") - F.col("exp")) * (F.col("c") - F.col("exp")) / F.col("exp")),
             6,
