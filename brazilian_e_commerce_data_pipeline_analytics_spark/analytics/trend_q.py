@@ -2141,3 +2141,93 @@ def q221_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("xc").cast("bigint").alias("weighted_median_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: Holt linear (double exponential) smoothing — q163 tracks LEVEL
+# only and lags any trending series; Holt's method carries a coupled
+# (level, trend) state:  l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+# b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} — the 1-step forecast l+b is
+# what capacity planning actually charts. The recursion is a PINNED
+# LEFT FOLD over the per-series day array with a STRUCT accumulator —
+# F.aggregate(struct init) in Spark, list_reduce with a struct in
+# DuckDB, evaluating the identical IEEE op sequence, so the folded
+# doubles are bit-identical (the q163/q187 fold rule) and only the
+# final round-6 is cosmetic. Series are per event type (5×30 points) —
+# the fold input is an already-aggregated array column, tiny at any
+# corpus scale; state per series is exactly (l, b).
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.3  # alpha: level
+_HOLT_B = 0.2  # beta: trend
+
+_Q233_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(y ORDER BY d) AS ys, COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+),
+-- DuckDB 1.0's list_reduce takes no initial value, so the struct fold
+-- is replayed as a bounded recursion evaluating the IDENTICAL
+-- arithmetic per step (same IEEE op order as the Spark lambda)
+rec AS (
+  SELECT event_type, 2 AS i, ys[1] AS l, ys[2] - ys[1] AS b
+  FROM series WHERE n_days >= 2
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         {_HOLT_A} * s.ys[r.i + 1] + {1 - _HOLT_A} * (r.l + r.b),
+         {_HOLT_B} * (({_HOLT_A} * s.ys[r.i + 1]
+                       + {1 - _HOLT_A} * (r.l + r.b)) - r.l)
+           + {1 - _HOLT_B} * r.b
+  FROM rec r JOIN series s USING (event_type)
+  WHERE r.i < s.n_days
+)
+SELECT r.event_type,
+       CAST(s.n_days AS INT) AS n_days,
+       round(r.l, 6) AS level,
+       round(r.b, 6) AS trend,
+       round(r.l + r.b, 6) AS forecast_1
+FROM rec r JOIN series s USING (event_type)
+WHERE r.i = s.n_days
+"""
+
+
+@register("q233_holt_linear", oracle=_Q233_ORACLE, tags=("timeseries", "forecast", "fold"))
+def q233_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias(
+            "y"
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+    )
+    a, b = _HOLT_A, _HOLT_B
+
+    def step(acc, x):
+        l_new = a * x + (1 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (b * (l_new - acc["l"]) + (1 - b) * acc["b"]).alias("b"),
+        )
+
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+    )
+    st = F.aggregate(F.slice("ys", 3, F.size("ys") - 2), init, step)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + st["b"], 6).alias("forecast_1"),
+    )

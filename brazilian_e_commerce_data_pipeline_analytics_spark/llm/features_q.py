@@ -249,3 +249,79 @@ def q185_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("toks", F.col("start") + 1, chunk_len))
         ).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: quantile normalization across sources — the batch-effect
+# remover feature pipelines apply when the SAME feature is measured on
+# different scales per origin (each crawl source's length distribution
+# differs): every document's n_chars is replaced by the GLOBAL decile
+# representative of its rank WITHIN its source, so all sources share
+# one distribution afterward. Per-source deciles come from exact
+# integer rank arithmetic (10·(rank−1)/n, never a float percentile per
+# row); the 10 global representatives are one exact-percentile
+# aggregate (q27's bit-identical interpolation) broadcast back.
+#
+# Scale: the rank window partitions by source (the parallelism unit);
+# the representative table is 10 rows; output rolls up to
+# (source, decile) — |sources|×10. The q177 approx swap applies to the
+# global boundaries at corpus scale.
+# ---------------------------------------------------------------------------
+
+_Q234_ORACLE = """
+WITH g AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bs
+  FROM documents
+),
+r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+d AS (
+  -- integer division on BOTH engines: DuckDB CAST(double AS INT)
+  -- ROUNDS while Spark truncates (caught at sf0.001)
+  SELECT source, CAST((10 * (rk - 1)) // n AS INT) AS decile FROM r
+)
+SELECT d.source, d.decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       g.bs[d.decile + 1] AS normalized_value
+FROM d CROSS JOIN g
+GROUP BY d.source, d.decile, g.bs[d.decile + 1]
+"""
+
+
+@register("q234_quantile_normalization", oracle=_Q234_ORACLE, tags=("features", "normalize", "llm"))
+def q234_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.agg(
+        F.percentile(
+            F.col("n_chars").cast("double"),
+            F.array(*[F.lit(i / 10) for i in range(1, 11)]),
+        ).alias("bs")
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    dec = r.select(
+        "source",
+        F.expr("CAST((10 * (rk - 1)) div n AS INT)").alias("decile"),
+    )
+    return (
+        dec.crossJoin(F.broadcast(g))
+        .groupBy(
+            "source",
+            "decile",
+            F.element_at("bs", F.col("decile") + 1).alias("normalized_value"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select("source", "decile", "n_docs", "normalized_value")
+    )

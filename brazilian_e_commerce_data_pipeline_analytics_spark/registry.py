@@ -175,6 +175,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q230_simhash_recall",
     "q231_cross_source_dups",
     "q232_parquet_agg_pushdown",
+    "q233_holt_linear",
+    "q234_quantile_normalization",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -537,6 +537,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q229_completeness_profile",
         "q230_simhash_recall",
         "q231_cross_source_dups",
+        "q233_holt_linear",
+        "q234_quantile_normalization",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
