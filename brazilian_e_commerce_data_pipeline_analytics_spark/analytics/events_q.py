@@ -973,3 +973,59 @@ def q225_map_feature_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.select(
         "user_id", "n_types", F.explode("freq").alias("event_type", "cnt")
     ).select("user_id", "n_types", "event_type", F.col("cnt").cast("bigint").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# q237: forward as-of join — q34/q62 cover the backward ("most recent
+# state") direction; this is pandas merge_asof(direction='forward'):
+# every non-purchase event enriched with the value of the user's NEXT
+# purchase at-or-after it — the "time to / value of next conversion"
+# attachment. Same union+window composition (ONE shuffle on the key,
+# no inequality-join crossproduct), carried over descending time so
+# last(ignorenulls) holds the earliest eligible right row; ties at
+# the exact timestamp are eligible, duplicate purchases at one
+# timestamp resolve to the max value (the backward join's rule).
+# ---------------------------------------------------------------------------
+
+_Q237_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT l.event_id, r.value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.ts, r.value DESC
+         ) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts >= l.ts
+)
+SELECT event_id, value AS next_purchase_value
+FROM j WHERE rn = 1
+"""
+
+
+@register("q237_asof_forward", oracle=_Q237_ORACLE, tags=("events", "asof", "join"))
+def q237_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    out = asof_join_forward(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["next_purchase_value"],
+    )
+    return out.select("event_id", "next_purchase_value")

@@ -2231,3 +2231,73 @@ def q233_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + st["b"], 6).alias("forecast_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q236: weekly churn — q212's retention triangle inverted into the
+# operational alert: of the users active in ISO week w, how many are
+# GONE in week w+1? Computed as a per-user (user, week) distinct
+# relation anti-joined against its own next week — one self-join on
+# (user, week+7d), no per-user windows. The last observed week is
+# excluded (its "next week" lies outside the data — reporting it as
+# churn would be the classic right-censoring bug).
+#
+# Scale: the active relation is user×week distinct (map-side
+# combined); the self-join keys on (user, next week) — an ordinary
+# shuffled equi-join; the rollup is |weeks| rows.
+# ---------------------------------------------------------------------------
+
+_Q236_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+),
+max_wk AS (SELECT MAX(wk) AS mw FROM active),
+flags AS (
+  SELECT a.user_id, a.wk,
+         CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM active a
+  LEFT JOIN active n
+    ON n.user_id = a.user_id AND n.wk = a.wk + INTERVAL 7 DAY
+  CROSS JOIN max_wk
+  WHERE a.wk < max_wk.mw
+)
+SELECT wk,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       CAST(SUM(churned) AS DOUBLE) / COUNT(*) AS churn_rate
+FROM flags
+GROUP BY wk
+"""
+
+
+@register("q236_weekly_churn", oracle=_Q236_ORACLE, tags=("events", "bi", "cohort"))
+def q236_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    max_wk = active.agg(F.max("wk").alias("mw"))
+    nxt = active.select(
+        F.col("user_id").alias("__u"), F.col("wk").alias("__nw")
+    )
+    flags = (
+        active.crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") < F.col("mw"))
+        .join(
+            nxt,
+            (F.col("user_id") == F.col("__u"))
+            & (F.col("__nw") == F.date_add(F.col("wk"), 7)),
+            "left",
+        )
+        .select(
+            "wk",
+            F.when(F.col("__u").isNull(), 1).otherwise(0).alias("churned"),
+        )
+    )
+    return flags.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        (F.sum("churned").cast("double") / F.count(F.lit(1))).alias("churn_rate"),
+    )

@@ -325,3 +325,67 @@ def q234_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .select("source", "decile", "n_docs", "normalized_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235: interleaved shard assignment — the deterministic data-loader
+# step that turns a skewed multilingual corpus into training shards
+# with a FIXED language mix: docs are ordered within their language by
+# the portable md5 priority (stable under repartitioning — q208's fold
+# rule), and shard = that rank modulo the shard count, so every shard
+# receives ⌈n_lang/k⌉-or-⌊n_lang/k⌋ docs of EVERY language — round-
+# robin interleaving, proven by the per-(shard, lang) composition
+# this query emits (max−min ≤ 1 per language by construction, checked
+# as a column). Contrast q208 (random fold balance ± sampling noise):
+# interleaving gives exact balance at the cost of a per-language rank.
+#
+# Scale: one rank window per language partition; the composition
+# rollup is k×|langs|. No global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+_Q235_SHARDS = 8
+
+_Q235_ORACLE = f"""
+WITH r AS (
+  SELECT lang,
+         CAST((row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shard'), doc_id
+          ) - 1) % {_Q235_SHARDS} AS INT) AS shard
+  FROM documents
+),
+comp AS (
+  SELECT shard, lang, COUNT(*) AS n_docs FROM r GROUP BY 1, 2
+),
+spread AS (
+  SELECT lang, MAX(n_docs) - MIN(n_docs) AS spread FROM comp GROUP BY 1
+)
+SELECT comp.shard, comp.lang,
+       CAST(comp.n_docs AS BIGINT) AS n_docs,
+       spread.spread <= 1 AS balanced
+FROM comp JOIN spread USING (lang)
+"""
+
+
+@register("q235_interleaved_shards", oracle=_Q235_ORACLE, tags=("sampling", "llm", "loader"))
+def q235_interleaved_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), "doc_id"
+    )
+    r = d.select(
+        "lang",
+        ((F.row_number().over(w) - 1) % _Q235_SHARDS).cast("int").alias("shard"),
+    )
+    comp = r.groupBy("shard", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    spread = comp.groupBy("lang").agg(
+        (F.max("n_docs") - F.min("n_docs")).alias("spread")
+    )
+    return comp.join(F.broadcast(spread), "lang").select(
+        "shard",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("spread") <= 1).alias("balanced"),
+    )

@@ -69,3 +69,53 @@ def asof_join(
     return carried.filter(F.col("__is_left") == 1).drop(
         "__ts", "__is_left", *[f"__p_{c}" for c in payload]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """The FORWARD direction (pandas merge_asof direction='forward'):
+    each left row gets the payload of the EARLIEST right row whose
+    ordering value is >= the left's, per key — "next state at or after"
+    (next purchase after a view, next deploy after an alert). Same
+    union+window composition as :func:`asof_join`, with the carry
+    running over DESCENDING order so ``last(ignorenulls)`` holds the
+    minimal eligible right row; a right row at exactly the left value
+    IS eligible, and duplicate right rows on (key, ts) resolve to the
+    max payload (the backward join's determinism rule)."""
+    on = list(on)
+    rtypes = dict(right.dtypes)
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    for c in payload:
+        l_tagged = l_tagged.withColumn(f"__p_{c}", F.lit(None).cast(rtypes[c]))
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__ts").desc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__p_{c}").asc() for c in payload],
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop(
+        "__ts", "__is_left", *[f"__p_{c}" for c in payload]
+    )

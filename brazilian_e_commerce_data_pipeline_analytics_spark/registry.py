@@ -177,6 +177,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q232_parquet_agg_pushdown",
     "q233_holt_linear",
     "q234_quantile_normalization",
+    "q235_interleaved_shards",
+    "q236_weekly_churn",
+    "q237_asof_forward",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -539,6 +539,9 @@ def test_round5_queries_stay_jvm_side(spark):
         "q231_cross_source_dups",
         "q233_holt_linear",
         "q234_quantile_normalization",
+        "q235_interleaved_shards",
+        "q236_weekly_churn",
+        "q237_asof_forward",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
