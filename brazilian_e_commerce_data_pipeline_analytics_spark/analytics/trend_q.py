@@ -2301,3 +2301,130 @@ def q236_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("churned").cast("bigint").alias("n_churned"),
         (F.sum("churned").cast("double") / F.count(F.lit(1))).alias("churn_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q238: Wilson confidence intervals — q167's z-test answers "are two
+# segments different"; the Wilson score interval answers the dashboard
+# question "how sure are we about EACH rate": per event type, the
+# purchase-conversion share of users with 95% bounds that stay inside
+# [0,1] and behave at small n (why Wilson displaced the naive normal
+# interval in every serving layer). Counts are exact integers; the
+# interval is one pinned closed-form expression per row (sqrt is the
+# lone libm call, round-6'd — the q191 rule).
+#
+# Scale: one scan → per-type user sets (map-side distinct agg), then
+# |types|-row arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q238_Z = 1.96
+
+_Q238_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+seg AS (
+  SELECT e.event_type, u.user_id, MAX(u.converted) AS converted
+  FROM events e JOIN u USING (user_id)
+  WHERE e.event_type <> 'purchase'
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(converted) AS k
+  FROM seg GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(k AS BIGINT) AS n_converted,
+       round(k / CAST(n AS DOUBLE), 6) AS rate,
+       round((k / CAST(n AS DOUBLE) + {_Q238_Z} * {_Q238_Z} / (2 * n)
+              - {_Q238_Z} * sqrt((k / CAST(n AS DOUBLE))
+                                 * (1 - k / CAST(n AS DOUBLE)) / n
+                                 + {_Q238_Z} * {_Q238_Z} / (4.0 * n * n)))
+             / (1 + {_Q238_Z} * {_Q238_Z} / n), 6) AS wilson_lo,
+       round((k / CAST(n AS DOUBLE) + {_Q238_Z} * {_Q238_Z} / (2 * n)
+              + {_Q238_Z} * sqrt((k / CAST(n AS DOUBLE))
+                                 * (1 - k / CAST(n AS DOUBLE)) / n
+                                 + {_Q238_Z} * {_Q238_Z} / (4.0 * n * n)))
+             / (1 + {_Q238_Z} * {_Q238_Z} / n), 6) AS wilson_hi
+FROM c
+"""
+
+
+@register("q238_wilson_intervals", oracle=_Q238_ORACLE, tags=("stats", "interval", "bi"))
+def q238_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    seg = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(u, "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.max("converted").alias("converted"))
+    )
+    c = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    z = _Q238_Z
+    p = F.col("k") / F.col("n").cast("double")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return c.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        F.col("k").cast("bigint").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: log2-binned (HDR-style) histogram — how latency and money
+# telemetry is actually stored: exponential bins give constant
+# RELATIVE resolution with log-many buckets. The bin index is EXACT
+# integer arithmetic — length(bin(x)) − 1, i.e. the position of the
+# highest set bit via both engines' binary-string builtin — never
+# floor(log2(x)), whose libm value sits one ulp either side of an
+# integer AT every power of two (the exact rows that define the
+# bins). Bin bounds [2^b, 2^{b+1}) are emitted as exact BIGINTs.
+#
+# Scale: a projection plus one map-side-combined count per bin —
+# bins are log-many (~26 for cent amounts), state is trivially
+# bounded, and the bin relation merges across shards by addition.
+# ---------------------------------------------------------------------------
+
+_Q239_ORACLE = """
+WITH b AS (
+  SELECT length(bin(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                         AS BIGINT))) - 1 AS bin_idx
+  FROM orders
+)
+SELECT bin_idx,
+       CAST(power(2, bin_idx) AS BIGINT) AS lo_cents,
+       CAST(power(2, bin_idx + 1) AS BIGINT) - 1 AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b
+GROUP BY bin_idx
+"""
+
+
+@register("q239_log2_histogram", oracle=_Q239_ORACLE, tags=("stats", "histogram", "telemetry"))
+def q239_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xc = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint")
+    b = o.select((F.length(F.bin(xc)) - 1).alias("bin_idx"))
+    return b.groupBy("bin_idx").agg(
+        F.pow(F.lit(2), F.col("bin_idx")).cast("bigint").alias("lo_cents"),
+        (F.pow(F.lit(2), F.col("bin_idx") + 1).cast("bigint") - 1).alias("hi_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    ).select("bin_idx", "lo_cents", "hi_cents", "n_orders")

@@ -180,6 +180,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q235_interleaved_shards",
     "q236_weekly_churn",
     "q237_asof_forward",
+    "q238_wilson_intervals",
+    "q239_log2_histogram",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -542,6 +542,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q235_interleaved_shards",
         "q236_weekly_churn",
         "q237_asof_forward",
+        "q238_wilson_intervals",
+        "q239_log2_histogram",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
