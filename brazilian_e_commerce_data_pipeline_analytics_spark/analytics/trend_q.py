@@ -2428,3 +2428,63 @@ def q239_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pow(F.lit(2), F.col("bin_idx") + 1).cast("bigint") - 1).alias("hi_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     ).select("bin_idx", "lo_cents", "hi_cents", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# q240: decay-weighted popularity — the recency-biased score feeds and
+# recommenders rank by: each event contributes value·2^(−age), age in
+# whole half-lives (here: days since the feed's max date, so the
+# reference point derives from the DATA, not the wall clock — the
+# clock-freedom rule the driver's replay requires). The exactness
+# trick that makes this hash-checkable: 2^(−k) is an EXACT binary
+# fraction, so instead of summing decayed doubles (whose addition
+# order rounds differently per engine) the query sums
+# value_cents·2^(30−k) as exact DECIMAL integers and divides ONCE by
+# 2^30 — a power-of-two scaling that is exact in IEEE — making the
+# final double bit-identical with zero rounding anywhere.
+#
+# Scale: one scan, a broadcast 1-row max-date, and a map-side-combined
+# decimal agg per event type. Ages cap at 30 half-lives (weight
+# underflows to business-zero; the cap also bounds the 2^(30−k)
+# factor).
+# ---------------------------------------------------------------------------
+
+_Q240_ORACLE = """
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+w AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         least(datediff('day', CAST(ts AS DATE), mx.md), 30) AS k
+  FROM events CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(vc * CAST(power(2, 30 - k) AS BIGINT)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+         / 1073741824.0 AS decayed_value
+FROM w
+GROUP BY event_type
+"""
+
+
+@register("q240_decayed_popularity", oracle=_Q240_ORACLE, tags=("events", "recsys", "decay"))
+def q240_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("md"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.least(
+            F.datediff(F.col("md"), F.col("ts").cast("date")), F.lit(30)
+        ).alias("k"),
+    )
+    scaled = F.sum(
+        (
+            F.col("vc")
+            * F.pow(F.lit(2), F.lit(30) - F.col("k")).cast("bigint")
+        ).cast("decimal(38,0)")
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (scaled.cast("double") / F.lit(1073741824.0)).alias("decayed_value"),
+    )

@@ -544,6 +544,7 @@ def test_round5_queries_stay_jvm_side(spark):
         "q237_asof_forward",
         "q238_wilson_intervals",
         "q239_log2_histogram",
+        "q240_decayed_popularity",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
