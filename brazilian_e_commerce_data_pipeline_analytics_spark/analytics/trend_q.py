@@ -2488,3 +2488,95 @@ def q240_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (scaled.cast("double") / F.lit(1073741824.0)).alias("decayed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241: two-sample Kolmogorov–Smirnov — the nonparametric distribution
+# comparison that complements the binned drift family (q191 PSI / q201
+# KL need a bin choice; KS does not): per priority segment, the max
+# ECDF gap between 1995 and 1996 order totals. EXACT by integer
+# cross-multiplication — the statistic is max|c1·n2 − c2·n1| over the
+# per-distinct-value cumulative counts (evaluated at distinct values,
+# so tie order cannot matter), with the single division to
+# D = max/(n1·n2) done once at the end. The cumulative window runs per
+# (segment) over the DISTINCT-value relation; DECIMAL(38,0) products
+# keep the cross-multiplication exact at any scale.
+# ---------------------------------------------------------------------------
+
+_Q241_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS seg,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS xc,
+         SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS c2
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT seg, xc,
+         SUM(c1) OVER (PARTITION BY seg ORDER BY xc
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (PARTITION BY seg ORDER BY xc
+                       ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c1) OVER (PARTITION BY seg) AS n1,
+         SUM(c2) OVER (PARTITION BY seg) AS n2
+  FROM v
+)
+SELECT seg AS o_orderpriority,
+       CAST(MIN(n1) AS BIGINT) AS n_1995,
+       CAST(MIN(n2) AS BIGINT) AS n_1996,
+       CAST(MAX(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                    - CAST(cum2 AS DECIMAL(38,0)) * n1)) AS BIGINT)
+         AS max_cross,
+       CAST(MAX(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                    - CAST(cum2 AS DECIMAL(38,0)) * n1)) AS DOUBLE)
+         / (MIN(n1) * CAST(MIN(n2) AS DOUBLE)) AS ks_d
+FROM c
+GROUP BY seg
+"""
+
+
+@register("q241_ks_two_sample", oracle=_Q241_ORACLE, tags=("stats", "drift", "test"))
+def q241_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    v = o.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("xc"),
+    ).agg(
+        F.sum(F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = Window.partitionBy("seg").orderBy("xc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("seg")
+    c = v.select(
+        "seg",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    cross = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
+    return (
+        c.withColumn("cross", cross)
+        .groupBy(F.col("seg").alias("o_orderpriority"))
+        .agg(
+            F.min("n1").cast("bigint").alias("n_1995"),
+            F.min("n2").cast("bigint").alias("n_1996"),
+            F.max("cross").cast("bigint").alias("max_cross"),
+            (
+                F.max("cross").cast("double")
+                / (F.min("n1") * F.min("n2").cast("double"))
+            ).alias("ks_d"),
+        )
+    )

@@ -183,6 +183,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q238_wilson_intervals",
     "q239_log2_histogram",
     "q240_decayed_popularity",
+    "q241_ks_two_sample",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

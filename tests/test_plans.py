@@ -545,6 +545,7 @@ def test_round5_queries_stay_jvm_side(spark):
         "q238_wilson_intervals",
         "q239_log2_histogram",
         "q240_decayed_popularity",
+        "q241_ks_two_sample",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
