@@ -257,3 +257,63 @@ def q227_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q227_SQL,
         args={"start_date": datetime.date(1996, 1, 1), "status": "O"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q242: GROUP BY ALL / ORDER BY ALL — the exploration sugar (Spark
+# 3.4+/DuckDB-originated) that migrating analysts type on day one:
+# every non-aggregate select item becomes a grouping key, and ORDER BY
+# ALL totals the ordering. The SAME SQL text runs verbatim on both
+# engines here — the oracle IS the query — proving drop-in syntax
+# parity. Compiles to the ordinary grouped aggregate; zero scale cost.
+# ---------------------------------------------------------------------------
+
+_Q242_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q242_group_by_all", oracle=_Q242_SQL, tags=("sql-api", "sugar"))
+def q242_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_Q242_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q243: IDENTIFIER() clause — q227 parameterized VALUES; this
+# parameterizes NAMES (Spark 3.5+): a query service routing to a
+# caller-chosen table/column without f-string interpolation (the
+# injection vector the clause exists to kill — a malicious
+# "orders; DROP ..." string fails to parse as an identifier instead
+# of executing). The oracle inlines the same identifiers literally.
+# ---------------------------------------------------------------------------
+
+_Q243_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q243_identifier_clause", oracle=_Q243_ORACLE, tags=("sql-api", "parameters"))
+def q243_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:group_col) AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(MAX(CAST(IDENTIFIER(:val_col) AS DECIMAL(18,2))) AS DOUBLE)
+                 AS max_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:group_col)
+        """,
+        args={"tbl": "orders", "group_col": "o_orderpriority", "val_col": "o_totalprice"},
+    )

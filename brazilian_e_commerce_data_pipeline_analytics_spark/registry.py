@@ -184,6 +184,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q239_log2_histogram",
     "q240_decayed_popularity",
     "q241_ks_two_sample",
+    "q242_group_by_all",
+    "q243_identifier_clause",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

@@ -546,6 +546,8 @@ def test_round5_queries_stay_jvm_side(spark):
         "q239_log2_histogram",
         "q240_decayed_popularity",
         "q241_ks_two_sample",
+        "q242_group_by_all",
+        "q243_identifier_clause",
     ):
         df = QUERIES[name].builder(spark, SF_SMALL)
         assert not has_python_eval(df), f"{name} plan crosses into Python"
