@@ -759,11 +759,11 @@ def q72_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monetary each quartiled with ntile(4); determinism requires a TOTAL
 # order under every ntile (metric + c_custkey tiebreaker), or bucket
 # boundaries are run-dependent in both engines.
-# Scale: one shuffle to the per-customer grain, then three window
-# functions over the SAME global ordering-free partitioning (ntile's
-# single partition is fine: the per-customer relation is |customers|
-# rows, and ntile is O(n) streaming — but at true 100 TB scale the
-# per-customer rollup, not the ntile, dominates).
+# Scale: one shuffle to the per-customer grain, then three
+# distributed_ntile passes (range-shuffle + parallel local row_number +
+# broadcast count prefixes, operators/windows.py) — NO unpartitioned
+# global window anywhere; each score costs one parallel range exchange
+# of the per-customer relation instead of a single-task sort of it.
 # ---------------------------------------------------------------------------
 
 _Q78_ORACLE = """
@@ -786,7 +786,7 @@ FROM per_cust
 
 @register("q78_rfm_segmentation", oracle=_Q78_ORACLE, tags=("bi", "window", "ntile", "agg"))
 def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.windows import distributed_ntile
 
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
@@ -806,17 +806,23 @@ def q78_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return per_cust.select(
-        "*",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m_score"),
+    # Three ntile(4) scores WITHOUT three unpartitioned global windows
+    # (VERDICT r4: every customer row through one task, three times).
+    # distributed_ntile = range-shuffle + parallel local row_number +
+    # broadcast count prefixes; each ordering is a total order (custkey
+    # tiebreaker), so the buckets are exactly the window ntile's.
+    scored = distributed_ntile(
+        per_cust, [F.asc("recency_days"), F.col("o_custkey")], 4, "r_score"
+    )
+    scored = distributed_ntile(
+        scored, [F.desc("frequency"), F.col("o_custkey")], 4, "f_score"
+    )
+    scored = distributed_ntile(
+        scored, [F.desc("monetary"), F.col("o_custkey")], 4, "m_score"
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

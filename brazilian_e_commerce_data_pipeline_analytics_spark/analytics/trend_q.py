@@ -2209,7 +2209,10 @@ def q233_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
         ).alias("ys"),
         F.count(F.lit(1)).cast("int").alias("n_days"),
-    )
+    # Mirror the oracle's WHERE n_days >= 2 (ADVICE r4): Holt needs two
+    # points to seed the trend; a 1-day series would make element_at(ys,2)
+    # null / the slice length negative under ANSI.
+    ).filter(F.col("n_days") >= 2)
     a, b = _HOLT_A, _HOLT_B
 
     def step(acc, x):

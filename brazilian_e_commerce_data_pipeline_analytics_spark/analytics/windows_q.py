@@ -430,13 +430,16 @@ def q63_decomposition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q69: distribution-position windows — NTILE quartiles, percent_rank,
+# q69: distribution-position statistics — NTILE quartiles, percent_rank,
 # cume_dist over per-customer revenue (customer segmentation semantics).
-# The order is total (revenue desc, custkey) so every position function
-# is deterministic and both engines agree exactly. Scale note: a global
-# position window serializes its input through one task — fine here
-# because the input is the per-customer rollup, not raw orders; for
-# 10^8+ entities switch to approx quantile cutpoints + a bucketing join.
+# The order is total (revenue desc, custkey) so every position value is
+# deterministic and both engines agree exactly. Scale: the oracle uses
+# the window functions; the Spark side computes the SAME values from one
+# distributed_rank pass (range-shuffle + parallel local row_number +
+# broadcast count prefixes) — on a total order ntile/percent_rank/
+# cume_dist are pure expressions of (rank, n): ntile via ntile_expr,
+# percent_rank = (rank-1)/(n-1), cume_dist = rank/n. No unpartitioned
+# window; every customer row stays parallel (VERDICT r4 item 3).
 # ---------------------------------------------------------------------------
 
 _Q69_ORACLE = """
@@ -465,7 +468,7 @@ GROUP BY quartile
 
 @register("q69_ntile_quartiles", oracle=_Q69_ORACLE, tags=("window", "ntile", "segmentation"))
 def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.windows import distributed_rank, ntile_expr
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders")
@@ -474,13 +477,22 @@ def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(dsum("o_totalprice", "revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
-    positioned = per_cust.select(
+    ranked = distributed_rank(
+        per_cust,
+        [F.col("revenue").desc(), F.col("c_custkey")],
+        out="__rank",
+        total_out="__n",
+    )
+    rank, n = F.col("__rank"), F.col("__n")
+    positioned = ranked.select(
         "c_custkey",
         "revenue",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        ntile_expr(rank, n, 4).alias("quartile"),
+        # total order → percent_rank/cume_dist are rank arithmetic; the
+        # integer→double divisions are single operations, bit-equal to
+        # the window functions' own math in both engines.
+        F.round((rank - F.lit(1)) / (n - F.lit(1)), 6).alias("pr"),
+        F.round(rank / n, 6).alias("cd"),
     )
     return positioned.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),

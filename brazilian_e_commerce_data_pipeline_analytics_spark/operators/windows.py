@@ -137,6 +137,22 @@ def distributed_cumsum(
     samples. ``exclusive=True`` gives the sum of all STRICTLY preceding
     rows (0 for the first row) — the packing/offset convention.
     """
+    return distributed_cumsums(
+        df, order_col, [(value_col, out)], exclusive=exclusive, n_parts=n_parts
+    )
+
+
+def distributed_cumsums(
+    df: DataFrame,
+    order_col: str,
+    sums: Sequence[tuple[str, str]],
+    exclusive: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Multi-column :func:`distributed_cumsum` — ONE range shuffle carries
+    every ``(value_col, out_col)`` running total (q217 needs two cumulative
+    curves over the same ordering; paying the exchange twice would be
+    half-wasted work)."""
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint (lazy): the partitioned relation feeds TWO plan
     # branches (per-partition locals; per-partition totals), and without
@@ -156,18 +172,114 @@ def distributed_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = r.withColumn("__local", F.sum(value_col).over(w_in))
+    local = r
+    for i, (value_col, _) in enumerate(sums):
+        local = local.withColumn(f"__local{i}", F.sum(value_col).over(w_in))
     w_pid = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     prefixes = (
         local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__ptotal"))
-        .withColumn("__prefix", F.coalesce(F.sum("__ptotal").over(w_pid), F.lit(0)))
-        .select("__pid", "__prefix")
+        .agg(*[F.sum(v).alias(f"__ptotal{i}") for i, (v, _) in enumerate(sums)])
+        .select(
+            "__pid",
+            *[
+                F.coalesce(F.sum(f"__ptotal{i}").over(w_pid), F.lit(0)).alias(
+                    f"__prefix{i}"
+                )
+                for i in range(len(sums))
+            ],
+        )
     )
     joined = local.join(F.broadcast(prefixes), "__pid")
-    cum = F.col("__prefix") + F.col("__local")
-    if exclusive:
-        cum = cum - F.col(value_col)
-    return joined.withColumn(out, cum).drop("__pid", "__local", "__prefix")
+    drop = ["__pid"]
+    for i, (value_col, out) in enumerate(sums):
+        cum = F.col(f"__prefix{i}") + F.col(f"__local{i}")
+        if exclusive:
+            cum = cum - F.col(value_col)
+        joined = joined.withColumn(out, cum)
+        drop += [f"__local{i}", f"__prefix{i}"]
+    return joined.drop(*drop)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    out: str = "rank",
+    total_out: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global 1..n ``row_number`` under a TOTAL order without the
+    single-task sort of ``Window.orderBy(...)``.
+
+    ``order_by`` must be a total order (include a unique tiebreaker) —
+    range partitioning keeps equal keys together, so with unique keys
+    ``rank = partition prefix + local row_number`` is exact. Same
+    two-level shape as :func:`distributed_cumsums`: range-partition,
+    parallel per-partition ``row_number``, n_parts-row count-prefix
+    window (trivially single-task), broadcast join back.
+
+    ``total_out`` optionally emits the relation's total row count on
+    every row (rides the same broadcast — no extra pass), which is what
+    rank-derived statistics (ntile / percent_rank / cume_dist) need.
+    """
+    order = _cols(order_by)
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint: same two-branch boundary pinning as
+    # distributed_cumsums (locals + per-partition counts must agree on
+    # the sampled range boundaries).
+    r = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    local = r.withColumn("__lrn", F.row_number().over(w_in))
+    w_pid = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
+    prefixes = counts.withColumn(
+        "__prefix", F.coalesce(F.sum("__pn").over(w_pid), F.lit(0))
+    )
+    keep = ["__pid", "__prefix"]
+    if total_out is not None:
+        w_all = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        prefixes = prefixes.withColumn(total_out, F.sum("__pn").over(w_all))
+        keep.append(total_out)
+    joined = local.join(F.broadcast(prefixes.select(*keep)), "__pid")
+    return joined.withColumn(out, F.col("__prefix") + F.col("__lrn")).drop(
+        "__pid", "__lrn", "__prefix"
+    )
+
+
+def ntile_expr(rank: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` as a pure expression of an exact global ``rank``
+    (1..n) and the total count ``n``: the first ``n % k`` buckets get
+    ``n div k + 1`` rows, the rest ``n div k`` — identical to the window
+    function on a total order, with no window involved."""
+    base = F.floor(n / F.lit(k)).cast("long")
+    rem = n % F.lit(k)
+    threshold = rem * (base + F.lit(1))
+    in_big = F.floor((rank + base) / (base + F.lit(1)))
+    in_small = rem + F.floor((rank - threshold + base - F.lit(1)) / base)
+    return F.when(rank <= threshold, in_big).otherwise(in_small).cast("int")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    k: int,
+    out: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY ...)`` without the single-task global
+    sort: :func:`distributed_rank` + :func:`ntile_expr`. ``order_by``
+    must be a total order (window ntile on a non-total order is
+    nondeterministic anyway, so this is no extra constraint)."""
+    ranked = distributed_rank(
+        df, order_by, out="__rank", total_out="__n", n_parts=n_parts
+    )
+    return ranked.withColumn(
+        out, ntile_expr(F.col("__rank"), F.col("__n"), k)
+    ).drop("__rank", "__n")

@@ -71,74 +71,11 @@ _REGISTRY: dict[str, Query] = {}
 # already green in CORRECTNESS_r01.json keep their evidence and rotate
 # behind. Update this list each round as rows turn green.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-4 rotation (tools/round_checklist.py verified every entry
-    # below sim-green at sf0.01 before this list was cut) --
-    # the 30 round-3 late additions, deferred past r03's window, all
-    # sim-verified twice (r03 session + this one):
-    "q147_zorder_layout",
-    "q148_stream_join_agg_cascade",
-    "q149_longest_streaks",
-    "q150_xml_roundtrip",
-    "q151_gap_fill_ffill",
-    "q152_schema_evolution",
-    "q153_bpe_apply",
-    "q154_quantile_drift",
-    "q155_corrupt_records",
-    "q156_wav_decode",
-    "q157_bmp_decode",
-    "q158_hll_calibration",
-    "q159_corpus_datacard",
-    "q160_version_diff",
-    "q161_abc_classification",
-    "q162_event_transitions",
-    "q163_exp_smoothing",
-    "q164_skew_report",
-    "q165_event_debounce",
-    "q166_top_session_paths",
-    "q167_ab_test_analysis",
-    "q168_arrow_scalar_udf",
-    "q169_funnel_latency",
-    "q170_cluster_canonical_by_quality",
-    "q171_mergeable_stats",
-    "q172_scd2_pit_lookup",
-    "q173_video_frame_sample",
-    "q174_collocations_pmi",
-    "q175_stream_jdbc_upsert",
-    "q176_quality_calibration",
-    # q58 gained a value-exact oracle this round (was rows-only in r02),
-    # so it needs a fresh hash-checked row:
-    "q58_media_features",
-    # new round-4 queries (approx-quantile calibration, stats, features,
-    # dedup variants, ML primitives, CMS sketch):
-    "q177_approx_percentile_calibration",
-    "q178_corr_matrix",
-    "q179_attribution_last_touch",
-    "q180_interval_bucket_join",
-    "q181_target_encoding_loo",
-    "q182_feature_hashing",
-    "q183_containment_neardup",
-    "q184_vocab_oov_rate",
-    "q185_doc_chunking",
-    "q186_bigram_lm",
-    "q187_kmeans_lloyd",
-    "q188_hard_negatives",
-    "q189_winsorized_stats",
-    "q190_cms_frequency",
-    "q191_psi_drift",
-    "q192_bottomk_merge",
-    "q193_markov_entropy",
-    # Spark 4 SQL-surface additions (recursive CTE / SQL UDF in-window;
-    # q195 pipe syntax is slot 51 — sim-verified twice, family-covered
-    # by q194/q196, rotates in next round):
-    "q194_recursive_cte",
-    "q196_sql_udf",
-    # -- below here: outside the 50-row window. First the deferral, then
-    # earlier greens (CORRECTNESS_r01/r02/r03 rows) and the by-design
-    # rows-only queries with value-exact twins (q46->q46p, q47->q68,
-    # q97->q158) --
+    # -- round-5 rotation (tools/round_checklist.py: the 48 pending =
+    # q195 + q197-q243, all sim-verified at sf0.001/0.01/0.1 in round 4
+    # and independently re-verified value-exact by the round-4 judge;
+    # they fill slots 1-48) --
     "q195_pipe_syntax",
-    # round-5 additions (sim-verified this round; rotate into the
-    # round-5 window with q195):
     "q197_tokenizer_fertility",
     "q198_idf_weighted_minhash",
     "q199_curriculum_bins",
@@ -186,6 +123,65 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q241_ks_two_sample",
     "q242_group_by_all",
     "q243_identifier_clause",
+    # slots 49-50: refresh greens — q78/q69's implementations changed
+    # this round (global ntile/percent_rank windows replaced by the
+    # distributed_rank/distributed_ntile range-partition operators); the
+    # old green rows verified the old plan shape, so re-earn the hash.
+    "q78_rfm_segmentation",
+    "q69_ntile_quartiles",
+    # -- below here: outside the 50-row window; greens from r01-r04 and
+    # the by-design rows-only queries with value-exact twins
+    # (q46->q46p, q47->q68, q97->q158) --
+    "q147_zorder_layout",
+    "q148_stream_join_agg_cascade",
+    "q149_longest_streaks",
+    "q150_xml_roundtrip",
+    "q151_gap_fill_ffill",
+    "q152_schema_evolution",
+    "q153_bpe_apply",
+    "q154_quantile_drift",
+    "q155_corrupt_records",
+    "q156_wav_decode",
+    "q157_bmp_decode",
+    "q158_hll_calibration",
+    "q159_corpus_datacard",
+    "q160_version_diff",
+    "q161_abc_classification",
+    "q162_event_transitions",
+    "q163_exp_smoothing",
+    "q164_skew_report",
+    "q165_event_debounce",
+    "q166_top_session_paths",
+    "q167_ab_test_analysis",
+    "q168_arrow_scalar_udf",
+    "q169_funnel_latency",
+    "q170_cluster_canonical_by_quality",
+    "q171_mergeable_stats",
+    "q172_scd2_pit_lookup",
+    "q173_video_frame_sample",
+    "q174_collocations_pmi",
+    "q175_stream_jdbc_upsert",
+    "q176_quality_calibration",
+    "q58_media_features",
+    "q177_approx_percentile_calibration",
+    "q178_corr_matrix",
+    "q179_attribution_last_touch",
+    "q180_interval_bucket_join",
+    "q181_target_encoding_loo",
+    "q182_feature_hashing",
+    "q183_containment_neardup",
+    "q184_vocab_oov_rate",
+    "q185_doc_chunking",
+    "q186_bigram_lm",
+    "q187_kmeans_lloyd",
+    "q188_hard_negatives",
+    "q189_winsorized_stats",
+    "q190_cms_frequency",
+    "q191_psi_drift",
+    "q192_bottomk_merge",
+    "q193_markov_entropy",
+    "q194_recursive_cte",
+    "q196_sql_udf",
     "q20_monthly_revenue_yoy",
     "q53_stream_hourly",
     "q99_gold_monthly_state_sales",

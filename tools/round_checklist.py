@@ -63,7 +63,7 @@ def main() -> int:
     registered = list(queries)
     green, rows_only = green_rows()
     covered = set(green)
-    covered |= {n for n in rows_only if queries[n].oracle is None if n in queries}
+    covered |= {n for n in rows_only if n in queries and queries[n].oracle is None}
     pending = [n for n in registered if n not in covered]
     print(
         f"registered={len(registered)} hash-green={len(green & set(registered))} "
