@@ -764,6 +764,14 @@ def q72_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast count prefixes, operators/windows.py) — NO unpartitioned
 # global window anywhere; each score costs one parallel range exchange
 # of the per-customer relation instead of a single-task sort of it.
+# The three orderings are on three DIFFERENT keys, so three exchanges
+# are inherent to the semantics. Fault tolerance: each pass takes a
+# lazy localCheckpoint (executor-local blocks, see
+# operators/windows.py:distributed_cumsums docstring) — on a real
+# cluster, a lost executor fails-and-resubmits the query; for 100-TB
+# production runs switch the operator to reliable checkpointing
+# (sc.setCheckpointDir + .checkpoint()) to pay storage instead of
+# retry exposure. Availability tradeoff only; correctness unaffected.
 # ---------------------------------------------------------------------------
 
 _Q78_ORACLE = """
@@ -1249,19 +1257,25 @@ def q215_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
 
     dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    # nation×region is a fixed-cardinality dim (25×5) — broadcast is
+    # size-safe at any SF. customer and supplier SCALE WITH the fact, so
+    # they get NO explicit broadcast hint (VERDICT r5: a forced
+    # broadcast of an SF-scaling relation is a driver OOM at 100×; AQE
+    # converts these to broadcast joins at runtime while they're small,
+    # and falls back to shuffle joins when they aren't).
     cust = customer.join(
         F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
     ).select("c_custkey", "c_nationkey", "n_name")
-    # facts shuffle once on orderkey; the customer attach broadcasts
-    # (ASIA customers are a filtered dim-sized relation)
+    # facts shuffle once on orderkey; the customer attach shuffles on
+    # custkey (or broadcasts, AQE's call at runtime)
     fact = lineitem.join(
         orders.select("o_orderkey", "o_custkey"),
         lineitem.l_orderkey == orders.o_orderkey,
-    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    # supplier attach by suppkey (broadcast), nation correlation as a
-    # post-join filter over two already-present columns
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    # supplier attach by suppkey, nation correlation as a post-join
+    # filter over two already-present columns
     j = fact.join(
-        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        supplier.select("s_suppkey", "s_nationkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     ).filter(F.col("s_nationkey") == F.col("c_nationkey"))
     rev = dmoney("l_extendedprice") * (

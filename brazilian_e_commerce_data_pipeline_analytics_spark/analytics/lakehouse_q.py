@@ -70,7 +70,7 @@ LIMIT 3
 @register("q112_skew_salted_topk_join", oracle=_Q112_ORACLE, tags=("join", "skew", "topk"))
 def q112_skew_salted_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
-    from pyspark.sql.window import Window
+    from ..operators.windows import top_k
 
     ev = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -81,12 +81,11 @@ def q112_skew_salted_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "total_value"),
     )
-    w = Window.orderBy(F.desc("n_events"), "segment")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .orderBy("rnk")
-        .limit(3)
-    )
+    # top_k = TakeOrderedAndProject + a k-row re-rank, not a global
+    # window over the aggregate (the agg is segment-cardinality here,
+    # but the limit-first shape is the one that generalizes).
+    ranked = top_k(agg, [F.desc("n_events"), F.col("segment")], 3, rank_col="rnk")
+    return ranked.withColumn("rnk", F.col("rnk").cast("int")).orderBy("rnk")
 
 
 # ---------------------------------------------------------------------------

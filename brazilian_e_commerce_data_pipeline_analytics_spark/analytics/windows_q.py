@@ -468,7 +468,12 @@ GROUP BY quartile
 
 @register("q69_ntile_quartiles", oracle=_Q69_ORACLE, tags=("window", "ntile", "segmentation"))
 def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import distributed_rank, ntile_expr
+    from ..operators.windows import (
+        cume_dist_expr,
+        distributed_rank,
+        ntile_expr,
+        percent_rank_expr,
+    )
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders")
@@ -490,9 +495,10 @@ def q69_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_expr(rank, n, 4).alias("quartile"),
         # total order → percent_rank/cume_dist are rank arithmetic; the
         # integer→double divisions are single operations, bit-equal to
-        # the window functions' own math in both engines.
-        F.round((rank - F.lit(1)) / (n - F.lit(1)), 6).alias("pr"),
-        F.round(rank / n, 6).alias("cd"),
+        # the window functions' own math in both engines (incl. the
+        # n=1 degenerate case — percent_rank_expr pins it to 0.0).
+        F.round(percent_rank_expr(rank, n), 6).alias("pr"),
+        F.round(cume_dist_expr(rank, n), 6).alias("cd"),
     )
     return positioned.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -1111,20 +1111,18 @@ JOIN (
 
 @register("q136_entity_resolution", oracle=_Q136_ORACLE, tags=("fuzzy", "graph", "text"))
 def q136_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ..operators.graph import canonical_docs
+    from ..operators.windows import distributed_rank
 
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
     # connected_components' convergence probe is numeric (sum of
     # labels), so map each name to its lexicographic RANK — an
     # order-isomorphic bigint id (min rank == min name) — and map back
-    # after clustering. The rank window is global but runs over the
-    # DISTINCT name vocabulary, not the corpus; at a name cardinality
-    # where that single-partition sort binds, switch to the md5-id
-    # mapping (canonical = min-hash name, same algebra, fully parallel).
-    ids = names.withColumn(
-        "nid", F.row_number().over(Window.orderBy("p_name")).cast("bigint")
+    # after clustering. The rank rides distributed_rank (range-shuffle
+    # + parallel local row_number, operators/windows.py), so even a
+    # corpus-scale name vocabulary never funnels through one task.
+    ids = distributed_rank(names, ["p_name"], out="nid").withColumn(
+        "nid", F.col("nid").cast("bigint")
     )
     a = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("nid_a"))
     b = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("nid_b"))

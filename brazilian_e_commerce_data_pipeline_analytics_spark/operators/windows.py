@@ -142,6 +142,18 @@ def distributed_cumsum(
     )
 
 
+def _check_reserved(df: DataFrame, names: Sequence[str]) -> None:
+    """The two-level operators inject fixed temp columns; a caller
+    relation already using one of those names would be silently
+    corrupted (ADVICE r5). Fail loudly instead."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved temp names of "
+            "the distributed window operators; rename them first"
+        )
+
+
 def distributed_cumsums(
     df: DataFrame,
     order_col: str,
@@ -152,8 +164,25 @@ def distributed_cumsums(
     """Multi-column :func:`distributed_cumsum` — ONE range shuffle carries
     every ``(value_col, out_col)`` running total (q217 needs two cumulative
     curves over the same ordering; paying the exchange twice would be
-    half-wasted work)."""
+    half-wasted work).
+
+    Fault-tolerance note (ADVICE r5): the boundary-pinning
+    ``localCheckpoint`` below stores blocks executor-locally — losing an
+    executor mid-query fails the query (Spark resubmits it from the
+    source on retry, so this is an availability cost, not a correctness
+    one). On a real cluster at 100 TB, prefer reliable checkpointing
+    (``spark.checkpoint`` to HDFS/S3 via ``sc.setCheckpointDir``) or
+    persist(DISK_ONLY + replication) for long-running jobs; local[*]
+    has a single "executor", so the tradeoff is moot in tests.
+    """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    _check_reserved(
+        df,
+        ["__pid"]
+        + [f"__local{i}" for i in range(len(sums))]
+        + [f"__ptotal{i}" for i in range(len(sums))]
+        + [f"__prefix{i}" for i in range(len(sums))],
+    )
     # localCheckpoint (lazy): the partitioned relation feeds TWO plan
     # branches (per-partition locals; per-partition totals), and without
     # a shared materialization Catalyst may plan the range exchange
@@ -222,9 +251,16 @@ def distributed_rank(
     ``total_out`` optionally emits the relation's total row count on
     every row (rides the same broadcast — no extra pass), which is what
     rank-derived statistics (ntile / percent_rank / cume_dist) need.
+
+    Fault-tolerance: same ``localCheckpoint`` tradeoff as
+    :func:`distributed_cumsums` — see its docstring.
     """
     order = _cols(order_by)
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    reserved = ["__pid", "__lrn", "__pn", "__prefix", out]
+    if total_out is not None:
+        reserved.append(total_out)
+    _check_reserved(df, reserved)
     # localCheckpoint: same two-branch boundary pinning as
     # distributed_cumsums (locals + per-partition counts must agree on
     # the sampled range boundaries).
@@ -253,17 +289,42 @@ def distributed_rank(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division (SQL ``div`` / IntegralDivide). Plain
+    ``/`` on longs goes through IEEE doubles, which stops being exact
+    once the operands near 2^52 — a silent off-by-one in bucket math at
+    extreme n (ADVICE r5). ``div`` stays in long arithmetic."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def ntile_expr(rank: Column, n: Column, k: int) -> Column:
     """SQL ``ntile(k)`` as a pure expression of an exact global ``rank``
     (1..n) and the total count ``n``: the first ``n % k`` buckets get
     ``n div k + 1`` rows, the rest ``n div k`` — identical to the window
-    function on a total order, with no window involved."""
-    base = F.floor(n / F.lit(k)).cast("long")
+    function on a total order, with no window involved. All arithmetic
+    is integer-only (IntegralDivide), exact at any n."""
+    base = _idiv(n, F.lit(k))
     rem = n % F.lit(k)
     threshold = rem * (base + F.lit(1))
-    in_big = F.floor((rank + base) / (base + F.lit(1)))
-    in_small = rem + F.floor((rank - threshold + base - F.lit(1)) / base)
+    in_big = _idiv(rank + base, base + F.lit(1))
+    in_small = rem + _idiv(rank - threshold + base - F.lit(1), base)
     return F.when(rank <= threshold, in_big).otherwise(in_small).cast("int")
+
+
+def percent_rank_expr(rank: Column, n: Column) -> Column:
+    """SQL ``percent_rank()`` from an exact global rank and total count:
+    (rank-1)/(n-1), with the n=1 degenerate case pinned to 0.0 — the
+    bare division is 0/0 = NULL on a one-row relation, where the window
+    function is defined to return 0.0 (ADVICE r5)."""
+    return F.when(
+        n > F.lit(1), (rank - F.lit(1)) / (n - F.lit(1))
+    ).otherwise(F.lit(0.0))
+
+
+def cume_dist_expr(rank: Column, n: Column) -> Column:
+    """SQL ``cume_dist()`` from an exact global rank (under a TOTAL
+    order, where rank == peers-inclusive position) and total count."""
+    return rank / n
 
 
 def distributed_ntile(

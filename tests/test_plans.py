@@ -620,3 +620,103 @@ def test_parquet_agg_pushdown_reads_metadata_only(spark):
     assert "MIN(o_orderkey)" in plan and "COUNT(*)" in plan
     # confs were restored by the builder
     assert spark.conf.get("spark.sql.sources.useV1SourceList", None) != ""
+
+
+def test_q215_no_forced_broadcast_of_scaling_relations(spark):
+    """VERDICT r5: q215 must not hint-broadcast customer or supplier —
+    both scale with the fact, so an explicit hint (which AQE cannot
+    override) is a driver OOM at 100×. The only broadcast hints allowed
+    are the fixed-cardinality nation/region dim attaches; the
+    custkey/suppkey joins are left to AQE's runtime size decision."""
+    df = QUERIES["q215_tpch_q5_local_supplier"].builder(spark, SF_SMALL)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    for line in opt.splitlines():
+        if "strategy=broadcast" in line:
+            assert "custkey" not in line and "suppkey" not in line, line
+    # the size-safe hints are still present (nation/region attaches)
+    assert opt.count("strategy=broadcast") == 2
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide scale lint (VERDICT r4 item 4 / r5 item 2): NO registered
+# query may plan an unpartitioned Window sort over an unbounded input —
+# the single-task global sort that works at test scale and dies at 100 TB.
+# Accepted shapes, detected mechanically:
+#   - partitioned windows (partitionSpec non-empty);
+#   - the two-level distributed operators' n_parts-row prefix windows
+#     (ordered by __pid, input is a groupBy(__pid) aggregate);
+#   - windows whose input subtree contains a Limit (top-k re-ranks).
+# Anything else must be whitelisted here WITH a justification, or the
+# lint fails. This is also the plan pin for q69/q78/q217's
+# distributed_ntile / distributed_rank / distributed_cumsums rewrites:
+# reintroducing a global window in any registered query trips the lint.
+# ---------------------------------------------------------------------------
+
+# query -> (max allowed unpartitioned-unbounded windows, justification)
+UNPARTITIONED_WINDOW_WHITELIST = {
+    "q24_moving_avg_7d": (
+        2,
+        "7-day moving frame over a per-DAY aggregate: input rows are "
+        "bounded by the dataset's calendar span, not data volume",
+    ),
+    "q93_range_frame_7d": (
+        1,
+        "RANGE frame over a per-day aggregate — calendar-bounded input",
+    ),
+    "q154_quantile_drift": (
+        1,
+        "week-over-week lag over a per-WEEK percentile aggregate — "
+        "calendar-bounded input",
+    ),
+}
+
+
+def _walk_logical(node):
+    yield node
+    try:
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from _walk_logical(it.next())
+    except Exception:  # noqa: BLE001 — leaf/foreign nodes
+        pass
+    try:
+        it = node.subqueries().iterator()
+        while it.hasNext():
+            yield from _walk_logical(it.next())
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    bad = []
+    for node in _walk_logical(plan):
+        if node.nodeName() != "Window":
+            continue
+        if node.partitionSpec().size() > 0:
+            continue
+        order = node.orderSpec().mkString(",")
+        if "__pid" in order:
+            continue  # two-level prefix machinery: n_parts rows
+        child = node.children().apply(0)
+        if any(
+            n.nodeName() in ("GlobalLimit", "LocalLimit")
+            for n in _walk_logical(child)
+        ):
+            continue  # top-k re-rank over a k-row relation
+        bad.append(order[:80])
+    return bad
+
+
+def test_registry_wide_no_unbounded_global_window(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, q in QUERIES.items():
+        df = q.builder(spark, SF_SMALL)
+        bad = _unbounded_global_windows(df)
+        allowed, _why = UNPARTITIONED_WINDOW_WHITELIST.get(name, (0, ""))
+        if len(bad) > allowed:
+            offenders[name] = bad
+    assert not offenders, (
+        "unpartitioned, non-limit-bounded Window sorts (single-task at "
+        f"scale): {offenders}"
+    )
