@@ -40,7 +40,12 @@ BENCH_QUERIES = (
     "q40_token_stats",
     "q44_exact_dedup",
     "q45_ngram_jaccard_pairs",
-    "q46_minhash_lsh_pairs",
+    # r6: q46 (xxhash LSH, rows-only) retired from the registry; its
+    # value-exact twin q46p (same banded-LSH + exact-verify shape,
+    # portable md5 hashes) takes the headline slot. Cross-round note:
+    # q46p does strictly more work (md5 vs xxhash64), so this swap can
+    # only raise, never flatter, the headline total.
+    "q46p_minhash_lsh_portable",
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
     "q54_sessions_batch",

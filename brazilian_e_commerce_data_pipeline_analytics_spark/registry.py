@@ -129,9 +129,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # old green rows verified the old plan shape, so re-earn the hash.
     "q78_rfm_segmentation",
     "q69_ntile_quartiles",
-    # -- below here: outside the 50-row window; greens from r01-r04 and
-    # the by-design rows-only queries with value-exact twins
-    # (q46->q46p, q47->q68, q97->q158) --
+    # -- below here: outside the 50-row window; greens from r01-r05.
+    # (Round 6: the former rows-only trio is gone — q46/q47 retired in
+    # favor of their value-exact twins q46p/q68 + recall gates
+    # q101/q230; q97 rewritten to the q158 calibration-gate shape with
+    # a full oracle. Zero oracle=None entries remain.) --
     "q147_zorder_layout",
     "q148_stream_join_agg_cascade",
     "q149_longest_streaks",
@@ -237,8 +239,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q146_revenue_trend_ols",
     "q100_gold_payment_mix",
     "q45_ngram_jaccard_pairs",
-    "q46_minhash_lsh_pairs",
-    "q47_simhash_pairs",
     "q68_simhash_portable",
     "q81_ngram_jaccard_capped",
     "q82_dup_clusters",

@@ -195,25 +195,22 @@ def test_approx_count_distinct_error_bound(spark):
 
 
 def test_q97_estimate_within_error_bound(spark):
-    """q97's actual output (events.user_id, rsd=0.01) pinned within
-    3*rsd of exact per event_type — the registered query itself, not a
-    different table/rsd standing in for it (ADVICE r1)."""
+    """q97's HLL estimate (events.user_id per day, rsd=0.01) must land
+    inside the 3% gate its oracle asserts — the registered query itself,
+    not a different table/rsd standing in for it (ADVICE r1). The gate
+    column going FALSE anywhere is exactly the failure the driver's
+    hash compare would catch; this is the same check, closer to home."""
     from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.events_q import q97_approx_distinct_users
     from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
     from .conftest import SF_SMALL
 
     ev = load_table(spark, SF_SMALL, "events")
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
     got = q97_approx_distinct_users(spark, SF_SMALL).collect()
-    assert {r["event_type"] for r in got} == set(exact)
-    for r in got:
-        e = exact[r["event_type"]]
-        assert abs(r["n_users_approx"] - e) / e < 0.03, r["event_type"]
+    assert len(got) == n_days
+    assert all(r["within_3pct"] for r in got), [
+        r["event_date"] for r in got if not r["within_3pct"]
+    ]
 
 
 def test_approx_percentile_close_to_exact(spark):

@@ -41,7 +41,7 @@ CORE = [
     "q40_token_stats",
     "q44_exact_dedup",
     "q45_ngram_jaccard_pairs",
-    "q46_minhash_lsh_pairs",
+    "q46p_minhash_lsh_portable",
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
     "q52_blob_meta",
