@@ -176,7 +176,11 @@ def q23_region_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_region = (
-        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        # customer scales with the fact — no explicit broadcast hint
+        # (same reasoning as q215; AQE broadcasts at runtime while it
+        # fits, shuffle-joins when it doesn't). nation/region are
+        # fixed-cardinality dims, safe to hint.
+        orders.join(customer.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")

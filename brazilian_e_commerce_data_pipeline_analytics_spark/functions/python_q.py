@@ -147,3 +147,80 @@ def q168_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_md5("text").alias("rsig"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: POLYMORPHIC Python UDTF — the Spark-4 ``analyze()`` static
+# method derives the output schema from the call-site arguments (here
+# the n-gram width names its own output column), closing the last
+# §2.10 Python-boundary cell (q107 covers the static-returnType UDTF).
+# The lateral expansion itself is the row-generating Python path; the
+# downstream aggregation is ordinary JVM group-by, so Python touches
+# each token window exactly once. Oracle: DuckDB replays the expansion
+# with generate_series + list_transform (q45's shingle pattern).
+# ---------------------------------------------------------------------------
+
+_Q244_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(tk) - 2)) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(tk) - 2),
+           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+         )) AS gram
+  FROM t
+  WHERE len(tk) >= 3
+)
+SELECT gram,
+       COUNT(*) AS n_occ,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM ex
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("q244_udtf_polymorphic_ngrams", oracle=_Q244_ORACLE, tags=("udtf", "python", "text"))
+def q244_udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    @udtf
+    class DocNGrams:
+        """(1-based position, n-gram) per whitespace-token window; the
+        gram column is NAMED by the width argument (gram3, gram4, ...)
+        — schema resolved per call site via analyze()."""
+
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            return AnalyzeResult(
+                schema=StructType()
+                .add("pos", IntegerType())
+                .add(f"gram{n.value}", StringType())
+            )
+
+        def eval(self, text: str, n: int):
+            if text:
+                toks = text.split()
+                for i in range(len(toks) - n + 1):
+                    yield i + 1, " ".join(toks[i : i + n])
+
+    spark.udtf.register("doc_ngrams", DocNGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__q244_docs")
+    return spark.sql(
+        """
+        SELECT g.gram3 AS gram,
+               COUNT(*) AS n_occ,
+               COUNT(DISTINCT d.doc_id) AS n_docs,
+               SUM(g.pos) AS sum_pos
+        FROM __q244_docs d, LATERAL doc_ngrams(d.text, 3) g
+        GROUP BY 1
+        HAVING COUNT(*) >= 2
+        """
+    )

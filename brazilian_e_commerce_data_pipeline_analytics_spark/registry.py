@@ -71,10 +71,114 @@ _REGISTRY: dict[str, Query] = {}
 # already green in CORRECTNESS_r01.json keep their evidence and rotate
 # behind. Update this list each round as rows turn green.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-5 rotation (tools/round_checklist.py: the 48 pending =
-    # q195 + q197-q243, all sim-verified at sf0.001/0.01/0.1 in round 4
-    # and independently re-verified value-exact by the round-4 judge;
-    # they fill slots 1-48) --
+    # -- round-6 window (slots 1-50): the 4 queries with no green row
+    # yet (q97 rewritten to a full oracle; q244/q245/q246 new), the 6
+    # whose implementations changed this round (re-earn the hash), and
+    # 40 of the 47 queries whose only green row dates to r01 — the
+    # evidence-freshness rotation VERDICT r5 item 1 prescribed. --
+    "q97_approx_distinct_users",
+    "q244_udtf_polymorphic_ngrams",
+    "q245_stream_gold_yoy",
+    "q246_stream_gold_pct_of_total",
+    "q23_region_pct_of_total",
+    "q69_ntile_quartiles",
+    "q78_rfm_segmentation",
+    "q215_tpch_q5_local_supplier",
+    "q112_skew_salted_topk_join",
+    "q136_entity_resolution",
+    "q20_monthly_revenue_yoy",
+    "q01_pricing_summary",
+    "q02_items_per_order",
+    "q03_region_revenue",
+    "q04_segment_stats",
+    "q05_priority_counts",
+    "q08_dedup_first_line",
+    "q09_quality_gate",
+    "q10_avg_daily_revenue",
+    "q13_semi_big_spenders",
+    "q14_anti_no_orders",
+    "q15_nation_customer_counts",
+    "q18_part_buckets",
+    "q38_negated_rlike_filter",
+    "q39_grouped_map_topk",
+    "q29_sql_api",
+    "q67_null_safe_join",
+    "q72_multiset_setops",
+    "q79_copurchase_pairs",
+    "q80_cohort_retention",
+    "q92_late_ship_orders",
+    "q21_top10_customers",
+    "q22_top3_parts_per_brand",
+    "q24_moving_avg_7d",
+    "q25_rollup_year_month",
+    "q26_cube_status_priority",
+    "q19_grouping_sets",
+    "q27_price_percentiles",
+    "q63_decomposition_tree",
+    "q76_decomposition_tree",
+    "q77_gap_fill_ffill",
+    "q93_range_frame_7d",
+    "q30_events_hourly",
+    "q31_events_daily_pivot",
+    "q32_events_props_extract",
+    "q33_user_event_seq",
+    "q34_asof_last_purchase",
+    "q35_union_daily_sources",
+    "q62_range_join_tiers",
+    "q28_event_funnel",
+    # -- below here: outside the 50-row window. Next-oldest evidence
+    # first (the 6 deferred r01 rows, then the r02 block) so the
+    # round-7 rotation is mechanical. Zero oracle=None entries remain
+    # (q46/q47 retired for twins q46p/q68; q97 oracled this round). --
+    "q06_order_date_range",
+    "q07_distinct_status_priority",
+    "q11_intersect_custkeys",
+    "q12_except_custkeys",
+    "q16_date_spine",
+    "q17_scalar_strings",
+    "q53_stream_hourly",
+    "q99_gold_monthly_state_sales",
+    "q100_gold_payment_mix",
+    "q45_ngram_jaccard_pairs",
+    "q68_simhash_portable",
+    "q81_ngram_jaccard_capped",
+    "q82_dup_clusters",
+    "q48_knn_bruteforce",
+    "q49_embedding_neardup",
+    "q51_ann_lsh_bucketed",
+    "q75_ann_ivf",
+    "q57_knn_pandas_udf",
+    "q52_blob_meta",
+    "q55_stream_sessions_closed",
+    "q56_stream_hourly_append",
+    "q60_native_session_window",
+    "q71_stream_dedup",
+    "q89_stream_stream_join",
+    "q91_stream_static_enrich",
+    "q37_sliding_windows",
+    "q36_salted_user_agg",
+    "q64_weekday_hour_heatmap",
+    "q65_unpivot_daily",
+    "q70_json_props_map",
+    "q73_value_position_windows",
+    "q94_map_ops",
+    "q40_token_stats",
+    "q41_lang_id_confusion",
+    "q42_quality_score",
+    "q43_fingerprint_groups",
+    "q44_exact_dedup",
+    "q61_subword_token_stats",
+    "q66_rolling_fingerprint",
+    "q83_hash_split",
+    "q84_fuzzy_part_names",
+    "q85_stopword_filtered_stats",
+    "q86_stratified_sample",
+    "q87_doc_chunks",
+    "q95_repetition_stats",
+    "q96_bm25_search",
+    "q50_label_norm_stats",
+    "q74_embedding_dim_stats",
+    "q54_sessions_batch",
     "q195_pipe_syntax",
     "q197_tokenizer_fertility",
     "q198_idf_weighted_minhash",
@@ -94,7 +198,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q212_cohort_retention",
     "q213_equidepth_histogram",
     "q214_bounce_rate",
-    "q215_tpch_q5_local_supplier",
     "q216_gini_by_segment",
     "q217_heaps_law_fit",
     "q218_intradoc_repetition",
@@ -123,17 +226,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q241_ks_two_sample",
     "q242_group_by_all",
     "q243_identifier_clause",
-    # slots 49-50: refresh greens — q78/q69's implementations changed
-    # this round (global ntile/percent_rank windows replaced by the
-    # distributed_rank/distributed_ntile range-partition operators); the
-    # old green rows verified the old plan shape, so re-earn the hash.
-    "q78_rfm_segmentation",
-    "q69_ntile_quartiles",
-    # -- below here: outside the 50-row window; greens from r01-r05.
-    # (Round 6: the former rows-only trio is gone — q46/q47 retired in
-    # favor of their value-exact twins q46p/q68 + recall gates
-    # q101/q230; q97 rewritten to the q158 calibration-gate shape with
-    # a full oracle. Zero oracle=None entries remain.) --
     "q147_zorder_layout",
     "q148_stream_join_agg_cascade",
     "q149_longest_streaks",
@@ -184,9 +276,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q193_markov_entropy",
     "q194_recursive_cte",
     "q196_sql_udf",
-    "q20_monthly_revenue_yoy",
-    "q53_stream_hourly",
-    "q99_gold_monthly_state_sales",
     "q46p_minhash_lsh_portable",
     "q115_scd2_customer_dim",
     "q104_jdbc_roundtrip",
@@ -203,7 +292,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q88_sequence_packing",
     "q90_mad_outliers",
     "q98_decontamination",
-    "q112_skew_salted_topk_join",
     "q113_sessionized_funnel",
     "q114_incremental_gold_merge",
     "q116_dim_lineage_checks",
@@ -226,7 +314,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q133_incremental_neardup",
     "q134_ann_pq_trained",
     "q135_stream_incremental_dedup",
-    "q136_entity_resolution",
     "q137_versioned_cdc_apply",
     "q138_stream_outer_join",
     "q139_pii_redaction",
@@ -237,23 +324,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q144_stream_chained_windows",
     "q145_range_sorted_write",
     "q146_revenue_trend_ols",
-    "q100_gold_payment_mix",
-    "q45_ngram_jaccard_pairs",
-    "q68_simhash_portable",
-    "q81_ngram_jaccard_capped",
-    "q82_dup_clusters",
-    "q48_knn_bruteforce",
-    "q49_embedding_neardup",
-    "q51_ann_lsh_bucketed",
-    "q75_ann_ivf",
-    "q57_knn_pandas_udf",
-    "q52_blob_meta",
-    "q55_stream_sessions_closed",
-    "q56_stream_hourly_append",
-    "q60_native_session_window",
-    "q71_stream_dedup",
-    "q89_stream_stream_join",
-    "q91_stream_static_enrich",
 )
 
 
