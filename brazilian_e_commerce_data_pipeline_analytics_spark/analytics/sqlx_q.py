@@ -317,3 +317,159 @@ def q243_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "group_col": "o_orderpriority", "val_col": "o_totalprice"},
     )
+
+
+# ---------------------------------------------------------------------------
+# q247: listagg ... WITHIN GROUP (SQL:2023, Spark 4.0+) — ordered string
+# aggregation, the "CSV of members per group" dashboards ask for. The
+# ORDER BY inside WITHIN GROUP must be a TOTAL order (count desc + name
+# tiebreak) or the output string is nondeterministic in any engine —
+# same contract as every rank in this repo. DuckDB replays it with
+# string_agg(expr, ',' ORDER BY ...). The aggregation itself is an
+# ordinary partial-merge group-by; only the per-group ordered merge is
+# new, and group width here is nation-cardinality (bounded).
+# ---------------------------------------------------------------------------
+
+_Q247_ORACLE = """
+WITH per_nation AS (
+  SELECT r_name, n_name, COUNT(*) AS n_cust
+  FROM region
+  JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_cust DESC, n_name)
+         AS nations_by_customers,
+       CAST(SUM(n_cust) AS BIGINT) AS n_customers
+FROM per_nation
+GROUP BY r_name
+"""
+
+
+@register("q247_listagg_within_group", oracle=_Q247_ORACLE, tags=("sql-api", "agg", "listagg"))
+def q247_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("region", "nation", "customer"))
+    return spark.sql(
+        """
+        WITH per_nation AS (
+          SELECT r_name, n_name, COUNT(*) AS n_cust
+          FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT r_name,
+               listagg(n_name, ',')
+                 WITHIN GROUP (ORDER BY n_cust DESC, n_name)
+                 AS nations_by_customers,
+               SUM(n_cust) AS n_customers
+        FROM per_nation
+        GROUP BY r_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248: SQL session variables (DECLARE / SET VARIABLE, Spark 4.0+) — the
+# warehouse scripting surface q227 (parameter markers) and q243
+# (IDENTIFIER) don't cover: a variable declared once and read by later
+# statements, server-side. Catalyst folds the variable read into a
+# literal at plan time, so the threshold reaches PushedFilters exactly
+# like a hand-written constant (same property q227 pins). The oracle
+# inlines the same literals.
+# ---------------------------------------------------------------------------
+
+_Q248_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS price_bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+WHERE o_totalprice >= 100000.0
+GROUP BY 1
+"""
+
+
+@register("q248_sql_variables", oracle=_Q248_ORACLE, tags=("sql-api", "variables"))
+def q248_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE bucket_width DOUBLE DEFAULT 1.0")
+    spark.sql("SET VARIABLE price_floor = 100000.0")
+    spark.sql("SET VARIABLE bucket_width = 50000.0")
+    return spark.sql(
+        """
+        SELECT CAST(floor(o_totalprice / bucket_width) AS INT) AS price_bucket,
+               COUNT(*) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        WHERE o_totalprice >= price_floor
+        GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249: Observation metrics (df.observe / CollectMetrics) — pipeline
+# data-quality metrics computed DURING the sink write, zero extra scan:
+# the classic alternative is a second full pass (or worse, a
+# df.count() + df.agg() pair = two passes) over 100 TB just to log row
+# counts. The builder writes a projected gold extract to parquet with
+# an Observation attached; the metrics materialize as a side effect of
+# that single write action, and the returned one-row frame is driver
+# METADATA (a handful of scalars), not a data collect. Oracle recomputes
+# the same aggregates from the table.
+# ---------------------------------------------------------------------------
+
+_Q249_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       MIN(o_custkey) AS min_custkey,
+       MAX(o_custkey) AS max_custkey
+FROM orders
+"""
+
+
+@register("q249_observe_metrics", oracle=_Q249_ORACLE, tags=("observe", "quality", "sink"))
+def q249_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", f"observe_gold_{sf_name}",
+    )
+    obs = Observation("gold_metrics")
+    o = load_table(spark, sf_dir, "orders")
+    extract = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+            "total_price"
+        ),
+        # DISTINCT aggregates are rejected in observed metrics (they
+        # cannot merge in bounded per-partition state — exactly the
+        # property that keeps observe() free); key-RANGE completeness
+        # metrics are the mergeable alternative.
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+    )
+    extract.write.mode("overwrite").parquet(out_dir)  # ONE pass: sink + metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_open_orders"], m["total_price"],
+          m["min_custkey"], m["max_custkey"])],
+        "n_rows bigint, n_open_orders bigint, total_price double,"
+        " min_custkey bigint, max_custkey bigint",
+    )
