@@ -840,3 +840,65 @@ def q204_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alp, 6).alias("share_alpha"),
         F.round(alp / nat, 6).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250: k-anonymity audit — the governance check a training-data release
+# runs before shipping user-derived records (q228's erasure audit covers
+# deletion; this covers re-identification). Quasi-identifier = (nation,
+# market segment, account-balance band); any QI group smaller than k=5
+# is re-identifiable and must be suppressed or generalized. One
+# grouping pass to QI-group sizes (map-side combined), one bounded
+# rollup to per-nation risk; suppression_rate = rows-at-risk / rows —
+# exactly the number a release gate thresholds on. All counts are exact
+# integers; the single double division is one op, rounded to 6.
+# ---------------------------------------------------------------------------
+
+_Q250_K = 5
+
+_Q250_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         COUNT(*) AS grp_n
+  FROM (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000.0) AS INT) AS bal_band
+    FROM customer
+  )
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN grp_n < {_Q250_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN grp_n < {_Q250_K} THEN grp_n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       round(SUM(CASE WHEN grp_n < {_Q250_K} THEN grp_n ELSE 0 END)
+             / CAST(SUM(grp_n) AS DOUBLE), 6) AS suppression_rate
+FROM qi
+GROUP BY c_nationkey
+"""
+
+
+@register("q250_k_anonymity_audit", oracle=_Q250_ORACLE, tags=("governance", "privacy", "curation"))
+def q250_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    qi = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("int").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    viol = F.when(F.col("grp_n") < _Q250_K, F.col("grp_n")).otherwise(F.lit(0))
+    return qi.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < _Q250_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(viol).cast("bigint").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(viol) / F.sum("grp_n").cast("double"), 6
+        ).alias("suppression_rate"),
+    )

@@ -121,19 +121,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q30_events_hourly",
     "q31_events_daily_pivot",
     "q32_events_props_extract",
-    "q33_user_event_seq",
     "q28_event_funnel",
-    # slots 48-50: the other three round-6 additions (listagg WITHIN
-    # GROUP, SQL session variables, observe() metrics) — new rows need
-    # the window to earn their first green; three r01 refreshes
-    # (q34/q35/q62) defer to round 7.
+    # slots 47-50: the other four round-6 additions (listagg WITHIN
+    # GROUP, SQL session variables, observe() metrics, k-anonymity) —
+    # new rows need the window to earn their first green; four r01
+    # refreshes (q33/q34/q35/q62) defer to round 7.
     "q247_listagg_within_group",
     "q248_sql_variables",
     "q249_observe_metrics",
+    "q250_k_anonymity_audit",
     # -- below here: outside the 50-row window. Next-oldest evidence
     # first (the 6 deferred r01 rows, then the r02 block) so the
     # round-7 rotation is mechanical. Zero oracle=None entries remain
     # (q46/q47 retired for twins q46p/q68; q97 oracled this round). --
+    "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
     "q62_range_join_tiers",
