@@ -1047,3 +1047,59 @@ def q237_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["next_purchase_value"],
     )
     return out.select("event_id", "next_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# q251: error-safe arithmetic (try_divide) — the ANSI-mode migration
+# surface. Spark 4 runs with spark.sql.ansi.enabled=true, where a plain
+# division RAISES on a zero denominator; try_divide returns NULL
+# instead — the per-row "no signal" semantics a funnel conversion rate
+# wants (2389 of 4006 user-days here have zero views, 1047 of them with
+# purchases, so the NULL path is heavily exercised, not a corner).
+# DuckDB replays it with x / NULLIF(y, 0). The daily rollup keeps the
+# compare compact; the double mean is round-6 after SUM/COUNT (q132's
+# ulp-absorption precedent).
+# ---------------------------------------------------------------------------
+
+_Q251_ORACLE = """
+WITH per_user_day AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS event_date,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views
+  FROM events
+  GROUP BY 1, 2
+),
+rated AS (
+  SELECT event_date, purchases, views,
+         purchases / NULLIF(views, 0) AS conv_rate
+  FROM per_user_day
+)
+SELECT event_date,
+       COUNT(*) AS n_user_days,
+       COUNT(conv_rate) AS n_defined,
+       COUNT(*) - COUNT(conv_rate) AS n_undefined,
+       round(SUM(conv_rate) / COUNT(conv_rate), 6) AS avg_conv_rate
+FROM rated
+GROUP BY event_date
+"""
+
+
+@register("q251_try_safe_division", oracle=_Q251_ORACLE, tags=("events", "ansi", "try"))
+def q251_try_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_ud = ev.groupBy(
+        "user_id", F.to_date("ts").alias("event_date")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+    )
+    rated = per_ud.withColumn(
+        "conv_rate", F.try_divide(F.col("purchases"), F.col("views"))
+    )
+    return rated.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.count("conv_rate").alias("n_defined"),
+        (F.count(F.lit(1)) - F.count("conv_rate")).alias("n_undefined"),
+        F.round(F.sum("conv_rate") / F.count("conv_rate"), 6).alias("avg_conv_rate"),
+    )

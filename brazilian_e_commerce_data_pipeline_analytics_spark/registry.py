@@ -130,10 +130,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q248_sql_variables",
     "q249_observe_metrics",
     "q250_k_anonymity_audit",
-    # -- below here: outside the 50-row window. Next-oldest evidence
-    # first (the 6 deferred r01 rows, then the r02 block) so the
-    # round-7 rotation is mechanical. Zero oracle=None entries remain
-    # (q46/q47 retired for twins q46p/q68; q97 oracled this round). --
+    # -- below here: outside the 50-row window. Round-7 rotation order:
+    # q251 (added after the r6 window was cut; sim-verified value-exact
+    # at sf0.001/0.01/0.1) first, then the 10 deferred r01 rows, then
+    # the r02 block. Zero oracle=None entries remain (q46/q47 retired
+    # for twins q46p/q68; q97 oracled this round). --
+    "q251_try_safe_division",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
