@@ -720,3 +720,35 @@ def test_registry_wide_no_unbounded_global_window(spark):
         "unpartitioned, non-limit-bounded Window sorts (single-task at "
         f"scale): {offenders}"
     )
+
+
+def test_round6_queries_stay_jvm_side(spark):
+    """q247/q248/q250/q251 are pure Catalyst surface — no Python eval
+    anywhere in their plans (q244 is a UDTF by DESIGN, pinned below;
+    q249's observe() rides a write action inside the builder)."""
+    for name in (
+        "q247_listagg_within_group",
+        "q248_sql_variables",
+        "q250_k_anonymity_audit",
+        "q251_try_safe_division",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
+def test_q244_udtf_is_arrow_lateral(spark):
+    """q244's polymorphic UDTF must appear as the UDTF evaluation node
+    feeding a JVM aggregate — Python generates rows, the group-by never
+    leaves the JVM."""
+    df = QUERIES["q244_udtf_polymorphic_ngrams"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "PythonUDTF" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_q248_variable_folds_into_pushed_filters(spark):
+    """The session variable must constant-fold to a literal that reaches
+    the parquet scan (same property q227 pins for parameter markers)."""
+    df = QUERIES["q248_sql_variables"].builder(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(o_totalprice,100000.0)" in pushed

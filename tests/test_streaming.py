@@ -342,3 +342,44 @@ def test_stream_outer_join_emits_nulls_and_withholds_open_tail(spark):
             assert r["lag_seconds"] == 10
         else:
             assert r["lag_seconds"] is None
+
+
+def test_dynamic_partition_overwrite_touches_only_changed(spark, tmp_path):
+    """The primitive q245/q246's gold upsert rides: with
+    partitionOverwriteMode=dynamic, an overwrite-mode write replaces ONLY
+    the partitions present in the batch — untouched partition files stay
+    byte-identical on disk (O(changed partitions) per micro-batch; a
+    static overwrite would truncate the whole table)."""
+    import os
+
+    from pyspark.sql import Row
+
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="b", v=2), Row(k="c", v=3)]
+    )
+    base.write.partitionBy("k").parquet(gold)
+
+    def files_with_mtime(part):
+        d = os.path.join(gold, f"k={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_a = files_with_mtime("a")
+    before_c = files_with_mtime("c")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([Row(k="b", v=20)]).write.mode(
+            "overwrite"
+        ).partitionBy("k").parquet(gold)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    assert files_with_mtime("a") == before_a  # untouched partitions intact
+    assert files_with_mtime("c") == before_c
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(gold).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3)}  # b replaced, not appended
