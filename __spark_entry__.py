@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship query (monthly revenue + YoY%) at
 sf0.001. ``queries()``/``oracle_sql()`` expose the full registry from
 ``brazilian_e_commerce_data_pipeline_analytics_spark.registry`` — one entry per implemented operator
-from SURVEY.md §2, each with a DuckDB oracle unless genuinely
-non-SQL-expressible (LSH with engine-specific hash functions).
+from SURVEY.md §2, EVERY one with a DuckDB oracle (zero rows-only
+entries since round 6).
 """
 
 from __future__ import annotations
