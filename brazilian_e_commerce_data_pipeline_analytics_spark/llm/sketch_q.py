@@ -743,3 +743,41 @@ def q223_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("union_within_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q252: EXACT distinct counting via bitmap segments (bitmap_bucket_number
+# / bitmap_bit_position / bitmap_construct_agg, Spark 3.5+) — the third
+# point on the distinct-count cost curve: COUNT(DISTINCT) shuffles every
+# raw value; HLL (q97/q158) ships KB sketches but is approximate; bitmap
+# segments ship one <=4KB bitmap per 32768-id bucket and stay EXACT —
+# the Databricks "exact distinct at scale" pattern. The first aggregate
+# is map-side-combined per (group, bucket); the second merges
+# fixed-size bitmaps, never raw ids; both levels are orthodox shuffles.
+# Being exact, it hash-matches COUNT(DISTINCT) directly — no
+# calibration gate needed.
+# ---------------------------------------------------------------------------
+
+_Q252_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q252_bitmap_exact_distinct", oracle=_Q252_ORACLE, tags=("sketch", "bitmap", "distinct"))
+def q252_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("__bkt"),
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("__bm"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum(F.expr("bitmap_count(__bm)")).alias("n_users"),
+    )

@@ -136,6 +136,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # the r02 block. Zero oracle=None entries remain (q46/q47 retired
     # for twins q46p/q68; q97 oracled this round). --
     "q251_try_safe_division",
+    "q252_bitmap_exact_distinct",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
