@@ -74,6 +74,11 @@ BENCH_EXTENDED = (
     # heavyweight families; the stats/cube queries are scan-bound)
     "q197_tokenizer_fertility",
     "q198_idf_weighted_minhash",
+    # round-6 additions: the UDTF lateral expansion (Python boundary),
+    # the full streaming-gold upsert cycle, bitmap exact distinct
+    "q244_udtf_polymorphic_ngrams",
+    "q245_stream_gold_yoy",
+    "q252_bitmap_exact_distinct",
 )
 
 
