@@ -667,3 +667,101 @@ def test_ams_counters_merge_and_match_frequency_form(stream, cut, salt):
         assert z1 + z2 == z_global
         freqs = {v: stream.count(v) for v in set(stream)}
         assert z_global == sum(f * sign(v, j) for v, f in freqs.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),     # order key part
+            st.integers(min_value=-100, max_value=100),   # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],                          # total order
+    ),
+    k=st.sampled_from([1, 2, 4, 7]),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_distributed_rank_ntile_pctrank_match_windows(spark, rows, k, n_parts):
+    """For ANY table under a total order, the two-level distributed
+    operators must be value-identical to the single-task window
+    functions: row_number, ntile(k), percent_rank, cume_dist — at every
+    partition count (boundary placement must never matter)."""
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import (
+        cume_dist_expr,
+        distributed_rank,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
+    df = spark.createDataFrame([Row(key=a, v=b) for a, b in rows]).repartition(5)
+    w = Window.orderBy("key")
+    exp = {
+        r["key"]: (r["rn"], r["t"], r["pr"], r["cd"])
+        for r in df.select(
+            "key",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(k).over(w).alias("t"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked = distributed_rank(df, ["key"], out="rn", total_out="nn", n_parts=n_parts)
+    got = {
+        r["key"]: (r["rn"], r["t"], r["pr"], r["cd"])
+        for r in ranked.select(
+            "key",
+            "rn",
+            ntile_expr(F.col("rn"), F.col("nn"), k).alias("t"),
+            percent_rank_expr(F.col("rn"), F.col("nn")).alias("pr"),
+            cume_dist_expr(F.col("rn"), F.col("nn")).alias("cd"),
+        ).collect()
+    }
+    assert got == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),     # order key
+            st.integers(min_value=-50, max_value=50),     # value A
+            st.integers(min_value=0, max_value=9),        # value B
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+    exclusive=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_distributed_cumsums_match_window_sums(spark, rows, n_parts, exclusive):
+    """Multi-column two-level prefix sums == the global window, inclusive
+    AND exclusive, at every partition count — including negative values
+    (retraction-free: the operator only ever adds)."""
+    from pyspark.sql.window import Window
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import distributed_cumsums
+
+    df = spark.createDataFrame([Row(key=a, va=b, vb=c) for a, b, c in rows]).repartition(4)
+    hi = -1 if exclusive else 0
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, hi)
+    exp = {
+        r["key"]: (r["ca"] or 0, r["cb"] or 0)
+        for r in df.select(
+            "key",
+            F.coalesce(F.sum("va").over(w), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum("vb").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+    }
+    got = {
+        r["key"]: (r["ca"], r["cb"])
+        for r in distributed_cumsums(
+            df, "key", [("va", "ca"), ("vb", "cb")],
+            exclusive=exclusive, n_parts=n_parts,
+        ).collect()
+    }
+    assert got == exp
