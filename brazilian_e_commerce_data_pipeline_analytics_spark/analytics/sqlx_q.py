@@ -473,3 +473,93 @@ def q249_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_open_orders bigint, total_price double,"
         " min_custkey bigint, max_custkey bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q254: the SQL PIVOT clause — q31 pivots through the DataFrame API;
+# this is the warehouse-SQL spelling (FROM ... PIVOT (agg FOR col IN
+# (...)) ), which compiles to the same single Expand+Aggregate pass.
+# The IN list is explicit (static output schema — a pivot without one
+# needs a distinct-scan first, a scale smell); absent cells surface as
+# NULL and are pinned to 0 like q31. Oracle = conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_Q254_ORACLE = """
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("q254_sql_pivot_clause", oracle=_Q254_ORACLE, tags=("sql-api", "pivot"))
+def q254_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_year,
+               coalesce(urgent, 0) AS urgent,
+               coalesce(high, 0) AS high,
+               coalesce(medium, 0) AS medium,
+               coalesce(notspec, 0) AS notspec,
+               coalesce(low, 0) AS low
+        FROM (
+          SELECT year(CAST(o_orderdate AS DATE)) AS o_year, o_orderpriority
+          FROM orders
+        )
+        PIVOT (
+          COUNT(1) FOR o_orderpriority IN (
+            '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+            '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low
+          )
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255: percentile_disc ... WITHIN GROUP — the SQL:2003 inverse-
+# distribution aggregate. DISC (not CONT) on purpose: it returns an
+# ACTUAL data value (smallest x with cume_dist >= p), so the result is
+# engine-exact with no interpolation-formula contract; the oracle IS
+# that definition spelled out as a window + conditional min, immune to
+# either engine's built-in quirks. percentile_cont's a+f·(b−a) float
+# shape is the same trap q117 documents — use approx/exact percentile
+# operators (q27/q117/q177) when interpolation is genuinely wanted.
+# ---------------------------------------------------------------------------
+
+_Q255_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         o_totalprice,
+         cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25,
+       MIN(CASE WHEN cd >= 0.50 THEN o_totalprice END) AS p50,
+       MIN(CASE WHEN cd >= 0.75 THEN o_totalprice END) AS p75
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+@register("q255_percentile_disc", oracle=_Q255_ORACLE, tags=("sql-api", "percentile", "agg"))
+def q255_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -137,6 +137,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # for twins q46p/q68; q97 oracled this round). --
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
+    "q253_stream_sliding_window",
+    "q254_sql_pivot_clause",
+    "q255_percentile_disc",
+    "q256_dynamic_gap_sessions",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",

@@ -1554,3 +1554,120 @@ def q246_stream_gold_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("pct_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q253: STREAMING sliding (hopping) window — window(ts, '1 hour',
+# '15 minutes') over the event stream: every event lands in exactly 4
+# overlapping windows (the dashboard "last hour, refreshed every 15
+# min" shape). State per key is windows-per-slide × groups — bounded by
+# the slide ratio, not the data. The oracle replays the window algebra
+# relationally: each event contributes to the 4 grid windows covering
+# it (integer epoch math — floor(epoch/900)*900 − i·900 — so both
+# engines compute the identical epoch-aligned grid Spark's window()
+# uses; no engine time_bucket origin quirks).
+# ---------------------------------------------------------------------------
+
+_Q253_ORACLE = """
+WITH ex AS (
+  -- CAST back to naive TIMESTAMP: DuckDB's to_timestamp returns
+  -- TIMESTAMPTZ, which would hash differently from Spark's
+  -- session-naive window starts even at identical instants (UTC tz).
+  SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900
+                      - i * 900) AS TIMESTAMP) AS win_start,
+         event_type, value
+  FROM events, LATERAL unnest(generate_series(0, 3)) AS t(i)
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q253_stream_sliding_window",
+    oracle=_Q253_ORACLE,
+    tags=("streaming", "window-agg", "sliding"),
+)
+def q253_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dmoney("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+    return run_stream_to_memory(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# q256: session windows with a DYNAMIC gap (Spark 3.2+): the gap is a
+# per-event expression — purchases hold a session open 45 minutes,
+# everything else 30 — the "checkout takes longer" policy no fixed-gap
+# sessionizer (q54/q55/q60) can express. Spark merges the overlapping
+# [ts, ts+gap) intervals per user; session end = max member end. The
+# oracle replays the merge relationally: running max of interval ends
+# (exclusive frame) → new session when ts >= that max → cumulative
+# session ids. All comparisons in integer microseconds.
+# ---------------------------------------------------------------------------
+
+_Q256_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + CASE WHEN event_type = 'purchase'
+                  THEN 2700000000 ELSE 1800000000 END AS e_end
+  FROM events
+),
+o AS (
+  SELECT *, MAX(e_end) OVER (
+    PARTITION BY user_id ORDER BY t, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_max
+  FROM e
+),
+sess AS (
+  SELECT user_id, t, e_end,
+         SUM(CASE WHEN prev_max IS NULL OR t >= prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(t) AS session_start_us,
+       MAX(e_end) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "q256_dynamic_gap_sessions",
+    oracle=_Q256_ORACLE,
+    tags=("sessionize", "window-agg", "dynamic-gap"),
+)
+def q256_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0,0,0,0,0,45,0)"),   # CalendarIntervalType
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
