@@ -141,6 +141,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q254_sql_pivot_clause",
     "q255_percentile_disc",
     "q256_dynamic_gap_sessions",
+    "q257_stream_semi_join",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",

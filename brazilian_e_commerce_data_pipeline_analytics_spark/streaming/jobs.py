@@ -1671,3 +1671,66 @@ def q256_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q257: STREAM-STREAM LEFT SEMI join — q89's inner join emits one row
+# per (purchase, view) pair; the semi form answers "which purchases had
+# ANY view in the preceding hour" and emits each purchase exactly ONCE,
+# with the same range-condition state eviction (view state older than
+# watermark − 1h is dropped). The output-cardinality difference is the
+# whole point: at fact scale an attribution EXISTS-check must not pay
+# the pair blow-up. Oracle = EXISTS subquery; conversion lag is not
+# emitted (a semi join exposes no right-side columns, by definition).
+# ---------------------------------------------------------------------------
+
+_Q257_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(p.value AS DOUBLE) AS value
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view'
+      AND v.user_id = p.user_id
+      AND v.ts <= p.ts
+      AND p.ts <= v.ts + INTERVAL 1 HOUR
+  )
+"""
+
+
+@register(
+    "q257_stream_semi_join",
+    oracle=_Q257_ORACLE,
+    tags=("streaming", "join", "semi"),
+)
+def q257_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return run_stream_to_memory(
+        spark,
+        joined.select("purchase_id", "user_id", "value"),
+        output_mode="append",
+    )
