@@ -1416,8 +1416,13 @@ def _run_gold_upsert(
     def upsert(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
             return
+        # align writer tasks to partition dirs: one task owns each
+        # touched partition, so every overwrite lands as ONE file per
+        # dir instead of shuffle-partitions-many small files — the
+        # standard partitioned-write pattern, same shape at any scale
         (
-            batch.write.mode("overwrite")
+            batch.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(gold_dir)
         )
