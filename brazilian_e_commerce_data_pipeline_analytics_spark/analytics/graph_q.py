@@ -130,3 +130,72 @@ def q128_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 8).alias("pagerank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q258: connected components via STAR alternation under the driver gate.
+# Label propagation (q82/q136's engine) converges in O(diameter)
+# rounds — fatal on long-chain graphs; the large-star/small-star
+# alternation (Kiveris et al., "Connected Components in MapReduce and
+# Beyond") converges in O(log^2 n) rounds of the same equi-join shape.
+# tests/test_operators.py pins the round bound on a 1000-node path;
+# this registers the algorithm's OUTPUT under the hash gate on the
+# q194-style sparse co-purchase slice (partkey%20=0, orderkey%7=0 —
+# 14 components over 62 nodes at sf0.01, genuinely non-vacuous —
+# small enough that DuckDB's recursive closure replays it exactly).
+# Both algorithms must produce identical labels; the oracle is
+# algorithm-free (min reachable id), so a green row certifies either.
+# ---------------------------------------------------------------------------
+
+_Q258_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 20 = 0 AND b.l_partkey % 20 = 0
+    AND a.l_orderkey % 7 = 0
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst, src FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+labels AS (
+  SELECT node, LEAST(node, MIN(reach)) AS label FROM walk GROUP BY node
+)
+SELECT label AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       MIN(node) AS min_part,
+       MAX(node) AS max_part
+FROM labels
+GROUP BY label
+"""
+
+
+@register("q258_star_components", oracle=_Q258_ORACLE, tags=("graph", "cc", "star"))
+def q258_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") % 20 == 0) & (F.col("l_orderkey") % 7 == 0)
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    comp = connected_components(pairs, "src", "dst", algorithm="star")
+    return comp.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("node").alias("min_part"),
+        F.max("node").alias("max_part"),
+    )

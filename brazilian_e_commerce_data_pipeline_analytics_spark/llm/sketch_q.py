@@ -781,3 +781,44 @@ def q252_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__n").alias("n_events"),
         F.sum(F.expr("bitmap_count(__bm)")).alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q259: approx_top_k (Spark 4.1) under an EXACTNESS contract — the
+# space-saving heavy-hitter aggregate is exact whenever maxItemsTracked
+# >= the column's NDV (it never evicts, so it degenerates to exact
+# counting); here 100 >> 5 event types, making the sketch hash-checkable
+# against the exact top-3 (q125's hand-built heavy hitters cover the
+# genuinely-approximate regime with a calibration gate; this covers the
+# built-in's API surface on the exact side of the line). Rank-boundary
+# determinism: counts at the k=3 cut are distinct at every tested SF
+# (verified; ties at the cut would make ANY top-k ambiguous — Spark
+# picked eviction-order-dependent winners in a probe, so never ship
+# this pattern without a distinct-counts or tiebreak argument).
+# ---------------------------------------------------------------------------
+
+_Q259_ORACLE = """
+SELECT event_type, n_events
+FROM (
+  SELECT event_type, COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+ORDER BY n_events DESC, event_type
+LIMIT 3
+"""
+
+
+@register("q259_approx_top_k", oracle=_Q259_ORACLE, tags=("sketch", "topk", "approx"))
+def q259_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__q259_events")
+    return spark.sql(
+        """
+        SELECT tk.item AS event_type, tk.count AS n_events
+        FROM (
+          SELECT approx_top_k(event_type, 3, 100) AS a FROM __q259_events
+        )
+        LATERAL VIEW inline(a) tk
+        """
+    )

@@ -142,6 +142,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q255_percentile_disc",
     "q256_dynamic_gap_sessions",
     "q257_stream_semi_join",
+    "q258_star_components",
+    "q259_approx_top_k",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
