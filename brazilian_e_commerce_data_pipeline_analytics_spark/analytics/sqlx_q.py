@@ -563,3 +563,56 @@ def q255_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q260: the SQL UNPIVOT clause — q254's inverse, and the SQL spelling of
+# q65's DataFrame unpivot: a wide per-year priority-count row (built by
+# the PIVOT pass) turned back into long (year, priority, n) form.
+# UNPIVOT drops NULL cells by default (like the DataFrame API); the
+# pivot's coalesce-to-0 happens first, so the round trip is lossless
+# and the composition proves PIVOT∘UNPIVOT == the plain group-by,
+# which is exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+
+_Q260_ORACLE = """
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       CASE o_orderpriority
+         WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+         WHEN '3-MEDIUM' THEN 'medium' WHEN '4-NOT SPECIFIED' THEN 'notspec'
+         ELSE 'low' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("q260_sql_unpivot_clause", oracle=_Q260_ORACLE, tags=("sql-api", "unpivot"))
+def q260_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT o_year,
+                 coalesce(urgent, 0) AS urgent, coalesce(high, 0) AS high,
+                 coalesce(medium, 0) AS medium, coalesce(notspec, 0) AS notspec,
+                 coalesce(low, 0) AS low
+          FROM (
+            SELECT year(CAST(o_orderdate AS DATE)) AS o_year, o_orderpriority
+            FROM orders
+          )
+          PIVOT (
+            COUNT(1) FOR o_orderpriority IN (
+              '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+              '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low
+            )
+          )
+        )
+        SELECT o_year, priority, n_orders
+        FROM wide
+        UNPIVOT (n_orders FOR priority IN (urgent, high, medium, notspec, low))
+        -- empty (year, priority) cells unpivot as 0 but have no oracle
+        -- group-by row; filter to the existence semantics both share
+        WHERE n_orders > 0
+        """
+    )

@@ -144,6 +144,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q257_stream_semi_join",
     "q258_star_components",
     "q259_approx_top_k",
+    "q260_sql_unpivot_clause",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
