@@ -902,3 +902,66 @@ def q250_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(viol) / F.sum("grp_n").cast("double"), 6
         ).alias("suppression_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261: differential-privacy-SHAPED noisy counts (Laplace mechanism) —
+# the release mechanism a private data card runs over grouped counts:
+# count + Laplace(sensitivity/epsilon) noise, sensitivity 1 for a
+# per-entity count, epsilon 1. HONESTY NOTE: the unit uniform here is
+# derived from a hash of the group key (portable md5 arithmetic), so
+# the "noise" is deterministic and replayable — which is what lets the
+# DuckDB oracle verify the MECHANISM (inverse-CDF transform, scale,
+# clipping at 0) value-exactly, and is also exactly what a production
+# release must NOT do (hash noise is recomputable, hence zero actual
+# privacy). Swap the uniform for real randomness at release time; the
+# surrounding algebra — sensitivity bookkeeping, per-group noise,
+# non-negativity clip — is the part worth testing. Single ln() per
+# group; round-6 absorbs the libm ulp (q132 precedent).
+# ---------------------------------------------------------------------------
+
+_Q261_EPS = 1.0
+
+_Q261_ORACLE = f"""
+WITH counts AS (
+  SELECT n_name, COUNT(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+noised AS (
+  SELECT n_name, n_customers,
+         (CAST(concat('0x', substr(md5(n_name), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0) - 0.5 AS p
+  FROM counts
+)
+SELECT n_name,
+       round(greatest(0.0,
+         n_customers
+         - (1.0 / {_Q261_EPS}) * sign(p) * ln(1.0 - 2.0 * abs(p))
+       ), 6) AS noisy_count
+FROM noised
+"""
+
+
+@register("q261_dp_noisy_counts", oracle=_Q261_ORACLE, tags=("governance", "privacy", "dp"))
+def q261_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    # unit uniform in (-0.5, 0.5) from the 60-bit md5 prefix (2^60 =
+    # 1152921504606846976); Laplace via the standard inverse CDF
+    p = (
+        F.conv(F.substring(F.md5("n_name"), 1, 15), 16, 10).cast("bigint")
+        / F.lit(1152921504606846976.0)
+    ) - F.lit(0.5)
+    noise = (F.lit(1.0 / _Q261_EPS) * F.signum(p) * F.log(F.lit(1.0) - 2.0 * F.abs(p)))
+    return counts.select(
+        "n_name",
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n_customers") - noise), 6
+        ).alias("noisy_count"),
+    )

@@ -145,6 +145,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q258_star_components",
     "q259_approx_top_k",
     "q260_sql_unpivot_clause",
+    "q261_dp_noisy_counts",
     "q33_user_event_seq",
     "q34_asof_last_purchase",
     "q35_union_daily_sources",
