@@ -1006,8 +1006,10 @@ GROUP BY d.segment
 def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # customer scales with the fact — no broadcast hint (q215's rule:
+    # hints promise driver-sized at ANY SF; AQE decides at runtime)
     seg = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == c.c_custkey,
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
     med = seg.groupBy("segment").agg(

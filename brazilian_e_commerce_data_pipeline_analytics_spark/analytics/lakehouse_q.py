@@ -303,7 +303,8 @@ def q116_dim_lineage_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fk_orders = check(
         "fk_orders_custkey",
-        o.join(F.broadcast(c.select("c_custkey")),
+        # customer keys scale with SF — hint dropped (q215's rule)
+        o.join(c.select("c_custkey"),
                o["o_custkey"] == c["c_custkey"], "left_anti"),
         o,
     )
@@ -385,7 +386,9 @@ def q118_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(dim_buckets), "__b", "left_semi")
     return (
         pref.join(
-            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            # supplier scales with SF — hint dropped (q215's rule); the
+            # bounded broadcast here is dim_buckets (<=4096 rows) above
+            sup.select("s_suppkey", "s_nationkey"),
             pref["l_suppkey"] == F.col("s_suppkey"),
         )
         .groupBy(F.col("s_nationkey").alias("nationkey"))
@@ -439,8 +442,9 @@ def q117_scalable_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # customer scales with the fact — no broadcast hint (q215's rule)
     seg = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o["o_custkey"] == c["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
@@ -881,8 +885,9 @@ def q172_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # how many survive, with the fact tables reached through the key
 # chain (customer → orders → lineitem). Anti-join (NOT the NOT IN
 # trap — null-safe by construction) is the propagation operator; at
-# 100 TB each anti-join is one shuffle on the already-partitioned key,
-# and the deletion list is broadcast-sized.
+# 100 TB each anti-join is one shuffle on the already-partitioned key;
+# real deletion lists are request-sized and AQE broadcasts them at
+# runtime (no explicit hint — this fixture's %-filter list scales).
 # ---------------------------------------------------------------------------
 
 _Q228_ORACLE = """
@@ -912,11 +917,15 @@ def q228_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # real deletion lists are request-sized (tiny); THIS fixture's is a
+    # %-filter of customer, which scales with SF — so no broadcast hint
+    # (q215's rule: a hint promises driver-sized at any SF; AQE
+    # broadcasts a genuinely small list at runtime anyway)
     del_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    del_o = o.join(F.broadcast(del_c), o.o_custkey == del_c.c_custkey).select(
+    del_o = o.join(del_c, o.o_custkey == del_c.c_custkey).select(
         "o_orderkey"
     )
-    del_li = li.join(F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey)
+    del_li = li.join(del_o, li.l_orderkey == del_o.o_orderkey)
 
     def row(tbl: str, total: DataFrame, erased: DataFrame) -> DataFrame:
         n_t = total.agg(F.count(F.lit(1)).alias("t"))

@@ -136,7 +136,9 @@ def q22_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_part = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF — no broadcast hint (q215's rule); AQE
+        # broadcasts while it fits, shuffle-joins on partkey when not
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
     )

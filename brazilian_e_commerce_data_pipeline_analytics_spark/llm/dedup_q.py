@@ -1473,13 +1473,15 @@ def q231_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     src = d.select("doc_id", "source")
+    # src is corpus-cardinality — no broadcast hint (q215's rule);
+    # pairs is the small side here anyway (near-dup pairs << corpus)
     tagged = (
         pairs.join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__s1"))),
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__s1")),
             "doc_a",
         )
         .join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__s2"))),
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__s2")),
             "doc_b",
         )
         .select(

@@ -937,7 +937,10 @@ def q135_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             seen = s.read.parquet(index_dir)
         else:
             seen = s.createDataFrame([], "fp string, seen_first bigint")
-        joined = b.join(F.broadcast(seen), "fp", "left")
+        # the fingerprint index GROWS with history — never hint-broadcast
+        # it (q215's rule); the join key is fp, an ordinary shuffle join
+        # at scale, and AQE broadcasts while the index is small
+        joined = b.join(seen, "fp", "left")
         out = joined.select(
             "doc_id",
             "fp",
@@ -950,7 +953,7 @@ def q135_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         new = (
             b.groupBy("fp")
             .agg(F.min("doc_id").alias("seen_first"))
-            .join(F.broadcast(seen.select("fp")), "fp", "left_anti")
+            .join(seen.select("fp"), "fp", "left_anti")
         )
         new.write.mode("append").parquet(index_dir)
 

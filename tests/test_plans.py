@@ -752,3 +752,102 @@ def test_q248_variable_folds_into_pushed_filters(spark):
     df = QUERIES["q248_sql_variables"].builder(spark, SF_SMALL)
     pushed = " ".join(pushed_filters(df))
     assert "GreaterThanOrEqual(o_totalprice,100000.0)" in pushed
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide broadcast-hint lint (the q215 rule, mechanized): an
+# explicit broadcast hint is a PROMISE the relation stays driver-sized
+# at ANY scale factor. A hint whose subtree reaches an SF-scaling table
+# without passing through an Aggregate / Limit / Deduplicate / Window
+# (the bounding shapes) will OOM the driver at 100× — and AQE cannot
+# override an explicit hint. This lint found and fixed 8 real instances
+# on landing (q215, q23, q90, q117, q118, q135-upsert, q231, q22,
+# q228, q116). Zero whitelist entries: every remaining hint is bounded.
+# ---------------------------------------------------------------------------
+
+_SCALING_MARKERS = {
+    "c_custkey": "customer", "s_suppkey": "supplier", "o_orderkey": "orders",
+    "l_orderkey": "lineitem", "event_id": "events", "doc_id": "documents",
+    "p_partkey": "part", "emb": "embeddings",
+}
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate", "Window")
+_LEAF_NODES = ("LogicalRelation", "Relation", "StreamingRelation", "StreamingRelationV2")
+
+
+def _rel_scaling_tables(n):
+    out = set()
+    try:
+        it = n.output().iterator()
+        while it.hasNext():
+            nm = it.next().name()
+            if nm in _SCALING_MARKERS:
+                out.add(_SCALING_MARKERS[nm])
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
+def _broadcast_subtree_bounded(node):
+    if node.nodeName() in _BOUNDING_NODES:
+        return True
+    if node.nodeName() in _LEAF_NODES:
+        return not _rel_scaling_tables(node)
+    try:
+        it = node.children().iterator()
+        kids = []
+        while it.hasNext():
+            kids.append(it.next())
+    except Exception:  # noqa: BLE001
+        return True
+    if not kids:
+        return True
+    return all(_broadcast_subtree_bounded(k) for k in kids)
+
+
+def _unbounded_broadcast_hints(df):
+    plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+    bad = []
+    for node in _walk_logical(plan):
+        if node.nodeName() != "ResolvedHint":
+            continue
+        if "broadcast" not in node.toString().splitlines()[0].lower():
+            continue
+        child = node.children().apply(0)
+        if not _broadcast_subtree_bounded(child):
+            tables = set()
+            for n in _walk_logical(child):
+                if n.nodeName() in _LEAF_NODES:
+                    tables |= _rel_scaling_tables(n)
+            bad.append(sorted(tables))
+    return bad
+
+
+def test_lint_detects_reintroduced_fact_broadcast(spark):
+    """Sanity for the lint itself: a deliberate broadcast of a raw
+    customer projection MUST flag; an aggregated derivation must not."""
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    bad = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    assert _unbounded_broadcast_hints(bad) == [["customer"]]
+    ok = o.crossJoin(
+        F.broadcast(c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+    )
+    assert _unbounded_broadcast_hints(ok) == []
+
+
+def test_registry_wide_no_unbounded_broadcast_hint(spark):
+    offenders = {}
+    for name, q in QUERIES.items():
+        df = q.builder(spark, SF_SMALL)
+        bad = _unbounded_broadcast_hints(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"explicit broadcast hints on SF-scaling relations (driver OOM "
+        f"at scale, AQE cannot override a hint): {offenders}"
+    )
