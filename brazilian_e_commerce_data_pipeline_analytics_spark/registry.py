@@ -70,11 +70,81 @@ _REGISTRY: dict[str, Query] = {}
 # the CORRECTNESS_r*.json history; ``tools/round_checklist.py``
 # re-verifies everything still pending before rotation.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-6 window (slots 1-50): the 4 queries with no green row
-    # yet (q97 rewritten to a full oracle; q244/q245/q246 new), the 6
-    # whose implementations changed this round (re-earn the hash), and
-    # 40 of the 47 queries whose only green row dates to r01 — the
-    # evidence-freshness rotation VERDICT r5 item 1 prescribed. --
+    # -- round-7 window (slots 1-50), rotated per VERDICT r6 item 1:
+    # the 11 queries with no green driver row (q251-q261, late round-6
+    # additions), then the 10 rows whose only green evidence dates to
+    # r01, then 29 of the 43 oldest-r02 rows. New round-7 queries are
+    # inserted at the very front as they land (the
+    # tests/test_registry.py no-green-row-in-window invariant enforces
+    # this mechanically); each insertion pushes one r02 row past slot
+    # 50 into the round-8 rotation. --
+    "q251_try_safe_division",
+    "q252_bitmap_exact_distinct",
+    "q253_stream_sliding_window",
+    "q254_sql_pivot_clause",
+    "q255_percentile_disc",
+    "q256_dynamic_gap_sessions",
+    "q257_stream_semi_join",
+    "q258_star_components",
+    "q259_approx_top_k",
+    "q260_sql_unpivot_clause",
+    "q261_dp_noisy_counts",
+    "q06_order_date_range",
+    "q07_distinct_status_priority",
+    "q11_intersect_custkeys",
+    "q12_except_custkeys",
+    "q16_date_spine",
+    "q17_scalar_strings",
+    "q33_user_event_seq",
+    "q34_asof_last_purchase",
+    "q35_union_daily_sources",
+    "q62_range_join_tiers",
+    "q53_stream_hourly",
+    "q99_gold_monthly_state_sales",
+    "q100_gold_payment_mix",
+    "q45_ngram_jaccard_pairs",
+    "q68_simhash_portable",
+    "q81_ngram_jaccard_capped",
+    "q82_dup_clusters",
+    "q48_knn_bruteforce",
+    "q49_embedding_neardup",
+    "q51_ann_lsh_bucketed",
+    "q75_ann_ivf",
+    "q57_knn_pandas_udf",
+    "q52_blob_meta",
+    "q55_stream_sessions_closed",
+    "q56_stream_hourly_append",
+    "q60_native_session_window",
+    "q71_stream_dedup",
+    "q89_stream_stream_join",
+    "q91_stream_static_enrich",
+    "q37_sliding_windows",
+    "q36_salted_user_agg",
+    "q64_weekday_hour_heatmap",
+    "q65_unpivot_daily",
+    "q70_json_props_map",
+    "q73_value_position_windows",
+    "q94_map_ops",
+    "q40_token_stats",
+    "q41_lang_id_confusion",
+    "q42_quality_score",
+    # -- below here: outside the 50-row window. Round-8 rotation order:
+    # the 14 r02 rows that did not fit this round first (plus any that
+    # round-7 insertions displaced), then r03-era evidence. --
+    "q43_fingerprint_groups",
+    "q44_exact_dedup",
+    "q61_subword_token_stats",
+    "q66_rolling_fingerprint",
+    "q83_hash_split",
+    "q84_fuzzy_part_names",
+    "q85_stopword_filtered_stats",
+    "q86_stratified_sample",
+    "q87_doc_chunks",
+    "q95_repetition_stats",
+    "q96_bm25_search",
+    "q50_label_norm_stats",
+    "q74_embedding_dim_stats",
+    "q54_sessions_batch",
     "q97_approx_distinct_users",
     "q244_udtf_polymorphic_ngrams",
     "q245_stream_gold_yoy",
@@ -121,83 +191,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q31_events_daily_pivot",
     "q32_events_props_extract",
     "q28_event_funnel",
-    # slots 47-50: the other four round-6 additions (listagg WITHIN
-    # GROUP, SQL session variables, observe() metrics, k-anonymity) —
-    # new rows need the window to earn their first green; four r01
-    # refreshes (q33/q34/q35/q62) defer to round 7.
     "q247_listagg_within_group",
     "q248_sql_variables",
     "q249_observe_metrics",
     "q250_k_anonymity_audit",
-    # -- below here: outside the 50-row window. Round-7 rotation order:
-    # q251 (added after the r6 window was cut; sim-verified value-exact
-    # at sf0.001/0.01/0.1) first, then the 10 deferred r01 rows, then
-    # the r02 block. Zero oracle=None entries remain (q46/q47 retired
-    # for twins q46p/q68; q97 oracled this round). --
-    "q251_try_safe_division",
-    "q252_bitmap_exact_distinct",
-    "q253_stream_sliding_window",
-    "q254_sql_pivot_clause",
-    "q255_percentile_disc",
-    "q256_dynamic_gap_sessions",
-    "q257_stream_semi_join",
-    "q258_star_components",
-    "q259_approx_top_k",
-    "q260_sql_unpivot_clause",
-    "q261_dp_noisy_counts",
-    "q33_user_event_seq",
-    "q34_asof_last_purchase",
-    "q35_union_daily_sources",
-    "q62_range_join_tiers",
-    "q06_order_date_range",
-    "q07_distinct_status_priority",
-    "q11_intersect_custkeys",
-    "q12_except_custkeys",
-    "q16_date_spine",
-    "q17_scalar_strings",
-    "q53_stream_hourly",
-    "q99_gold_monthly_state_sales",
-    "q100_gold_payment_mix",
-    "q45_ngram_jaccard_pairs",
-    "q68_simhash_portable",
-    "q81_ngram_jaccard_capped",
-    "q82_dup_clusters",
-    "q48_knn_bruteforce",
-    "q49_embedding_neardup",
-    "q51_ann_lsh_bucketed",
-    "q75_ann_ivf",
-    "q57_knn_pandas_udf",
-    "q52_blob_meta",
-    "q55_stream_sessions_closed",
-    "q56_stream_hourly_append",
-    "q60_native_session_window",
-    "q71_stream_dedup",
-    "q89_stream_stream_join",
-    "q91_stream_static_enrich",
-    "q37_sliding_windows",
-    "q36_salted_user_agg",
-    "q64_weekday_hour_heatmap",
-    "q65_unpivot_daily",
-    "q70_json_props_map",
-    "q73_value_position_windows",
-    "q94_map_ops",
-    "q40_token_stats",
-    "q41_lang_id_confusion",
-    "q42_quality_score",
-    "q43_fingerprint_groups",
-    "q44_exact_dedup",
-    "q61_subword_token_stats",
-    "q66_rolling_fingerprint",
-    "q83_hash_split",
-    "q84_fuzzy_part_names",
-    "q85_stopword_filtered_stats",
-    "q86_stratified_sample",
-    "q87_doc_chunks",
-    "q95_repetition_stats",
-    "q96_bm25_search",
-    "q50_label_norm_stats",
-    "q74_embedding_dim_stats",
-    "q54_sessions_batch",
     "q195_pipe_syntax",
     "q197_tokenizer_fertility",
     "q198_idf_weighted_minhash",
