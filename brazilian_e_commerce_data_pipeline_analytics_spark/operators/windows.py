@@ -176,9 +176,18 @@ def distributed_cumsums(
     has a single "executor", so the tradeoff is moot in tests.
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    outs = [out for _, out in sums]
+    # The out names are reserved too (ADVICE r6, mirroring
+    # distributed_rank's `out`/`total_out`): an out colliding with an
+    # input column is silently replaced, and under exclusive=True an out
+    # equal to a LATER entry's value_col would make that entry subtract
+    # the already-overwritten column — wrong values, no error.
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"duplicate out names in sums: {outs}")
     _check_reserved(
         df,
         ["__pid"]
+        + outs
         + [f"__local{i}" for i in range(len(sums))]
         + [f"__ptotal{i}" for i in range(len(sums))]
         + [f"__prefix{i}" for i in range(len(sums))],

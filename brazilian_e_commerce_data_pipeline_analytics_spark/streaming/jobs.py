@@ -1391,7 +1391,18 @@ def _orders_stream(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFr
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
         ".tmp", "stream", f"orders_{sf_name}_{n_files}",
     )
-    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+    # Rebuild the split when the source parquet is NEWER than the
+    # cached split (ADVICE r6): keying only on _SUCCESS existence would
+    # silently stream stale rows after a fixture regeneration — unlike
+    # _events_stream, whose symlink always tracks the current fixture.
+    success = os.path.join(split_dir, "_SUCCESS")
+    src_mtime = os.path.getmtime(path)
+    if os.path.isdir(path):
+        src_mtime = max(
+            [src_mtime]
+            + [e.stat().st_mtime for e in os.scandir(path) if e.is_file()]
+        )
+    if not os.path.exists(success) or os.path.getmtime(success) < src_mtime:
         spark.read.parquet(path).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(split_dir)

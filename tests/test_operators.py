@@ -606,3 +606,18 @@ def test_distributed_ops_reject_reserved_columns(spark):
     ok = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="rank"):
         distributed_rank(ok.withColumn("rank", F.lit(1)), ["k"])  # out-name clash
+    # ADVICE r6: cumsum OUT names are reserved too — an out colliding
+    # with an input column (here the order/value col itself) would be
+    # silently replaced, and under exclusive=True an out equal to a
+    # later entry's value_col subtracts the overwritten column.
+    from brazilian_e_commerce_data_pipeline_analytics_spark.operators.windows import distributed_cumsums
+
+    vdf = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"), F.lit(2).alias("w")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        distributed_cumsum(vdf, "k", "v", out="v")
+    with pytest.raises(ValueError, match="collide"):
+        distributed_cumsums(vdf, "k", [("v", "w"), ("w", "cw")], exclusive=True)
+    with pytest.raises(ValueError, match="duplicate out"):
+        distributed_cumsums(vdf, "k", [("v", "c"), ("w", "c")])

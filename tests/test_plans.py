@@ -770,7 +770,13 @@ _SCALING_MARKERS = {
     "l_orderkey": "lineitem", "event_id": "events", "doc_id": "documents",
     "p_partkey": "part", "emb": "embeddings",
 }
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate", "Window")
+# Limits bound unconditionally. Aggregate/Deduplicate bound the row
+# count only when their OUTPUT carries no SF-scaling key — a groupBy /
+# distinct over doc_id still scales with the corpus (ADVICE r6).
+# Window is NOT bounding at all: it preserves row count exactly, so a
+# hinted broadcast below one is exactly as dangerous as without it.
+_BOUNDING_NODES = ("GlobalLimit", "LocalLimit")
+_KEYED_BOUNDING_NODES = ("Aggregate", "Deduplicate")
 _LEAF_NODES = ("LogicalRelation", "Relation", "StreamingRelation", "StreamingRelationV2")
 
 
@@ -790,6 +796,11 @@ def _rel_scaling_tables(n):
 def _broadcast_subtree_bounded(node):
     if node.nodeName() in _BOUNDING_NODES:
         return True
+    if node.nodeName() in _KEYED_BOUNDING_NODES and not _rel_scaling_tables(node):
+        return True
+    # a keyed Aggregate/Deduplicate whose output still carries a scaling
+    # key falls through to its children — bounded iff something below
+    # it (a limit, a non-scaling leaf) bounds the row count.
     if node.nodeName() in _LEAF_NODES:
         return not _rel_scaling_tables(node)
     try:
