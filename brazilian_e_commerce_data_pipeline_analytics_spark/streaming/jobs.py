@@ -1414,6 +1414,29 @@ def _orders_stream(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFr
     )
 
 
+def _dynamic_partition_upsert(
+    batch: DataFrame, gold_dir: str, partition_cols: list[str]
+) -> None:
+    """One micro-batch's upsert: dynamic partition overwrite rewrites
+    ONLY the partition dirs present in ``batch`` — untouched partitions
+    keep their existing files byte-for-byte (O(changed partitions) per
+    batch, the property tests/test_streaming.py pins the way
+    test_versioned.py pins COW file sharing). Requires the caller to
+    have set ``spark.sql.sources.partitionOverwriteMode=dynamic``."""
+    if batch.isEmpty():
+        return
+    # align writer tasks to partition dirs: one task owns each
+    # touched partition, so every overwrite lands as ONE file per
+    # dir instead of shuffle-partitions-many small files — the
+    # standard partitioned-write pattern, same shape at any scale
+    (
+        batch.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(gold_dir)
+    )
+
+
 def _run_gold_upsert(
     spark: SparkSession,
     agg: DataFrame,
@@ -1428,18 +1451,7 @@ def _run_gold_upsert(
     shutil.rmtree(gold_dir, ignore_errors=True)
 
     def upsert(batch: DataFrame, _bid: int) -> None:
-        if batch.isEmpty():
-            return
-        # align writer tasks to partition dirs: one task owns each
-        # touched partition, so every overwrite lands as ONE file per
-        # dir instead of shuffle-partitions-many small files — the
-        # standard partitioned-write pattern, same shape at any scale
-        (
-            batch.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(gold_dir)
-        )
+        _dynamic_partition_upsert(batch, gold_dir, partition_cols)
 
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

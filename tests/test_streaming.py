@@ -383,3 +383,64 @@ def test_dynamic_partition_overwrite_touches_only_changed(spark, tmp_path):
     assert files_with_mtime("c") == before_c
     got = {(r["k"], r["v"]) for r in spark.read.parquet(gold).collect()}
     assert got == {("a", 1), ("b", 20), ("c", 3)}  # b replaced, not appended
+
+
+def test_gold_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """VERDICT r6 item 3: pin the PRODUCTION upsert path q245/q246 run
+    per micro-batch (streaming.jobs._dynamic_partition_upsert), not just
+    the Spark primitive. Two simulated micro-batches: batch 2 touches
+    one month only; every other month's partition dir must keep its
+    original file list AND mtimes (the O(changed partitions) claim), and
+    each touched dir must hold exactly ONE file (the writer-task
+    alignment claim)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _dynamic_partition_upsert,
+    )
+
+    gold = str(tmp_path / "gold")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch1 = spark.createDataFrame(
+            [
+                Row(o_year=1995, o_month=m, revenue_dec=float(100 * m), n_orders=m)
+                for m in (1, 2, 3)
+            ]
+        )
+        _dynamic_partition_upsert(batch1, gold, ["o_year", "o_month"])
+
+        def snapshot(y, m):
+            d = os.path.join(gold, f"o_year={y}", f"o_month={m}")
+            return sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        before = {m: snapshot(1995, m) for m in (1, 2, 3)}
+        # writer tasks aligned to partition dirs: one file per dir even
+        # though shuffle.partitions >> touched partitions
+        assert all(len(v) == 1 for v in before.values())
+
+        batch2 = spark.createDataFrame(
+            [Row(o_year=1995, o_month=2, revenue_dec=999.0, n_orders=9)]
+        )
+        _dynamic_partition_upsert(batch2, gold, ["o_year", "o_month"])
+        # empty batches are a no-op (update-mode triggers can be empty)
+        _dynamic_partition_upsert(batch1.limit(0), gold, ["o_year", "o_month"])
+
+        assert snapshot(1995, 1) == before[1]  # untouched: same files, same mtimes
+        assert snapshot(1995, 3) == before[3]
+        assert snapshot(1995, 2) != before[2]  # touched: rewritten
+        assert len(snapshot(1995, 2)) == 1
+        got = {
+            (r["o_month"], r["revenue_dec"], r["n_orders"])
+            for r in spark.read.parquet(gold).collect()
+        }
+        assert got == {(1, 100.0, 1), (2, 999.0, 9), (3, 300.0, 3)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
