@@ -616,3 +616,111 @@ def q260_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_orders > 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q262: cost-based optimization via table statistics (SURVEY §4's last
+# optimizer row) — `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+# COLUMNS` + spark.sql.cbo.enabled. Without column stats, a Filter's
+# estimated size is its CHILD's size (the raw file bytes), so a
+# selective point-filter on a big fact still plans a sort-merge join;
+# with stats, FilterEstimation shrinks the estimate to rows/NDV and the
+# planner broadcasts the filtered side instead. The before/after flip
+# (SMJ -> BHJ under an artificially small 4 KB broadcast threshold) is
+# pinned in tests/test_plans.py::test_q262_analyze_stats_flip_join_strategy.
+# At 100 TB this is the difference between shuffling a full fact table
+# and shipping a few KB — and it's entirely declarative: same query,
+# better stats, better plan. Confs are builder-scoped via the q232
+# eager-physical-planning pattern.
+#
+# Two real-world caveats encoded here: (1) the date column is stored as
+# DATE in the stats table — Spark 4.1's column-stats estimation hits a
+# `scala.MatchError: TimestampNTZType` (probed 2026-08-15) if a
+# TimestampNTZ column gets column stats and then meets FilterEstimation,
+# so NTZ event-time columns should be cast to DATE/TIMESTAMP before
+# ANALYZE; (2) tables are EXTERNAL (explicit path) so a leftover
+# warehouse dir from a dead session can never block re-creation.
+# ---------------------------------------------------------------------------
+
+_Q262_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE CAST(o_orderdate AS DATE) = DATE '1995-06-19'
+GROUP BY 1
+"""
+
+
+def cbo_stats_tables(
+    spark: SparkSession, sf_dir: str, analyze: bool = True
+) -> tuple[str, str]:
+    """Create (and with ``analyze=True`` ANALYZE) the external stats
+    tables q262 queries; returns (orders_table, customer_table).
+    ``analyze=False`` gives the plan-pin test its stats-less "before"
+    state. Idempotent per session; the in-memory catalog is fresh per
+    SparkSession, so the tables are (re)registered on first use each
+    run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "cbo", sf_tag,
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_stats")
+    ot, ct = f"cbo_stats.orders_{sf_tag}", f"cbo_stats.customer_{sf_tag}"
+    for tbl, src, fix in (
+        (ot, "orders", lambda d: d.withColumn("o_orderdate", F.to_date("o_orderdate"))),
+        (ct, "customer", lambda d: d),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        df = fix(spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")))
+        df.write.mode("overwrite").option(
+            "path", os.path.join(base, src)
+        ).saveAsTable(tbl)
+        if analyze:
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return ot, ct
+
+
+@register("q262_cbo_stats_join_strategy", oracle=_Q262_ORACLE, tags=("optimizer", "cbo", "statistics", "ddl"))
+def q262_cbo_stats_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.compat import dmoney
+
+    ot, ct = cbo_stats_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "4096",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.table(ot).filter(
+            F.col("o_orderdate") == F.lit("1995-06-19").cast("date")
+        )
+        c = spark.table(ct)
+        df = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.sum(dmoney("o_totalprice")).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+        # materialize the physical plan while CBO is active (q232's
+        # conf-scoping pattern: executedPlan is a cached lazy val)
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
