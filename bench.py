@@ -137,36 +137,32 @@ def main() -> None:
         _noop, "x long"
     ).collect()
 
-    # Each query is timed twice and the MIN is reported: steady-state
-    # throughput of the plan, robust to transient host contention (this
-    # box shows 30-70% wall-clock swings from neighbors). clearCache()
-    # between runs drops any .cache() the first run materialized —
-    # Spark's CacheManager matches plans structurally, so without it the
-    # second run of a caching query would skip its heaviest stage. Every
-    # reported time is therefore a full scan->shuffle->agg execution,
-    # just the less-interrupted of the two.
+    # Each query is timed REPS times and the MIN is reported:
+    # steady-state throughput of the plan, robust to transient host
+    # contention (this box shows 30-70% wall-clock swings from
+    # neighbors; VERDICT r6 item 5 raised reps 2->3 because the ±25%
+    # same-day band had become the limiting factor on perf grading).
+    # clearCache() between runs drops any .cache() the first run
+    # materialized — Spark's CacheManager matches plans structurally,
+    # so without it a later run of a caching query would skip its
+    # heaviest stage. Every reported time is therefore a full
+    # scan->shuffle->agg execution, just the least-interrupted one.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def time_query(name: str) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+            assert rows is not None
+        return round(best, 3)
+
     probe_pre = _spin_probe()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            rows = qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-            assert rows is not None
-        timings[name] = round(best, 3)
+    timings = {name: time_query(name) for name in BENCH_QUERIES}
     total = round(sum(timings.values()), 3)
-    ext: dict[str, float] = {}
-    for name in BENCH_EXTENDED:
-        best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            rows = qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-            assert rows is not None
-        ext[name] = round(best, 3)
+    ext = {name: time_query(name) for name in BENCH_EXTENDED}
     print(
         json.dumps(
             {
@@ -178,6 +174,8 @@ def main() -> None:
                 # total stays comparable with BENCH_r01/r02:
                 "queries_extended": ext,
                 "sf": sf,
+                "reps": reps,
+                "agg": "min",
                 # host-contention calibration: median wall time of a fixed
                 # single-thread CPU workload before/after the run. On a
                 # quiet host this is ~0.10s; readings far above that mean

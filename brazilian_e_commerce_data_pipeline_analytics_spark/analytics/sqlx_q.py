@@ -724,3 +724,39 @@ def q262_cbo_stats_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q263: lateral column aliases (Spark 3.4+) — a select item referencing
+# an alias defined EARLIER IN THE SAME SELECT LIST (`base -> tax ->
+# gross`, three levels chained), the warehouse-SQL idiom that otherwise
+# forces a nested subquery per derived column. Like q242, the oracle is
+# the IDENTICAL SQL text (DuckDB resolves lateral aliases the same
+# way), proving verbatim drop-in parity. Catalyst inlines the aliases
+# into ordinary projections — zero plan cost, no correlation, nothing
+# blocks pushdown.
+# Money determinism: DECIMAL chain end-to-end, one final DOUBLE cast.
+# ---------------------------------------------------------------------------
+
+_Q263_SQL = """
+WITH priced AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS base,
+         CAST(base * CAST(0.10 AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS tax,
+         base + tax AS gross
+  FROM orders
+)
+SELECT CASE WHEN gross >= 250000 THEN 'high'
+            WHEN gross >= 120000 THEN 'mid'
+            ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(gross) AS DOUBLE) AS total_gross
+FROM priced
+GROUP BY 1
+"""
+
+
+@register("q263_lateral_column_alias", oracle=_Q263_SQL, tags=("sql-api", "lateral-alias"))
+def q263_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_Q263_SQL)

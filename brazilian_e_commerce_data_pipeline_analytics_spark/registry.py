@@ -79,6 +79,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # this mechanically); each insertion pushes one r02 row past slot
     # 50 into the round-8 rotation. --
     "q262_cbo_stats_join_strategy",
+    "q263_lateral_column_alias",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",
