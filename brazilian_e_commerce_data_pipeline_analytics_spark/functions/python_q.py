@@ -224,3 +224,125 @@ def q244_udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q264: mapInArrow — the LAST cell of the Python-boundary matrix (q39
+# pandas_udf, q57 cogrouped applyInPandas, q55 withState, q107/q244
+# UDTF, q108 grouped-agg UDAF, q168 Arrow scalar UDF, q52 mapInPandas;
+# this is the RecordBatch-level API). Unlike mapInPandas, batches stay
+# in Arrow end-to-end — no pandas materialization, no object boxing —
+# so per-batch work runs as pyarrow.compute C++ kernels
+# (utf8_split_whitespace / binary_length) over zero-copy buffers. The
+# right tier for byte-shovelling feature extraction where even pandas
+# conversion is measurable; the per-doc features then aggregate
+# JVM-side. Oracle replays bytes (strlen) vs chars (length) and the
+# whitespace tokenization in DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q264_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(MAX(strlen(text) - length(text)) AS BIGINT) AS max_multibyte
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q264_mapinarrow_doc_bytes", oracle=_Q264_ORACLE, tags=("python", "arrow", "mapInArrow", "text"))
+def q264_mapinarrow_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def doc_features(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            n_bytes = pc.binary_length(pc.cast(text, pa.binary()))
+            n_chars = pc.utf8_length(text)
+            n_tokens = pc.list_value_length(pc.utf8_split_whitespace(text))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("lang"),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_tokens, pa.int64()),
+                    pc.cast(pc.subtract(n_bytes, n_chars), pa.int64()),
+                ],
+                names=["doc_id", "lang", "n_bytes", "n_tokens", "n_multibyte"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = d.mapInArrow(
+        doc_features,
+        "doc_id long, lang string, n_bytes long, n_tokens long, n_multibyte long",
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_multibyte").alias("max_multibyte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265: grouped applyInArrow — the Arrow-native sibling of q57's
+# cogrouped applyInPandas: each label's embedding block arrives as ONE
+# pyarrow.Table (zero-copy from the JVM), the fixed-width FLOAT[64]
+# list column flattens to a (n, 64) numpy view without per-row boxing,
+# and the per-group geometry (vector norms) reduces in float64. The
+# shape to reach for when per-group math is numpy-friendly but the
+# pandas object layer would dominate (wide fixed-size vectors).
+# Determinism contract: per-vector norms round6'd BEFORE the group
+# mean (both engines), group mean round6'd after — the established
+# round-after-double-fold convention; max/min are order-free.
+# Scale: state is one label's block; labels partition the corpus, so
+# group size is corpus/|labels| — for unbounded groups switch to the
+# two-level mergeable-moments aggregate (q171), which this replays.
+# ---------------------------------------------------------------------------
+
+_Q265_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')), 6) AS norm6
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(norm6), 6) AS mean_norm,
+       round(MAX(norm6), 6) AS max_norm,
+       round(MIN(norm6), 6) AS min_norm
+FROM norms
+GROUP BY label
+"""
+
+
+@register("q265_applyinarrow_norms", oracle=_Q265_ORACLE, tags=("python", "arrow", "applyInArrow", "embeddings"))
+def q265_applyinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def label_stats(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        emb = tbl.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(tbl), -1)
+        norms = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+        return pa.table(
+            {
+                "label": pa.array([tbl.column("label")[0].as_py()], pa.int32()),
+                "n_vecs": pa.array([len(tbl)], pa.int64()),
+                "mean_norm": pa.array([round(float(norms.mean()), 6)], pa.float64()),
+                "max_norm": pa.array([round(float(norms.max()), 6)], pa.float64()),
+                "min_norm": pa.array([round(float(norms.min()), 6)], pa.float64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return e.groupBy("label").applyInArrow(
+        label_stats,
+        "label int, n_vecs long, mean_norm double, max_norm double, min_norm double",
+    )

@@ -1225,3 +1225,182 @@ def q210_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q266: int8 scalar-quantization calibration — the third point on the
+# vector-compression curve next to q142 (random projection) and
+# q130/q134 (product quantization): symmetric per-vector int8 (scale =
+# max|x|/127, code = floor(x*127/scale)), dequantize, and measure how
+# much cosine geometry survives, per label. This is the release gate a
+# serving/index team runs before switching an ANN index to int8 (4x
+# smaller, SIMD-friendly). Everything stays JVM-side: transform /
+# zip_with / aggregate left folds; floor() makes the codes integer-
+# exact in both engines, so the oracle replays the full round trip
+# value-exactly (same fold order, round6 after the double folds).
+# The per-vector workflow is embarrassingly parallel — no shuffle
+# until the per-label rollup; codes live as a transient expression,
+# never materialized (an index build would write them bucketed).
+# ---------------------------------------------------------------------------
+
+_Q266_ORACLE = """
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS scale,
+         embedding::DOUBLE[] AS orig
+  FROM embeddings
+),
+deq AS (
+  SELECT label,
+         orig,
+         list_transform(orig, x -> floor(x * 127.0 / scale) * scale / 127.0)
+           AS rec
+  FROM q
+  WHERE scale > 0
+),
+per_vec AS (
+  SELECT label,
+         round(list_cosine_similarity(orig, rec), 6) AS cos6,
+         round(list_max(list_transform(
+           list_zip(orig, rec),
+           p -> abs(p[1] - p[2]))), 6) AS max_abs_err
+  FROM deq
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(cos6), 6) AS mean_cos,
+       round(MIN(cos6), 6) AS min_cos,
+       round(MAX(max_abs_err), 6) AS worst_abs_err,
+       MIN(cos6) >= 0.999 AS int8_safe
+FROM per_vec
+GROUP BY label
+"""
+
+
+@register("q266_int8_quant_calibration", oracle=_Q266_ORACLE, tags=("similarity", "quantization", "llm", "calibration"))
+def q266_int8_quant_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    orig = as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(orig, F.abs))
+    rec = F.transform(
+        F.col("orig"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale")) * F.col("scale") / F.lit(127.0),
+    )
+    per_vec = (
+        e.select("label", orig.alias("orig"), scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .withColumn("rec", rec)
+        .select(
+            "label",
+            cosine(F.col("orig"), F.col("rec")).alias("cos6"),
+            F.round(
+                F.array_max(
+                    F.zip_with(F.col("orig"), F.col("rec"), lambda a, b: F.abs(a - b))
+                ),
+                6,
+            ).alias("max_abs_err"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos6"), 6).alias("mean_cos"),
+        F.round(F.min("cos6"), 6).alias("min_cos"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_abs_err"),
+        (F.min("cos6") >= 0.999).alias("int8_safe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267: matryoshka-truncation recall — the OTHER way serving teams
+# shrink vectors (next to q266's int8 and q130's PQ): keep only the
+# first d' dimensions (Matryoshka Representation Learning-style
+# prefixes; Kusupati et al. 2022) and measure how much of the full-
+# dimension top-k survives. Same calibration harness as q202, but the
+# "index" is brute-force over slice(embedding, 1, 16) — isolating the
+# GEOMETRY loss of truncation from any bucketing loss. Per-rank recall
+# is the rollout gate; these synthetic embeddings are NOT
+# prefix-trained, so the measured recall is honestly low — which is
+# exactly what the gate exists to catch before a 4x-cheaper index
+# ships.
+#
+# Scale: both sides are the 1%-query brute-force contract (q48); the
+# truncated side reads 4x fewer bytes per score. The recall join is
+# queries x k rows. Everything JVM-side.
+# ---------------------------------------------------------------------------
+
+_Q267_K = 5
+_Q267_DIMS = 16
+
+_Q267_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id % 100 = 0),
+exact AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, e.v), 6) DESC,
+                      e.vec_id
+           ) AS rank
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_Q267_K}
+),
+trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+                        q.q_vec[1:{_Q267_DIMS}], e.v[1:{_Q267_DIMS}]), 6) DESC,
+                      e.vec_id
+           ) AS rank
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_Q267_K}
+)
+SELECT ex.rank,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact ex
+LEFT JOIN trunc tr
+  ON tr.query_id = ex.query_id AND tr.neighbor_id = ex.neighbor_id
+GROUP BY ex.rank
+"""
+
+
+@register(
+    "q267_matryoshka_trunc_recall",
+    oracle=_Q267_ORACLE,
+    tags=("similarity", "recall", "llm", "calibration"),
+)
+def q267_matryoshka_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    exact = knn_bruteforce(
+        e, queries, id_col="vec_id", vec_col="embedding", k=_Q267_K
+    ).select("query_id", "neighbor_id", "rank")
+    tr = F.slice(F.col("embedding"), 1, _Q267_DIMS).alias("embedding")
+    trunc = knn_bruteforce(
+        e.select("vec_id", tr),
+        queries.select("vec_id", tr),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_Q267_K,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return (
+        exact.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            hit.cast("bigint").alias("n_hit"),
+            (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

@@ -80,6 +80,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 50 into the round-8 rotation. --
     "q262_cbo_stats_join_strategy",
     "q263_lateral_column_alias",
+    "q264_mapinarrow_doc_bytes",
+    "q265_applyinarrow_norms",
+    "q266_int8_quant_calibration",
+    "q267_matryoshka_trunc_recall",
+    "q268_stream_full_outer_join",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",

@@ -1765,3 +1765,135 @@ def q257_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("purchase_id", "user_id", "value"),
         output_mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# q268: stream-stream FULL OUTER join — the missing corner of the
+# stream-join matrix (q89 inner, q138 LEFT OUTER, q257 LEFT SEMI):
+# reconciliation between two event feeds where BOTH sides need
+# unmatched emission (orders with no confirmation AND confirmations
+# with no order — the billing-audit stream shape). Same bounded-state
+# mechanics as q138: watermarks on both inputs plus a time-range join
+# condition give every row a finite match horizon; unmatched rows emit
+# with nulls once the global watermark passes their horizon.
+#
+# Fixture (sf-independent, like q138): every id%5!=1 has an 'a' row
+# (ets=id); every id%3==0 has a 'b' row (ets=id+10). So id%3==0 &&
+# id%5!=1 match; other a-rows are left-unmatched; ids ≡ 6 (mod 15)
+# are b-only. Emission bounds (pinned empirically, q119's method, then
+# stated relationally in the oracle): with max a-ets = N-1 and 60s
+# watermarks, the final global watermark is (N-1) - 60; an unmatched
+# a-row emits iff a_ts + 30 < wm, an unmatched b-row iff b_ts - 30 <=
+# wm is insufficient — b evicts when wm passes the latest a it could
+# match (a_ts <= b_ts), i.e. iff b_ts < wm. Rows above the bounds stay
+# in state at availableNow termination and never emit — part of the
+# contract, exactly like q138's tail truncation.
+#
+# Scale: state per side is O(rows inside the watermark horizon); the
+# join keys partition both streams, full-outer adds no extra state
+# over left-outer (both sides already buffer for the inner match).
+# ---------------------------------------------------------------------------
+
+_Q268_ORACLE = f"""
+WITH ids AS (SELECT range AS id FROM range({_OJ_N}))
+SELECT id, 'both' AS side, CAST({_OJ_OFF} AS BIGINT) AS lag_seconds
+FROM ids WHERE id % 3 = 0 AND id % 5 <> 1
+UNION ALL
+SELECT id, 'a_only', NULL
+FROM ids
+WHERE id % 5 <> 1 AND id % 3 <> 0
+  AND id + {_OJ_WIN} < ({_OJ_N} - 1) - {_OJ_WM}
+UNION ALL
+SELECT id, 'b_only', NULL
+FROM ids
+WHERE id % 3 = 0 AND id % 5 = 1
+  AND id + {_OJ_OFF} < ({_OJ_N} - 1) - {_OJ_WM}
+"""
+
+
+def _ensure_full_outer_fixture() -> str:
+    """q268's kind-tagged batch files: 'a' rows for ids %5 != 1
+    (ets=id), 'b' rows for ids %3 == 0 (ets=id+10); 4 files with
+    strictly increasing mtimes fixing micro-batch order (q119)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "stream",
+        "full_outer_join_v1",
+    )
+    marker = os.path.join(d, "_complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for b in range(_OJ_N // _OJ_B):
+        rid, ets, kind = [], [], []
+        for i in range(b * _OJ_B, (b + 1) * _OJ_B):
+            if i % 5 != 1:
+                rid.append(i), ets.append(i), kind.append("a")
+            if i % 3 == 0:
+                rid.append(i), ets.append(i + _OJ_OFF), kind.append("b")
+        path = os.path.join(d, f"batch_{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(rid, pa.int64()),
+                    "ets": pa.array(ets, pa.int64()),
+                    "kind": pa.array(kind),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (_OJ_BASE + b, _OJ_BASE + b))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"n={_OJ_N} b={_OJ_B} full_outer\n")
+    return d
+
+
+@register(
+    "q268_stream_full_outer_join",
+    oracle=_Q268_ORACLE,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def q268_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_full_outer_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = st.select(
+        "id", "kind", F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts")
+    )
+    a = (
+        ev.filter(F.col("kind") == "a")
+        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", f"{_OJ_WM} seconds")
+    )
+    b = (
+        ev.filter(F.col("kind") == "b")
+        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", f"{_OJ_WM} seconds")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_id") == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_OJ_WIN} SECONDS")),
+        "fullOuter",
+    )
+    out = joined.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("id"),
+        F.when(F.col("a_id").isNotNull() & F.col("b_id").isNotNull(), "both")
+        .when(F.col("b_id").isNull(), "a_only")
+        .otherwise("b_only")
+        .alias("side"),
+        ((F.unix_micros("b_ts") - F.unix_micros("a_ts")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")
