@@ -760,3 +760,109 @@ GROUP BY 1
 def q263_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(_Q263_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q269: SQL scripting (Spark 4.0, SQL/PSM-style compound statements) —
+# BEGIN/DECLARE/WHILE/SET control flow executed server-side, the
+# migration surface for stored-procedure-shaped analysis. The script
+# does an iterative threshold search (smallest power-of-two price
+# bound keeping >=90% of orders — the doubling probe a capacity
+# planner scripts), then reports the bound and its coverage. Control
+# flow runs on the driver but every statement inside is a full
+# distributed query; the loop is O(log(max/min)) iterations.
+# Oracle: the closed form of the same search (min k over a generated
+# k-spine with the identical >= 0.9*n comparison in DOUBLE).
+# Conf-scoped: spark.sql.scripting.enabled, q232's pattern — restored
+# after the script RUNS (scripting executes eagerly inside the
+# builder; the returned frame is the script's final SELECT).
+# ---------------------------------------------------------------------------
+
+_Q269_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_total FROM orders),
+k AS (
+  SELECT MIN(k) AS k
+  FROM generate_series(0, 40) t(k), n
+  WHERE (SELECT COUNT(*) FROM orders WHERE o_totalprice < power(2.0, k))
+        >= 0.9 * n_total
+)
+SELECT CAST(power(2.0, k.k) AS DOUBLE) AS threshold,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <
+             power(2.0, k.k)) AS BIGINT) AS n_below,
+       CAST(n.n_total AS BIGINT) AS n_total
+FROM k, n
+"""
+
+
+@register("q269_sql_scripting", oracle=_Q269_ORACLE, tags=("sql-api", "scripting"))
+def q269_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 1.0;
+              DECLARE n_total BIGINT DEFAULT 0;
+              SET n_total = (SELECT COUNT(*) FROM orders);
+              WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice < thr)
+                    < 0.9 * n_total DO
+                SET thr = thr * 2.0;
+              END WHILE;
+              SELECT CAST(thr AS DOUBLE) AS threshold,
+                     CAST(COUNT(*) AS BIGINT) AS n_below,
+                     CAST(n_total AS BIGINT) AS n_total
+              FROM orders WHERE o_totalprice < thr;
+            END
+            """
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+# ---------------------------------------------------------------------------
+# q270: string collation (Spark 4.0) — GROUP BY under UTF8_LCASE merges
+# case-variants ENGINE-side (ICU-backed), the declarative alternative
+# to lower()-normalizing every call site, and the collation survives
+# into joins/sorts wherever the collated type flows. The mixed-case
+# input is synthesized deterministically (even keys UPPER, odd lower);
+# the output key is the binary MIN of the variants (deterministic —
+# collated GROUP BY returns an arbitrary representative, so the query
+# never emits the raw grouping value). Oracle replays with lower()
+# grouping, proving the collation's equivalence class IS
+# case-insensitivity.
+# ---------------------------------------------------------------------------
+
+_Q270_ORACLE = """
+SELECT MIN(pri_mixed) AS variant_seen,
+       lower(MIN(pri_mixed)) AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS pri_mixed
+  FROM orders
+)
+GROUP BY lower(pri_mixed)
+"""
+
+
+@register("q270_collated_grouping", oracle=_Q270_ORACLE, tags=("sql-api", "collation"))
+def q270_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT MIN(pri_mixed) AS variant_seen,
+               lower(MIN(pri_mixed)) AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END AS pri_mixed
+          FROM orders
+        )
+        GROUP BY pri_mixed COLLATE UTF8_LCASE
+        """
+    )

@@ -346,3 +346,65 @@ def q265_applyinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_stats,
         "label int, n_vecs long, mean_norm double, max_norm double, min_norm double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q271: UDTF with a TABLE argument (Spark 4) — `FROM gap_stats(TABLE(v)
+# PARTITION BY user_id ORDER BY us, event_id)`: the planner shuffles by
+# the PARTITION BY key and streams each partition's rows through ONE
+# UDTF instance in ORDER BY order (eval per row, terminate at partition
+# end). This is the SQL-surface form of a custom per-key sequential
+# operator — per-user inter-event gap statistics here — the shape that
+# otherwise needs applyInPandas; unlike a lateral-join UDTF (q107/q244)
+# the function sees a whole ordered partition, not one row. The ORDER
+# BY carries a total order (ts micros, event_id) so the scan sequence —
+# hence the result — is deterministic. Oracle: lag-window replay.
+# Scale: one shuffle on user_id; per-partition Python state is O(1).
+# ---------------------------------------------------------------------------
+
+_Q271_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+FROM seq
+GROUP BY user_id
+"""
+
+
+@register("q271_udtf_table_argument", oracle=_Q271_ORACLE, tags=("udtf", "python", "table-arg", "sessionization"))
+def q271_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.n = 0
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            if self.prev is not None:
+                self.max_gap = max(self.max_gap, row["us"] - self.prev)
+            self.prev = row["us"]
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.max_gap
+
+    spark.udtf.register("gap_stats", GapStats)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    ev.createOrReplaceTempView("__q271_events")
+    return spark.sql(
+        "SELECT * FROM gap_stats(TABLE(__q271_events) "
+        "PARTITION BY user_id ORDER BY (us, event_id))"
+    )

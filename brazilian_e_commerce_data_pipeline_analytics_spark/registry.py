@@ -85,6 +85,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q266_int8_quant_calibration",
     "q267_matryoshka_trunc_recall",
     "q268_stream_full_outer_join",
+    "q269_sql_scripting",
+    "q270_collated_grouping",
+    "q271_udtf_table_argument",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",

@@ -922,3 +922,35 @@ def test_q262_analyze_stats_flip_join_strategy(spark):
     # the flip is stats-driven: only the after-plan has a rowCount
     assert "rowCount" not in before_stats
     assert "rowCount" in after_stats
+
+
+def test_round7_queries_stay_jvm_side(spark):
+    """q263/q266/q267/q270 are pure Catalyst surface — lateral aliases
+    inline to projections, the quantization round trip and truncation
+    recall are transform/zip_with/aggregate folds, collation is an
+    ICU-backed grouping. No Python anywhere in their plans."""
+    for name in (
+        "q263_lateral_column_alias",
+        "q266_int8_quant_calibration",
+        "q267_matryoshka_trunc_recall",
+        "q270_collated_grouping",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
+def test_round7_arrow_boundaries_use_arrow_nodes(spark):
+    """The two new Arrow APIs must plan as their Arrow-native physical
+    nodes (NOT the pandas ones): q264 -> MapInArrow, q265 ->
+    FlatMapGroupsInArrow; q271's table-argument UDTF evaluates as a
+    UDTF node fed by a single shuffle on the PARTITION BY key."""
+    assert "MapInArrow" in formatted_plan(
+        QUERIES["q264_mapinarrow_doc_bytes"].builder(spark, SF_SMALL)
+    )
+    assert "FlatMapGroupsInArrow" in formatted_plan(
+        QUERIES["q265_applyinarrow_norms"].builder(spark, SF_SMALL)
+    )
+    q271 = QUERIES["q271_udtf_table_argument"].builder(spark, SF_SMALL)
+    plan = formatted_plan(q271)
+    assert "PythonUDTF" in plan or "BatchEvalPythonUDTF" in plan
+    assert exchange_count(q271) == 1  # one shuffle: the PARTITION BY key
