@@ -822,3 +822,53 @@ def q259_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW inline(a) tk
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q272: approx_top_k_accumulate / _combine / _estimate (Spark 4.1) —
+# the MERGEABLE form of q259's heavy-hitter sketch, and the one that
+# matters at 100 TB: each shard/day/partition accumulates its own
+# fixed-size sketch, sketches union with _combine (associative,
+# bounded state — the same algebra as q97's HLL union and q171's
+# moments), and _estimate extracts top-k from the merged state. Here
+# the partial sketches are per-month, combined to a global top-3 —
+# exactly how a daily-rollup pipeline keeps heavy hitters without
+# re-scanning history. Same exactness contract as q259
+# (maxItemsTracked=100 >> 5 event types => no evictions => the merge
+# is exact and hash-checkable; counts at the cut distinct at every
+# tested SF).
+# ---------------------------------------------------------------------------
+
+_Q272_ORACLE = """
+SELECT event_type, n_events
+FROM (
+  SELECT event_type, COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+ORDER BY n_events DESC, event_type
+LIMIT 3
+"""
+
+
+@register("q272_approx_top_k_mergeable", oracle=_Q272_ORACLE, tags=("sketch", "topk", "mergeable", "approx"))
+def q272_approx_top_k_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__q272_events")
+    return spark.sql(
+        """
+        WITH partials AS (
+          SELECT month(ts) AS m,
+                 approx_top_k_accumulate(event_type, 100) AS sk
+          FROM __q272_events
+          GROUP BY 1
+        ),
+        merged AS (
+          SELECT approx_top_k_estimate(approx_top_k_combine(sk), 3) AS a
+          FROM partials
+        )
+        SELECT tk.item AS event_type, tk.count AS n_events
+        FROM merged
+        LATERAL VIEW inline(a) tk
+        """
+    )

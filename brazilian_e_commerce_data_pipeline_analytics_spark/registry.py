@@ -88,6 +88,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q269_sql_scripting",
     "q270_collated_grouping",
     "q271_udtf_table_argument",
+    "q272_approx_top_k_mergeable",
+    "q273_statestore_introspection",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",

@@ -1897,3 +1897,69 @@ def q268_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_seconds"),
     )
     return run_stream_to_memory(spark, out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q273: state-store introspection (Spark 4's `statestore` batch source)
+# — read a streaming checkpoint's STATE as a DataFrame. This is the ops
+# capability that matters when a 100 TB/day stream misbehaves: instead
+# of guessing what a stateful operator holds, query it (state rows,
+# per-partition sizes, skewed keys) with ordinary SQL, offline, without
+# touching the running query. Here: an event-type running-count
+# aggregate executes to completion against a fresh checkpoint, then the
+# checkpoint is opened with spark.read.format("statestore") and the
+# keyed state is returned — which for a completed complete-mode count
+# over the whole fixture must equal the batch GROUP BY, and that is
+# exactly what the oracle checks. The companion `state-metadata` source
+# (operator names / state store names / batch ids) is probed in
+# tests/test_streaming.py.
+#
+# Scale: the state source reads snapshot + delta files per partition in
+# parallel — O(state size), no reprocessing of the input stream.
+# ---------------------------------------------------------------------------
+
+_Q273_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "q273_statestore_introspection",
+    oracle=_Q273_ORACLE,
+    tags=("streaming", "statestore", "ops"),
+)
+def q273_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"statestore_probe_{sf_name}",
+    )
+    # fresh checkpoint per run: a leftover checkpoint would skip the
+    # already-processed fixture files and (after a fixture regen) hold
+    # stale counts — the q245 split-cache lesson applied to state
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )

@@ -444,3 +444,28 @@ def test_gold_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         assert got == {(1, 100.0, 1), (2, 999.0, 9), (3, 300.0, 3)}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_state_metadata_source_describes_checkpoint(spark):
+    """q273's companion: the `state-metadata` batch source exposes the
+    checkpoint's operator inventory (operator/state-store names, batch
+    range) — the first thing an on-call engineer lists before opening
+    the state itself. Run q273 (which writes a fresh checkpoint), then
+    assert the metadata names its aggregate operator."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    all_queries()["q273_statestore_introspection"].builder(spark, sf).collect()
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", f"statestore_probe_{os.path.basename(sf)}",
+    )
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    ops = {r["operatorName"] for r in meta}
+    assert "stateStoreSave" in ops
+    row = next(r for r in meta if r["operatorName"] == "stateStoreSave")
+    assert row["numPartitions"] == 8
+    assert row["minBatchId"] == 0
