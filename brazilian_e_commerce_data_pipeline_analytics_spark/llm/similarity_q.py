@@ -1404,3 +1404,79 @@ def q267_matryoshka_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q274: semantic decontamination — the embedding-space sibling of q98's
+# n-gram decontamination: flag corpus vectors whose cosine to ANY
+# eval-set vector clears a threshold (paraphrased eval leakage that
+# lexical n-grams miss). Eval set = the 1% vec_id%100==0 slice; the
+# flag is an EXISTS over the (corpus x eval) cosine — expressed as a
+# left semi-ish aggregate so each corpus row carries its max eval
+# similarity (the audit wants the margin, not just the bit). Rolled up
+# per label: flagged count, rate, and the worst offender's score.
+#
+# Scale: eval sets are small by construction (benchmarks, not corpora)
+# — the eval side broadcasts; corpus rows never shuffle (map-side
+# cosine + a |labels|-row rollup). At 100 TB this is one narrow pass,
+# same economics as q210's centroid assignment. Threshold 0.35 matches
+# q49's near-dup bar for these synthetic vectors (untrained embeddings
+# rarely exceed ~0.5 cross-similarity; the gate is the shape, the
+# number is corpus-specific calibration — q202's lesson).
+# ---------------------------------------------------------------------------
+
+_Q274_ORACLE = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev_vec
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 100 <> 0
+),
+scored AS (
+  SELECT c.vec_id, c.label,
+         MAX(round(list_cosine_similarity(c.v, e.ev_vec), 6)) AS max_eval_sim
+  FROM corpus c CROSS JOIN ev e
+  GROUP BY c.vec_id, c.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN max_eval_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(CAST(SUM(CASE WHEN max_eval_sim >= 0.35 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS contamination_rate,
+       MAX(max_eval_sim) AS worst_sim
+FROM scored
+GROUP BY label
+"""
+
+
+@register(
+    "q274_semantic_decontamination",
+    oracle=_Q274_ORACLE,
+    tags=("similarity", "decontamination", "llm", "curation"),
+)
+def q274_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        as_double(F.col("embedding")).alias("ev_vec"),
+    )
+    corpus = e.filter(F.col("vec_id") % 100 != 0).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        corpus.join(F.broadcast(ev))  # eval side is small by construction
+        .groupBy("vec_id", "label")
+        .agg(F.max(cosine(F.col("v"), F.col("ev_vec"))).alias("max_eval_sim"))
+    )
+    flagged = F.sum(F.when(F.col("max_eval_sim") >= 0.35, 1).otherwise(0))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        flagged.cast("bigint").alias("n_contaminated"),
+        F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias(
+            "contamination_rate"
+        ),
+        F.max("max_eval_sim").alias("worst_sim"),
+    )

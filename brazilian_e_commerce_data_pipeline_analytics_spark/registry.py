@@ -90,6 +90,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q271_udtf_table_argument",
     "q272_approx_top_k_mergeable",
     "q273_statestore_introspection",
+    "q274_semantic_decontamination",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",
