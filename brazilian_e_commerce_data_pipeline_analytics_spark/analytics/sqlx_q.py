@@ -15,6 +15,7 @@ costs scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import register_views
 from ..registry import register
@@ -864,5 +865,133 @@ def q270_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders
         )
         GROUP BY pri_mixed COLLATE UTF8_LCASE
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q275: pandas API on Spark (pyspark.pandas) — the migration surface
+# for pandas codebases: a ps.read_parquet → groupby → agg pipeline that
+# COMPILES TO THE SAME CATALYST PLANS as the DataFrame API (no Python
+# row boundary; to_spark() hands back the logical plan). The index type
+# is pinned to 'distributed' — the default sequence index imposes a
+# single-partition window over the whole table, the classic
+# pandas-on-Spark scale trap. Aggregates are order-free (count/min/max)
+# so the pandas layer adds zero determinism risk.
+# ---------------------------------------------------------------------------
+
+_Q275_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q275_pandas_api_on_spark", oracle=_Q275_ORACLE, tags=("pandas-api", "python-surface"))
+def q275_pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyspark.pandas as ps
+
+    old = ps.get_option("compute.default_index_type")
+    try:
+        ps.set_option("compute.default_index_type", "distributed")
+        pdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        g = pdf.groupby("o_orderpriority").agg(
+            n_orders=("o_orderkey", "count"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        return g.reset_index().to_spark().select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "min_price",
+            "max_price",
+        )
+    finally:
+        ps.set_option("compute.default_index_type", old)
+
+
+# ---------------------------------------------------------------------------
+# q276: DataFrame.transpose (Spark 4.0) — rows become columns keyed by
+# the transpose column's values (the presentation flip BI exports do).
+# Input is the deterministic 5-row priority aggregate, so the output is
+# a fixed 1x5 matrix per metric row; transpose REQUIRES uniform value
+# types (everything bigint here) and driver-side column naming from the
+# key column — a small-aggregate-only operator by design (column count
+# = row count; never transpose an SF-scaling relation). Oracle spells
+# the flip with conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_Q276_ORACLE = """
+WITH c AS (
+  SELECT CASE o_orderpriority
+           WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+           WHEN '3-MEDIUM' THEN 'medium' WHEN '4-NOT SPECIFIED' THEN 'notspec'
+           ELSE 'low' END AS pri,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT 'n_orders' AS key,
+       CAST(SUM(CASE WHEN pri = 'urgent' THEN n END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN pri = 'high' THEN n END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN pri = 'medium' THEN n END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN pri = 'notspec' THEN n END) AS BIGINT) AS notspec,
+       CAST(SUM(CASE WHEN pri = 'low' THEN n END) AS BIGINT) AS low
+FROM c
+"""
+
+
+@register("q276_dataframe_transpose", oracle=_Q276_ORACLE, tags=("dataframe-api", "transpose"))
+def q276_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    pri = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "notspec")
+        .otherwise("low")
+    )
+    agg = (
+        o.groupBy(pri.alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("pri")
+    )
+    return agg.transpose("pri").withColumnRenamed("key", "key").select(
+        "key", "urgent", "high", "medium", "notspec", "low"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277: SELECT * EXCEPT (...) — projection-by-exclusion (SQL:2023
+# direction, every modern warehouse has it): keep everything but the
+# wide/payload columns. The anti-pattern it prevents at 100 TB is the
+# opposite one — a migrator hand-listing columns, missing one, and
+# silently shipping a wrong schema; EXCEPT keeps the projection tied to
+# the table's actual schema. Column pruning still reaches the scan (the
+# excluded column never leaves the reader). Oracle enumerates the
+# complement explicitly.
+# ---------------------------------------------------------------------------
+
+_Q277_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderkey % 1000 = 0
+"""
+
+
+@register("q277_select_star_except", oracle=_Q277_ORACLE, tags=("sql-api", "projection"))
+def q277_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate)
+        FROM orders
+        WHERE o_orderkey % 1000 = 0
         """
     )

@@ -91,6 +91,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q272_approx_top_k_mergeable",
     "q273_statestore_introspection",
     "q274_semantic_decontamination",
+    "q275_pandas_api_on_spark",
+    "q276_dataframe_transpose",
+    "q277_select_star_except",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",
