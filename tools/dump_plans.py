@@ -93,7 +93,33 @@ SHOWCASE = {
         "`price_band(x)` into a codegen'd CASE expression — compare a "
         "Python UDF, which would pin a BatchEvalPython node here."
     ),
+    "q262_cbo_stats_join_strategy": (
+        "Statistics-driven planning: with ANALYZE'd column stats under "
+        "spark.sql.cbo.enabled, FilterEstimation shrinks the point-"
+        "filtered orders side to ~rows/NDV and it BROADCASTS "
+        "(`BroadcastHashJoin`); stats-less, the identical query plans a "
+        "SortMergeJoin — the before/after pair is pinned in "
+        "tests/test_plans.py."
+    ),
+    "q264_mapinarrow_doc_bytes": (
+        "The Python boundary is ONE `MapInArrow` node between the scan "
+        "and the JVM aggregate — RecordBatches cross zero-copy, no "
+        "pandas materialization node, and the groupBy stays whole-stage "
+        "codegen."
+    ),
+    "q271_udtf_table_argument": (
+        "UDTF with a TABLE argument: `BatchEvalPythonUDTF` fed by "
+        "EXACTLY ONE exchange on the PARTITION BY key — each user's "
+        "rows stream through one UDTF instance in ORDER BY order; the "
+        "per-key sequential operator without applyInPandas."
+    ),
 }
+
+
+# NOTE: PLANS.md contains HAND-CURATED sections (q125/q126/q127, ...)
+# beyond this showcase — regenerating overwrites them. To add a section,
+# run this tool to a temp file and append the new sections to PLANS.md,
+# or re-add the curated text after regenerating (round-7 lesson).
 
 
 def main() -> None:
