@@ -765,3 +765,60 @@ def test_distributed_cumsums_match_window_sums(spark, rows, n_parts, exclusive):
         ).collect()
     }
     assert got == exp
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vecs=vec_strategy)
+@settings(**SETTINGS)
+def test_int8_quantization_error_bound(spark, vecs):
+    """q266's round trip, as an algebraic invariant for ANY vector: with
+    scale = max|x| and codes floor(x*127/scale), every code lies in
+    [-128, 127] and every reconstruction error is < scale/127 (one
+    quantization step — floor's worst case), for arbitrary float32
+    inputs, not just the fixture embeddings."""
+    rows = [
+        Row(i=i, v=[float(x) for x in vec])
+        for i, vec in enumerate(vecs)
+        if any(x != 0.0 for x in vec)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "i int, v array<double>")
+    scale = F.array_max(F.transform(F.col("v"), F.abs))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.lit(127.0) / F.col("scale"))
+    )
+    out = (
+        df.withColumn("scale", scale)
+        .withColumn("codes", codes)
+        .withColumn(
+            "errs",
+            F.zip_with(
+                F.col("v"),
+                F.col("codes"),
+                lambda x, c: F.abs(x - c * F.col("scale") / F.lit(127.0)),
+            ),
+        )
+        .select("i", "scale", "codes", "errs")
+        .collect()
+    )
+    for r in out:
+        step = r["scale"] / 127.0
+        assert all(-128 <= c <= 127 for c in r["codes"]), r
+        assert all(e < step + 1e-12 for e in r["errs"]), r
