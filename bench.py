@@ -79,6 +79,10 @@ BENCH_EXTENDED = (
     "q244_udtf_polymorphic_ngrams",
     "q245_stream_gold_yoy",
     "q252_bitmap_exact_distinct",
+    # round-7 additions: the Arrow-native boundary (RecordBatch path)
+    # and the broadcast-eval decontamination pass
+    "q264_mapinarrow_doc_bytes",
+    "q274_semantic_decontamination",
 )
 
 
