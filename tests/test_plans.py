@@ -954,3 +954,35 @@ def test_round7_arrow_boundaries_use_arrow_nodes(spark):
     plan = formatted_plan(q271)
     assert "PythonUDTF" in plan or "BatchEvalPythonUDTF" in plan
     assert exchange_count(q271) == 1  # one shuffle: the PARTITION BY key
+
+
+def test_q275_pandas_api_compiles_to_catalyst(spark):
+    """pyspark.pandas must hand back a pure-JVM plan: no Python eval
+    node AND no Window at all — the default 'sequence' index would pin
+    a whole-table single-partition window (the classic pandas-on-Spark
+    scale trap q275 exists to document); the 'distributed' index keeps
+    the plan window-free."""
+    df = QUERIES["q275_pandas_api_on_spark"].builder(spark, SF_SMALL)
+    assert not has_python_eval(df)
+    assert "Window" not in formatted_plan(df)
+
+
+def test_q277_star_except_prunes_scan(spark):
+    """SELECT * EXCEPT must prune like an explicit projection: the
+    excluded columns never leave the parquet reader."""
+    df = QUERIES["q277_select_star_except"].builder(spark, SF_SMALL)
+    (schema,) = read_schemas(df)
+    assert "o_totalprice" not in schema and "o_orderdate" not in schema
+    assert "o_orderkey" in schema
+
+
+def test_q274_broadcasts_eval_side_only(spark):
+    """q274's scale shape: the (small-by-construction) eval set crosses
+    as a BroadcastNestedLoopJoin build side — the corpus itself never
+    shuffles to be scored; the only exchanges are the per-vector max
+    rollup and the |labels|-row final agg."""
+    df = QUERIES["q274_semantic_decontamination"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not has_python_eval(df)
+    assert exchange_count(df) == 2
