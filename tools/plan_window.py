@@ -59,6 +59,39 @@ def main() -> int:
     else:
         print(f"\nOVERFLOW: {len(priority) - 50} candidates don't fit; "
               "they go to positions 51+ and the round after.")
+
+    # Ready-to-paste FULL priority tuple (round-7 upgrade): no-green
+    # queries first, then every green sorted by (last-green round asc,
+    # current priority order) — paste over _DRIVER_WINDOW_PRIORITY, add
+    # new queries at the very front as they land, and the rotation is
+    # one command per round. Last-green per query from the same
+    # CORRECTNESS union used above.
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in path.split("_r")[1] if ch.isdigit()))
+        with open(path, encoding="utf-8") as fh:
+            for name, row in json.load(fh).items():
+                ok = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match", True) is not False
+                    and not row.get("err")
+                )
+                if ok:
+                    last_green[name] = rnd
+    order = {n: i for i, n in enumerate(names)}
+    greens_sorted = sorted(green, key=lambda n: (last_green.get(n, 0), order[n]))
+    full = priority + greens_sorted
+    if "--paste" in sys.argv:
+        print("\n# --- ready-to-paste _DRIVER_WINDOW_PRIORITY body ---")
+        head, rest = full[:50], full[50:]
+        for n in head:
+            print(f'    "{n}",')
+        print("    # -- below here: outside the 50-row window --")
+        for n in rest:
+            print(f'    "{n}",')
+    else:
+        print("\n(run with --paste for the full ready-to-paste tuple body)")
     return 0
 
 
