@@ -469,3 +469,65 @@ def test_state_metadata_source_describes_checkpoint(spark):
     row = next(r for r in meta if r["operatorName"] == "stateStoreSave")
     assert row["numPartitions"] == 8
     assert row["minBatchId"] == 0
+
+
+def test_statestore_source_reads_join_state(spark, tmp_path):
+    """Round-8 candidate de-risk: the statestore source also opens a
+    stream-stream JOIN's four symmetricHashJoin stores (storeName
+    option), and the RETAINED row counts match the watermark eviction
+    arithmetic exactly — the introspection that explains join-state
+    size on a production stream. ids 0..49, evens on the left (ts=id),
+    odds right; condition right in [left, left+5], 10s watermarks.
+    Final global watermark = min(48, 49) - 10 = 38; left rows retained
+    iff a_ts + 5 >= 38 (evens 34..48 = 8), right iff b_ts >= 38
+    (odds 39..49 = 6)."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    spark.range(50).coalesce(1).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).alias("is_a"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    ).write.mode("overwrite").parquet(src)
+    st = spark.readStream.schema("id bigint, is_a boolean, ts timestamp").parquet(src)
+    a = (
+        st.filter("is_a")
+        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "10 seconds")
+    )
+    b = (
+        st.filter("NOT is_a")
+        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", "10 seconds")
+    )
+    j = a.join(
+        b,
+        (F.col("a_id") + 1 == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 SECONDS")),
+    )
+    q = (
+        j.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    stores = {r["stateStoreName"] for r in meta.collect()}
+    assert stores == {
+        "left-keyToNumValues",
+        "left-keyWithIndexToValue",
+        "right-keyToNumValues",
+        "right-keyWithIndexToValue",
+    }
+    counts = {
+        side: spark.read.format("statestore")
+        .option("storeName", f"{side}-keyWithIndexToValue")
+        .load(ckpt)
+        .count()
+        for side in ("left", "right")
+    }
+    assert counts == {"left": 8, "right": 6}
