@@ -151,7 +151,7 @@ def main() -> None:
     # so without it a later run of a caching query would skip its
     # heaviest stage. Every reported time is therefore a full
     # scan->shuffle->agg execution, just the least-interrupted one.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def time_query(name: str) -> float:
         best = float("inf")

@@ -678,10 +678,21 @@ def cbo_stats_tables(
         (ct, "customer", lambda d: d),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        df = fix(spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet")))
-        df.write.mode("overwrite").option(
-            "path", os.path.join(base, src)
-        ).saveAsTable(tbl)
+        loc = os.path.join(base, src)
+        src_path = os.path.join(sf_dir, f"{src}.parquet")
+        success = os.path.join(loc, "_SUCCESS")
+        # The parquet DATA is deterministic per (sf, source) — rewrite
+        # it only when missing or when the fixture is newer (the
+        # _orders_stream mtime rule); DDL registration and ANALYZE run
+        # per call, since the in-memory catalog (and its stats) is
+        # fresh per session and the plan-pin test flips analyze on/off.
+        if not os.path.exists(success) or os.path.getmtime(
+            success
+        ) < os.path.getmtime(src_path):
+            df = fix(spark.read.parquet(src_path))
+            df.write.mode("overwrite").option("path", loc).saveAsTable(tbl)
+        else:
+            spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'")
         if analyze:
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
     return ot, ct
@@ -962,7 +973,7 @@ def q276_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("pri")
     )
-    return agg.transpose("pri").withColumnRenamed("key", "key").select(
+    return agg.transpose("pri").select(
         "key", "urgent", "high", "medium", "notspec", "low"
     )
 

@@ -1006,11 +1006,17 @@ FROM ids WHERE id % 3 <> 0 AND id + {_OJ_WIN} < ({_OJ_N} - 1) - {_OJ_WM}
 """
 
 
-def _ensure_outer_join_fixture() -> str:
-    """4 deterministic batch files of kind-tagged rows: every id has an
-    'a' row (ets = id); ids % 3 == 0 also carry a 'b' row (ets = id+10).
-    Strictly increasing mtimes fix the micro-batch order (q119)."""
+def _ensure_kind_tagged_fixture(dirname: str, a_pred) -> str:
+    """Deterministic batch files of kind-tagged rows for the
+    stream-join family (q138/q148/q268): ids with ``a_pred(i)`` carry
+    an 'a' row (ets = i); ids % 3 == 0 carry a 'b' row (ets = i+OFF).
+    Strictly increasing mtimes fix the micro-batch order (q119). The
+    ``_complete`` marker RECORDS the generating constants and the
+    fixture is rebuilt when they change — keying on existence alone
+    would silently replay a stale fixture against an oracle built from
+    the NEW constants (the q245 split-cache lesson, round-7 review)."""
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1019,16 +1025,21 @@ def _ensure_outer_join_fixture() -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
         ".tmp",
         "stream",
-        "outer_join_v1",
+        dirname,
     )
     marker = os.path.join(d, "_complete")
+    stamp = f"n={_OJ_N} b={_OJ_B} off={_OJ_OFF} base={_OJ_BASE}\n"
     if os.path.exists(marker):
-        return d
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == stamp:
+                return d
+        shutil.rmtree(d, ignore_errors=True)  # constants changed: rebuild
     os.makedirs(d, exist_ok=True)
     for b in range(_OJ_N // _OJ_B):
         rid, ets, kind = [], [], []
         for i in range(b * _OJ_B, (b + 1) * _OJ_B):
-            rid.append(i), ets.append(i), kind.append("a")
+            if a_pred(i):
+                rid.append(i), ets.append(i), kind.append("a")
             if i % 3 == 0:
                 rid.append(i), ets.append(i + _OJ_OFF), kind.append("b")
         path = os.path.join(d, f"batch_{b}.parquet")
@@ -1044,17 +1055,13 @@ def _ensure_outer_join_fixture() -> str:
         )
         os.utime(path, (_OJ_BASE + b, _OJ_BASE + b))
     with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(f"n={_OJ_N} b={_OJ_B}\n")
+        fh.write(stamp)
     return d
 
 
-@register(
-    "q138_stream_outer_join",
-    oracle=_Q138_ORACLE,
-    tags=("streaming", "join", "outer", "watermark"),
-)
-def q138_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _ensure_outer_join_fixture()
+def _oj_watermarked_sides(spark: SparkSession, d: str):
+    """The (a, b) watermarked stream pair every kind-tagged join query
+    builds: one file-source stream, kind-split, ts = BASE + ets."""
     st = (
         spark.readStream.schema("id bigint, ets bigint, kind string")
         .option("maxFilesPerTrigger", 1)
@@ -1073,6 +1080,22 @@ def q138_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
         .withWatermark("b_ts", f"{_OJ_WM} seconds")
     )
+    return a, b
+
+
+def _ensure_outer_join_fixture() -> str:
+    """q138/q148's fixture: every id has an 'a' row."""
+    return _ensure_kind_tagged_fixture("outer_join_v1", lambda i: True)
+
+
+@register(
+    "q138_stream_outer_join",
+    oracle=_Q138_ORACLE,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def q138_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _ensure_outer_join_fixture()
+    a, b = _oj_watermarked_sides(spark, d)
     joined = a.join(
         b,
         (F.col("a_id") == F.col("b_id"))
@@ -1184,24 +1207,7 @@ GROUP BY 1
 )
 def q148_stream_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_outer_join_fixture()
-    st = (
-        spark.readStream.schema("id bigint, ets bigint, kind string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    ev = st.select(
-        "id", "kind", F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts")
-    )
-    a = (
-        ev.filter(F.col("kind") == "a")
-        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
-        .withWatermark("a_ts", f"{_OJ_WM} seconds")
-    )
-    b = (
-        ev.filter(F.col("kind") == "b")
-        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
-        .withWatermark("b_ts", f"{_OJ_WM} seconds")
-    )
+    a, b = _oj_watermarked_sides(spark, d)
     joined = a.join(
         b,
         (F.col("a_id") == F.col("b_id"))
@@ -1812,46 +1818,9 @@ WHERE id % 3 = 0 AND id % 5 = 1
 
 
 def _ensure_full_outer_fixture() -> str:
-    """q268's kind-tagged batch files: 'a' rows for ids %5 != 1
-    (ets=id), 'b' rows for ids %3 == 0 (ets=id+10); 4 files with
-    strictly increasing mtimes fixing micro-batch order (q119)."""
-    import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    d = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".tmp",
-        "stream",
-        "full_outer_join_v1",
-    )
-    marker = os.path.join(d, "_complete")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    for b in range(_OJ_N // _OJ_B):
-        rid, ets, kind = [], [], []
-        for i in range(b * _OJ_B, (b + 1) * _OJ_B):
-            if i % 5 != 1:
-                rid.append(i), ets.append(i), kind.append("a")
-            if i % 3 == 0:
-                rid.append(i), ets.append(i + _OJ_OFF), kind.append("b")
-        path = os.path.join(d, f"batch_{b}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "id": pa.array(rid, pa.int64()),
-                    "ets": pa.array(ets, pa.int64()),
-                    "kind": pa.array(kind),
-                }
-            ),
-            path,
-        )
-        os.utime(path, (_OJ_BASE + b, _OJ_BASE + b))
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(f"n={_OJ_N} b={_OJ_B} full_outer\n")
-    return d
+    """q268's fixture: 'a' rows only for ids % 5 != 1 (so the b-side
+    has genuinely unmatched rows)."""
+    return _ensure_kind_tagged_fixture("full_outer_join_v1", lambda i: i % 5 != 1)
 
 
 @register(
@@ -1861,24 +1830,7 @@ def _ensure_full_outer_fixture() -> str:
 )
 def q268_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_full_outer_fixture()
-    st = (
-        spark.readStream.schema("id bigint, ets bigint, kind string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    ev = st.select(
-        "id", "kind", F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts")
-    )
-    a = (
-        ev.filter(F.col("kind") == "a")
-        .select(F.col("id").alias("a_id"), F.col("ts").alias("a_ts"))
-        .withWatermark("a_ts", f"{_OJ_WM} seconds")
-    )
-    b = (
-        ev.filter(F.col("kind") == "b")
-        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
-        .withWatermark("b_ts", f"{_OJ_WM} seconds")
-    )
+    a, b = _oj_watermarked_sides(spark, d)
     joined = a.join(
         b,
         (F.col("a_id") == F.col("b_id"))

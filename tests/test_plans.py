@@ -758,11 +758,14 @@ def test_q248_variable_folds_into_pushed_filters(spark):
 # Registry-wide broadcast-hint lint (the q215 rule, mechanized): an
 # explicit broadcast hint is a PROMISE the relation stays driver-sized
 # at ANY scale factor. A hint whose subtree reaches an SF-scaling table
-# without passing through an Aggregate / Limit / Deduplicate / Window
-# (the bounding shapes) will OOM the driver at 100× — and AQE cannot
-# override an explicit hint. This lint found and fixed 8 real instances
-# on landing (q215, q23, q90, q117, q118, q135-upsert, q231, q22,
-# q228, q116). Zero whitelist entries: every remaining hint is bounded.
+# without passing through a BOUNDING node — a Limit unconditionally, or
+# an Aggregate/Deduplicate whose output carries no SF-scaling key
+# (tightened in round 7 per ADVICE r6: a groupBy/distinct over doc_id
+# still scales, and Window is never bounding — it preserves row count)
+# — will OOM the driver at 100× — and AQE cannot override an explicit
+# hint. This lint found and fixed TEN real instances on landing (q215,
+# q23, q90, q117, q118, q135-upsert, q231, q22, q228, q116). Zero
+# whitelist entries: every remaining hint is bounded.
 # ---------------------------------------------------------------------------
 
 _SCALING_MARKERS = {

@@ -16,31 +16,43 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    from round_checklist import green_rows
+
     from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
 
     names = list(all_queries())
+    # ONE green definition for the whole toolchain: round_checklist's
+    # green_rows() is what tests/test_registry.py's rotation invariant
+    # imports, so a tuple pasted from here can never disagree with the
+    # test (a second local predicate drifted once — round-7 review).
+    ever_green, _rows_only = green_rows()
     status: dict[str, str] = {}  # name -> 'green' | 'red'
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in path.split("_r")[1] if ch.isdigit()))
         with open(path, encoding="utf-8") as fh:
             for name, row in json.load(fh).items():
                 ok = (
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and row.get("hash_match", True) is not False
-                    and not row.get("err")
+                    not row.get("err")
+                    and row.get("rows_match")
+                    and row.get("hash_match")
                 )
                 # latest round wins; a later red overrides an earlier green
                 status[name] = "green" if ok else "red"
+                if ok:
+                    last_green[name] = rnd
 
-    unverified = [n for n in names if n not in status]
-    red = [n for n in names if status.get(n) == "red"]
-    green = [n for n in names if status.get(n) == "green"]
+    unverified = [n for n in names if n not in ever_green]
+    red = [n for n in names if n in ever_green and status.get(n) == "red"]
+    green = [n for n in names if n in ever_green and status.get(n) == "green"]
 
     print(f"registered: {len(names)}  green: {len(green)}  "
           f"red: {len(red)}  unverified: {len(unverified)}")
@@ -64,23 +76,12 @@ def main() -> int:
     # queries first, then every green sorted by (last-green round asc,
     # current priority order) — paste over _DRIVER_WINDOW_PRIORITY, add
     # new queries at the very front as they land, and the rotation is
-    # one command per round. Last-green per query from the same
-    # CORRECTNESS union used above.
-    last_green: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int("".join(ch for ch in path.split("_r")[1] if ch.isdigit()))
-        with open(path, encoding="utf-8") as fh:
-            for name, row in json.load(fh).items():
-                ok = (
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and row.get("hash_match", True) is not False
-                    and not row.get("err")
-                )
-                if ok:
-                    last_green[name] = rnd
+    # one command per round.
     order = {n: i for i, n in enumerate(names)}
-    greens_sorted = sorted(green, key=lambda n: (last_green.get(n, 0), order[n]))
+    greens_sorted = sorted(
+        [n for n in names if n in ever_green and n not in set(red)],
+        key=lambda n: (last_green.get(n, 0), order[n]),
+    )
     full = priority + greens_sorted
     if "--paste" in sys.argv:
         print("\n# --- ready-to-paste _DRIVER_WINDOW_PRIORITY body ---")
