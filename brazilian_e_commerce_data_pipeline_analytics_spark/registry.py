@@ -94,6 +94,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q275_pandas_api_on_spark",
     "q276_dataframe_transpose",
     "q277_select_star_except",
+    "q278_stream_observe_metrics",
+    "q279_join_state_introspection",
     "q251_try_safe_division",
     "q252_bitmap_exact_distinct",
     "q253_stream_sliding_window",

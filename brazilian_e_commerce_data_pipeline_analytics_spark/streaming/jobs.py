@@ -1915,3 +1915,166 @@ def q273_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q278: streaming observe() — per-micro-batch data-quality metrics
+# riding the stream itself (CollectMetrics inside the streaming plan,
+# delivered through StreamingQueryListener.onQueryProgress), q249's
+# batch capability lifted to the stream: row counts / key ranges per
+# trigger WITHOUT a second aggregation branch competing for state.
+# The per-batch values depend on file-split boundaries, so the
+# REGISTERED result is the split-invariant cross-batch reduction
+# (Σ n per batch == table count; max over batches == table max) — the
+# reconciliation a sink-vs-source audit actually performs. Metrics are
+# mergeable aggregates only (the q249 CollectMetrics contract).
+# Scale: zero extra scan, O(batches) driver-side metric rows.
+# ---------------------------------------------------------------------------
+
+_Q278_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+"""
+
+
+@register(
+    "q278_stream_observe_metrics",
+    oracle=_Q278_ORACLE,
+    tags=("streaming", "observe", "metrics", "ops"),
+)
+def q278_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    collected: list[tuple[int, int, int]] = []
+
+    class _MetricsListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            m = event.progress.observedMetrics.get("audit")
+            if m is not None:
+                collected.append((m["n"], m["max_k"], m["min_k"]))
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    stream = _orders_stream(spark, sf_dir)
+    observed = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_orderkey").alias("max_k"),
+        F.min("o_orderkey").alias("min_k"),
+    )
+    listener = _MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously AFTER termination;
+        # bounded wait for the final batch's metrics to drain
+        import time
+
+        expected = spark.read.parquet(table_path(sf_dir, "orders")).count()
+        for _ in range(100):
+            if sum(n for n, _, _ in collected) >= expected:
+                break
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+    rows = [
+        (
+            sum(n for n, _, _ in collected),
+            max(mk for _, mk, _ in collected),
+            min(mn for _, _, mn in collected),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_orders bigint, max_orderkey bigint, min_orderkey bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279: join-state introspection — q273's statestore source opened on
+# a stream-stream JOIN's checkpoint (storeName selects among the
+# symmetricHashJoin's four stores). The RETAINED row count per side is
+# fully determined by the watermark eviction arithmetic, and that is
+# what the oracle states relationally over the same id spine as q268:
+# with final global watermark wm = (N-1) - WM (the a-side maximum
+# bounds the minimum), a left row is still buffered iff a_ts + WIN >=
+# wm (it could still match a future b) and a right row iff b_ts >= wm.
+# This is the question an on-call engineer actually asks of a
+# misbehaving join ("why is this state store 400 GB?") — answered with
+# SQL over the checkpoint, no reprocessing, verified here against the
+# closed form. Fresh checkpoint per run (the q273 staleness rule).
+# ---------------------------------------------------------------------------
+
+_Q279_ORACLE = f"""
+WITH ids AS (SELECT range AS id FROM range({_OJ_N}))
+SELECT 'left' AS side,
+       CAST(COUNT(*) AS BIGINT) AS n_state_rows
+FROM ids
+WHERE id % 5 <> 1 AND id + {_OJ_WIN} >= ({_OJ_N} - 1) - {_OJ_WM}
+UNION ALL
+SELECT 'right',
+       CAST(COUNT(*) AS BIGINT)
+FROM ids
+WHERE id % 3 = 0 AND id + {_OJ_OFF} >= ({_OJ_N} - 1) - {_OJ_WM}
+"""
+
+
+@register(
+    "q279_join_state_introspection",
+    oracle=_Q279_ORACLE,
+    tags=("streaming", "statestore", "join", "ops"),
+)
+def q279_join_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"join_state_probe_{sf_name}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    d = _ensure_full_outer_fixture()
+    a, b = _oj_watermarked_sides(spark, d)
+    joined = a.join(
+        b,
+        (F.col("a_id") == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_OJ_WIN} SECONDS")),
+        "fullOuter",
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    sides = []
+    for side in ("left", "right"):
+        n = (
+            spark.read.format("statestore")
+            .option("storeName", f"{side}-keyWithIndexToValue")
+            .load(ckpt)
+            .count()
+        )
+        sides.append((side, n))
+    return spark.createDataFrame(sides, "side string, n_state_rows bigint")
