@@ -1074,8 +1074,9 @@ def q92_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q111: market-basket association metrics — q79's co-occurrence pairs
 # upgraded to the full support / confidence / lift triple, the numbers a
 # recommender or assortment analysis actually consumes. Per-item order
-# counts join onto the pair relation broadcast (items are dim-sized next
-# to pairs), the total basket count rides a one-row crossJoin, and all
+# counts join onto the top-500 pair relation (the pair side is the
+# broadcastable one — item counts scale with |part|, so they are never
+# hinted), the total basket count rides a one-row crossJoin, and all
 # three ratios are integer-derived doubles rounded to 6 — identical in
 # any engine. Same top-500 deterministic cut as q79.
 # ---------------------------------------------------------------------------
@@ -1132,9 +1133,13 @@ def q111_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     n_ab = F.col("n_ab").cast("double")
+    # ia/ib are NOT hinted: per-part counts scale with |part| (hinting
+    # them was a driver-OOM promise at 100x — caught by the derived-
+    # marker broadcast lint, r8). The broadcastable side is the top-500
+    # `ranked` relation; AQE picks it at runtime from actual sizes.
     return (
-        ranked.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        ranked.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "rank",

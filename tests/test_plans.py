@@ -764,15 +764,75 @@ def test_q248_variable_folds_into_pushed_filters(spark):
 # still scales, and Window is never bounding — it preserves row count)
 # — will OOM the driver at 100× — and AQE cannot override an explicit
 # hint. This lint found and fixed TEN real instances on landing (q215,
-# q23, q90, q117, q118, q135-upsert, q231, q22, q228, q116). Zero
-# whitelist entries: every remaining hint is bounded.
+# q23, q90, q117, q118, q135-upsert, q231, q22, q228, q116); after the
+# markers became schema-derived (round 8 — the hand-kept dict's
+# embeddings entry "emb" matched no real column, blinding the lint to
+# the whole similarity family for a round), it exposed and fixed 14
+# more across 11 queries (q130/q134's full-corpus re-rank broadcast,
+# q188's corpus hint, the SF-linear query/eval-set hints now capped by
+# similarity.bounded_set, and q111's |part|-scaling item-count hints).
+# Zero whitelist entries: every remaining hint is bounded.
 # ---------------------------------------------------------------------------
 
-_SCALING_MARKERS = {
-    "c_custkey": "customer", "s_suppkey": "supplier", "o_orderkey": "orders",
-    "l_orderkey": "lineitem", "event_id": "events", "doc_id": "documents",
-    "p_partkey": "part", "emb": "embeddings",
-}
+# Markers are DERIVED from the fixture parquet schemas (VERDICT r7 item
+# 6): a hand-kept dict drifted — its embeddings entry was the key "emb",
+# which matches no real column (the table is vec_id/embedding/label), so
+# the lint was silently blind to the entire similarity family for a full
+# round. Two marker sets with different jobs:
+#   _LEAF_MARKERS: EVERY column of every SF-scaling table -> table name.
+#     Used at leaf relations to answer "does this scan read a scaling
+#     table?" — all-columns so a projection that prunes the key column
+#     can't hide the table from the lint.
+#   _KEY_MARKERS: only the identity/foreign-key columns (suffix `key` or
+#     `_id`, minus references to the FIXED dims region/nation). Used on
+#     Aggregate/Deduplicate OUTPUT to answer "does this group-by still
+#     scale?" — groupBy(doc_id) scales with the corpus, groupBy
+#     (c_mktsegment) or groupBy(n_nationkey) does not.
+_SCALING_TABLES = (
+    "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+_FIXED_KEY_SUFFIXES = ("nationkey", "regionkey")
+
+
+def _fixture_columns(table):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{SF_SMALL}/{table}.parquet"
+    if os.path.isdir(path):
+        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    return list(pq.ParquetFile(path).schema_arrow.names)
+
+
+def _derive_markers():
+    leaf, key = {}, {}
+    for t in _SCALING_TABLES:
+        for nm in _fixture_columns(t):
+            if nm.endswith(_FIXED_KEY_SUFFIXES):
+                continue  # FK into a fixed-size dim: bounded cardinality
+            leaf.setdefault(nm, t)
+            if nm.endswith("key") or nm.endswith("_id"):
+                key.setdefault(nm, t)
+    return leaf, key
+
+
+_LEAF_MARKERS, _KEY_MARKERS = _derive_markers()
+
+
+def test_every_scaling_table_contributes_markers():
+    """The drift guard the 'emb' bug motivated: every SF-scaling fixture
+    table must contribute at least one leaf marker AND one key marker
+    that exist in its real schema — a renamed column updates the derived
+    sets automatically; a dropped table fails here."""
+    for t in _SCALING_TABLES:
+        assert t in _LEAF_MARKERS.values(), t
+        assert t in _KEY_MARKERS.values(), t
+    assert _KEY_MARKERS.get("vec_id") == "embeddings"
+    for nm in _KEY_MARKERS:
+        assert not nm.endswith(_FIXED_KEY_SUFFIXES)
 # Limits bound unconditionally. Aggregate/Deduplicate bound the row
 # count only when their OUTPUT carries no SF-scaling key — a groupBy /
 # distinct over doc_id still scales with the corpus (ADVICE r6).
@@ -783,23 +843,29 @@ _KEYED_BOUNDING_NODES = ("Aggregate", "Deduplicate")
 _LEAF_NODES = ("LogicalRelation", "Relation", "StreamingRelation", "StreamingRelationV2")
 
 
-def _rel_scaling_tables(n):
+def _output_tables(n, markers):
     out = set()
     try:
         it = n.output().iterator()
         while it.hasNext():
             nm = it.next().name()
-            if nm in _SCALING_MARKERS:
-                out.add(_SCALING_MARKERS[nm])
+            if nm in markers:
+                out.add(markers[nm])
     except Exception:  # noqa: BLE001
         pass
     return out
 
 
+def _rel_scaling_tables(n):
+    return _output_tables(n, _LEAF_MARKERS)
+
+
 def _broadcast_subtree_bounded(node):
     if node.nodeName() in _BOUNDING_NODES:
         return True
-    if node.nodeName() in _KEYED_BOUNDING_NODES and not _rel_scaling_tables(node):
+    if node.nodeName() in _KEYED_BOUNDING_NODES and not _output_tables(
+        node, _KEY_MARKERS
+    ):
         return True
     # a keyed Aggregate/Deduplicate whose output still carries a scaling
     # key falls through to its children — bounded iff something below
