@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import register_views
+from ..catalog import register_views, source_mtime
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -682,13 +682,15 @@ def cbo_stats_tables(
         src_path = os.path.join(sf_dir, f"{src}.parquet")
         success = os.path.join(loc, "_SUCCESS")
         # The parquet DATA is deterministic per (sf, source) — rewrite
-        # it only when missing or when the fixture is newer (the
-        # _orders_stream mtime rule); DDL registration and ANALYZE run
-        # per call, since the in-memory catalog (and its stats) is
+        # it only when missing or when the fixture is newer (the shared
+        # catalog.source_mtime rule: recursive max over contained files,
+        # since an in-place part-file overwrite does not bump a
+        # directory's mtime — ADVICE r7); DDL registration and ANALYZE
+        # run per call, since the in-memory catalog (and its stats) is
         # fresh per session and the plan-pin test flips analyze on/off.
         if not os.path.exists(success) or os.path.getmtime(
             success
-        ) < os.path.getmtime(src_path):
+        ) < source_mtime(src_path):
             df = fix(spark.read.parquet(src_path))
             df.write.mode("overwrite").option("path", loc).saveAsTable(tbl)
         else:

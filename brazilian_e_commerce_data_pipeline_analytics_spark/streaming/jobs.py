@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..catalog import normalize_events_ts, table_path
+from ..catalog import normalize_events_ts, source_mtime, table_path
 from ..functions.compat import dmoney
 from ..registry import register
 
@@ -1006,7 +1006,7 @@ FROM ids WHERE id % 3 <> 0 AND id + {_OJ_WIN} < ({_OJ_N} - 1) - {_OJ_WM}
 """
 
 
-def _ensure_kind_tagged_fixture(dirname: str, a_pred) -> str:
+def _ensure_kind_tagged_fixture(dirname: str, a_pred, pred_tag: str) -> str:
     """Deterministic batch files of kind-tagged rows for the
     stream-join family (q138/q148/q268): ids with ``a_pred(i)`` carry
     an 'a' row (ets = i); ids % 3 == 0 carry a 'b' row (ets = i+OFF).
@@ -1014,7 +1014,11 @@ def _ensure_kind_tagged_fixture(dirname: str, a_pred) -> str:
     ``_complete`` marker RECORDS the generating constants and the
     fixture is rebuilt when they change — keying on existence alone
     would silently replay a stale fixture against an oracle built from
-    the NEW constants (the q245 split-cache lesson, round-7 review)."""
+    the NEW constants (the q245 split-cache lesson, round-7 review).
+    ``pred_tag`` names the a-side predicate in the stamp — the callable
+    itself can't be hashed stably, and without it a changed predicate
+    under an unchanged dirname would replay the stale fixture, the
+    exact failure class the stamp exists to prevent (ADVICE r7)."""
     import os
     import shutil
 
@@ -1028,7 +1032,7 @@ def _ensure_kind_tagged_fixture(dirname: str, a_pred) -> str:
         dirname,
     )
     marker = os.path.join(d, "_complete")
-    stamp = f"n={_OJ_N} b={_OJ_B} off={_OJ_OFF} base={_OJ_BASE}\n"
+    stamp = f"n={_OJ_N} b={_OJ_B} off={_OJ_OFF} base={_OJ_BASE} pred={pred_tag}\n"
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:
             if fh.read() == stamp:
@@ -1085,7 +1089,7 @@ def _oj_watermarked_sides(spark: SparkSession, d: str):
 
 def _ensure_outer_join_fixture() -> str:
     """q138/q148's fixture: every id has an 'a' row."""
-    return _ensure_kind_tagged_fixture("outer_join_v1", lambda i: True)
+    return _ensure_kind_tagged_fixture("outer_join_v1", lambda i: True, "all")
 
 
 @register(
@@ -1402,12 +1406,7 @@ def _orders_stream(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFr
     # silently stream stale rows after a fixture regeneration — unlike
     # _events_stream, whose symlink always tracks the current fixture.
     success = os.path.join(split_dir, "_SUCCESS")
-    src_mtime = os.path.getmtime(path)
-    if os.path.isdir(path):
-        src_mtime = max(
-            [src_mtime]
-            + [e.stat().st_mtime for e in os.scandir(path) if e.is_file()]
-        )
+    src_mtime = source_mtime(path)
     if not os.path.exists(success) or os.path.getmtime(success) < src_mtime:
         spark.read.parquet(path).repartition(n_files).write.mode(
             "overwrite"
@@ -1820,7 +1819,9 @@ WHERE id % 3 = 0 AND id % 5 = 1
 def _ensure_full_outer_fixture() -> str:
     """q268's fixture: 'a' rows only for ids % 5 != 1 (so the b-side
     has genuinely unmatched rows)."""
-    return _ensure_kind_tagged_fixture("full_outer_join_v1", lambda i: i % 5 != 1)
+    return _ensure_kind_tagged_fixture(
+        "full_outer_join_v1", lambda i: i % 5 != 1, "mod5ne1"
+    )
 
 
 @register(
@@ -1991,13 +1992,22 @@ def q278_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.1)
     finally:
         spark.streams.removeListener(listener)
-    rows = [
-        (
-            sum(n for n, _, _ in collected),
-            max(mk for _, mk, _ in collected),
-            min(mn for _, _, mn in collected),
+    # fail LOUDLY if the asynchronous listener never drained the full
+    # metric set — silently reducing partial metrics would return a
+    # plausible-but-wrong total (ADVICE r7); zero-row micro-batches
+    # report max_k/min_k as None, so reductions skip them.
+    drained = sum(n for n, _, _ in collected)
+    if drained != expected:
+        raise RuntimeError(
+            f"q278: observed metrics incomplete after wait: "
+            f"{drained} rows counted vs {expected} expected "
+            f"({len(collected)} progress events)"
         )
-    ]
+    maxes = [mk for _, mk, _ in collected if mk is not None]
+    mins = [mn for _, _, mn in collected if mn is not None]
+    if not maxes or not mins:
+        raise RuntimeError("q278: no non-empty micro-batch metrics collected")
+    rows = [(drained, max(maxes), min(mins))]
     return spark.createDataFrame(
         rows, "n_orders bigint, max_orderkey bigint, min_orderkey bigint"
     )

@@ -43,6 +43,9 @@ def main() -> int:
                 ok = (
                     not row.get("err")
                     and row.get("rows_match")
+                    # same green definition as round_checklist.green_rows
+                    # — schema_match included (ADVICE r7)
+                    and row.get("schema_match", True)
                     and row.get("hash_match")
                 )
                 # latest round wins; a later red overrides an earlier green

@@ -41,8 +41,16 @@ def green_rows() -> tuple[set[str], set[str]]:
                 continue
             if row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
                 rows_only.add(name)
-            elif not row.get("err") and row.get("rows_match") and row.get(
-                "hash_match"
+            elif (
+                not row.get("err")
+                and row.get("rows_match")
+                # schema_match is part of the driver's green definition;
+                # dropping it here once let a schema-red row count green
+                # for window rotation (ADVICE r7). Every recorded round
+                # carries the key; default True keeps hypothetical older
+                # formats readable.
+                and row.get("schema_match", True)
+                and row.get("hash_match")
             ):
                 green.add(name)
     return green, rows_only
