@@ -653,15 +653,26 @@ GROUP BY 1
 """
 
 
+# TimestampNTZ columns crash FilterEstimation under ANALYZE'd column
+# stats (Spark 4.1 scala.MatchError — found round 7): store DATE first.
+_CBO_FIXES = {
+    "orders": lambda d, F: d.withColumn("o_orderdate", F.to_date("o_orderdate")),
+    "lineitem": lambda d, F: d.withColumn("l_shipdate", F.to_date("l_shipdate")),
+}
+
+
 def cbo_stats_tables(
-    spark: SparkSession, sf_dir: str, analyze: bool = True
-) -> tuple[str, str]:
+    spark: SparkSession,
+    sf_dir: str,
+    analyze: bool = True,
+    sources: tuple[str, ...] = ("orders", "customer"),
+) -> tuple[str, ...]:
     """Create (and with ``analyze=True`` ANALYZE) the external stats
-    tables q262 queries; returns (orders_table, customer_table).
-    ``analyze=False`` gives the plan-pin test its stats-less "before"
-    state. Idempotent per session; the in-memory catalog is fresh per
-    SparkSession, so the tables are (re)registered on first use each
-    run."""
+    tables q262/q281 query; returns the table names in ``sources``
+    order. ``analyze=False`` gives the plan-pin tests their stats-less
+    "before" state. Idempotent per session; the in-memory catalog is
+    fresh per SparkSession, so the tables are (re)registered on first
+    use each run."""
     import os
 
     from pyspark.sql import functions as F
@@ -672,11 +683,9 @@ def cbo_stats_tables(
         ".tmp", "cbo", sf_tag,
     )
     spark.sql("CREATE DATABASE IF NOT EXISTS cbo_stats")
-    ot, ct = f"cbo_stats.orders_{sf_tag}", f"cbo_stats.customer_{sf_tag}"
-    for tbl, src, fix in (
-        (ot, "orders", lambda d: d.withColumn("o_orderdate", F.to_date("o_orderdate"))),
-        (ct, "customer", lambda d: d),
-    ):
+    names = tuple(f"cbo_stats.{src}_{sf_tag}" for src in sources)
+    for tbl, src in zip(names, sources):
+        fix = _CBO_FIXES.get(src, lambda d, F: d)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         loc = os.path.join(base, src)
         src_path = os.path.join(sf_dir, f"{src}.parquet")
@@ -691,13 +700,13 @@ def cbo_stats_tables(
         if not os.path.exists(success) or os.path.getmtime(
             success
         ) < source_mtime(src_path):
-            df = fix(spark.read.parquet(src_path))
+            df = fix(spark.read.parquet(src_path), F)
             df.write.mode("overwrite").option("path", loc).saveAsTable(tbl)
         else:
             spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'")
         if analyze:
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
-    return ot, ct
+    return names
 
 
 @register("q262_cbo_stats_join_strategy", oracle=_Q262_ORACLE, tags=("optimizer", "cbo", "statistics", "ddl"))
@@ -728,6 +737,91 @@ def q262_cbo_stats_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_orders"),
             )
         )
+        # materialize the physical plan while CBO is active (q232's
+        # conf-scoping pattern: executedPlan is a cached lazy val)
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q281: CBO join REORDER — q262 pinned the stats-driven *strategy* flip
+# (SMJ→BHJ); this pins the stats-driven *order* flip on a 3-table
+# chain. The query is written in the deliberately suboptimal syntactic
+# order fact-first (lineitem ⋈ orders ⋈ filtered customer): without
+# joinReorder Catalyst keeps it — the big l⋈o intermediate materializes
+# before the selective customer filter cuts it; with
+# spark.sql.cbo.joinReorder.enabled + ANALYZE'd column stats the DP
+# reorderer plans (orders ⋈ customer) first, shrinking the intermediate
+# by the filter's selectivity before lineitem joins in. The order flip
+# itself is plan-pinned in tests/test_plans.py::
+# test_q281_cbo_join_reorder_flips_order (before/after, like q262's
+# strategy pin); the registered result is order-independent, so the
+# oracle checks values while the test pins the optimization.
+# Scale: join order is THE cost lever on star joins at 100 TB — DP
+# reordering from stats is how the engine gets it without hand-tuning.
+# ---------------------------------------------------------------------------
+
+_Q281_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal < 500.0
+GROUP BY 1
+"""
+
+
+def q281_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-table chain in its deliberately fact-first syntactic order,
+    shared by the registered query and the plan-pin test."""
+    from pyspark.sql import functions as F
+
+    ot, ct, lt = cbo_stats_tables(
+        spark, sf_dir, sources=("orders", "customer", "lineitem")
+    )
+    l = spark.table(lt)
+    o = spark.table(ot)
+    c = spark.table(ct).filter(F.col("c_acctbal") < 500.0)
+    # exact decimal Σ price·(1−disc) — the q01/q215 money recipe
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q281_cbo_join_reorder",
+    oracle=_Q281_ORACLE,
+    tags=("optimizer", "cbo", "statistics", "join-order"),
+)
+def q281_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q281_join(spark, sf_dir)
         # materialize the physical plan while CBO is active (q232's
         # conf-scoping pattern: executedPlan is a cached lazy val)
         df._jdf.queryExecution().executedPlan()

@@ -872,3 +872,99 @@ def q272_approx_top_k_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW inline(a) tk
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q282: approx_top_k over an INT column — q259/q272 exercised the
+# sketch on strings; the numeric-key path (shard ids, status codes,
+# bucket numbers — the usual heavy-hitter keys in a pipeline) returns
+# the item in its NATIVE int type through inline(), no stringification.
+# Same exactness contract as q259: maxItemsTracked=100 >> 7 distinct
+# line numbers => no evictions => exact; counts at the k=3 cut are
+# distinct at every tested SF (verified: gaps 24/8/75 at
+# sf0.001/0.01/0.1 — and per the q259 rule, NEVER ship a top-k whose
+# cut can tie without a tiebreak argument).
+# ---------------------------------------------------------------------------
+
+_Q282_ORACLE = """
+SELECT CAST(l_linenumber AS INT) AS linenumber,
+       CAST(n_items AS BIGINT) AS n_items
+FROM (
+  SELECT l_linenumber, COUNT(*) AS n_items
+  FROM lineitem
+  GROUP BY l_linenumber
+)
+ORDER BY n_items DESC, l_linenumber
+LIMIT 3
+"""
+
+
+@register("q282_approx_top_k_int", oracle=_Q282_ORACLE, tags=("sketch", "topk", "approx", "int"))
+def q282_approx_top_k_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__q282_lineitem")
+    return spark.sql(
+        """
+        SELECT tk.item AS linenumber, tk.count AS n_items
+        FROM (
+          SELECT approx_top_k(l_linenumber, 3, 100) AS a FROM __q282_lineitem
+        )
+        LATERAL VIEW inline(a) tk
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283: approx_top_k_combine across DIFFERENT sketch sizes — the
+# contract edge of q272's merge algebra. Two shards accumulate with
+# different maxItemsTracked (100 and 50 — the "yesterday's job ran with
+# an older config" scenario): a BARE approx_top_k_combine(sk) REFUSES
+# to merge them (APPROX_TOP_K_SKETCH_SIZE_NOT_MATCH — pinned in
+# tests/test_llm_ops.py, because silently merging unequal-width
+# sketches would corrupt the error bound), while combine(sk, size)
+# with an explicit target size re-buckets and merges. Exactness holds
+# because EVERY width in play (50, 80) exceeds the 7-value NDV — no
+# sketch ever evicted, so the re-bucketed merge is still exact and
+# hash-checkable against the true counts. Same cut-distinctness
+# argument as q282.
+# ---------------------------------------------------------------------------
+
+_Q283_ORACLE = """
+SELECT CAST(l_linenumber AS INT) AS linenumber,
+       CAST(n_items AS BIGINT) AS n_items
+FROM (
+  SELECT l_linenumber, COUNT(*) AS n_items
+  FROM lineitem
+  GROUP BY l_linenumber
+)
+ORDER BY n_items DESC, l_linenumber
+LIMIT 3
+"""
+
+
+@register(
+    "q283_approx_top_k_mixed_sizes",
+    oracle=_Q283_ORACLE,
+    tags=("sketch", "topk", "mergeable", "approx"),
+)
+def q283_approx_top_k_mixed_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__q283_lineitem")
+    return spark.sql(
+        """
+        WITH partials AS (
+          SELECT approx_top_k_accumulate(l_linenumber, 100) AS sk
+          FROM __q283_lineitem WHERE l_orderkey % 2 = 0
+          UNION ALL
+          SELECT approx_top_k_accumulate(l_linenumber, 50) AS sk
+          FROM __q283_lineitem WHERE l_orderkey % 2 = 1
+        ),
+        merged AS (
+          SELECT approx_top_k_estimate(approx_top_k_combine(sk, 80), 3) AS a
+          FROM partials
+        )
+        SELECT tk.item AS linenumber, tk.count AS n_items
+        FROM merged
+        LATERAL VIEW inline(a) tk
+        """
+    )

@@ -70,6 +70,12 @@ _REGISTRY: dict[str, Query] = {}
 # the CORRECTNESS_r*.json history; ``tools/round_checklist.py``
 # re-verifies everything still pending before rotation.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- round-8 additions (no green row yet — must hold the window
+    # head until CORRECTNESS_r08 lands): --
+    "q280_session_state_introspection",
+    "q281_cbo_join_reorder",
+    "q282_approx_top_k_int",
+    "q283_approx_top_k_mixed_sizes",
     # -- round-7 window (slots 1-50), rotated per VERDICT r6 item 1:
     # the 11 queries with no green driver row (q251-q261, late round-6
     # additions), then the 10 rows whose only green evidence dates to

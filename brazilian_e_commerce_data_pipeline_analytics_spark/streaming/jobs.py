@@ -2088,3 +2088,122 @@ def q279_join_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         sides.append((side, n))
     return spark.createDataFrame(sides, "side string, n_state_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# q280: SESSION-WINDOW state introspection — the third leg of the
+# statestore matrix (aggregate q273 / join q279 / session here): open
+# the checkpoint of a streaming session_window aggregate and return the
+# OPEN-session inventory per user — the sessions the watermark has not
+# yet closed, which is exactly what the sessionWindowStateStoreSaveExec
+# store retains (closed sessions were emitted in append mode and
+# evicted). "Which sessions is the pipeline still holding, and since
+# when?" answered with SQL over the checkpoint, no reprocessing.
+#
+# Closed form (empirically pinned, r8 probe): over the kind-tagged
+# fixture (ids 0..N-1, ts = BASE + id seconds, batches of _OJ_B in id
+# order), user = (id DIV RUN) % USERS gives each user RUN-second event
+# runs separated by (USERS-1)*RUN seconds; with gap < that separation
+# each run is one session [first, last + GAP). Final global watermark
+# wm = (N-1) - WM, and a session stays in state iff its end is
+# STRICTLY after wm (end == wm was emitted and evicted — verified:
+# user 1's 300-block session ends exactly at wm and is gone). The
+# oracle replays the session merge relationally (the q256 running-max
+# technique) and applies that retention predicate — state content as a
+# closed-form query, like q279.
+#
+# Scale: the statestore source reads snapshot + delta files per
+# partition in parallel, O(retained state), never re-reading the input.
+# ---------------------------------------------------------------------------
+
+_SW_GAP, _SW_RUN, _SW_USERS = 20, 10, 5
+
+_Q280_ORACLE = f"""
+WITH e AS (
+  SELECT range AS id,
+         (range // {_SW_RUN}) % {_SW_USERS} AS user_id,
+         range AS t,
+         range + {_SW_GAP} AS e_end
+  FROM range({_OJ_N})
+),
+o AS (
+  SELECT *, MAX(e_end) OVER (
+    PARTITION BY user_id ORDER BY t, id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_max
+  FROM e
+),
+sess AS (
+  SELECT user_id, t, e_end,
+         SUM(CASE WHEN prev_max IS NULL OR t >= prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, id) AS sid
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(t) AS BIGINT) AS session_start_s,
+       CAST(MAX(e_end) AS BIGINT) AS session_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(e_end) > ({_OJ_N} - 1) - {_OJ_WM}
+"""
+
+
+@register(
+    "q280_session_state_introspection",
+    oracle=_Q280_ORACLE,
+    tags=("streaming", "statestore", "sessionize", "ops"),
+)
+def q280_session_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"session_state_probe_{sf_name}",
+    )
+    # fresh checkpoint per run (the q273/q279 staleness rule)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = (
+        st.filter(F.col("kind") == "a")
+        .select(
+            "id",
+            (F.expr(f"id DIV {_SW_RUN}") % _SW_USERS).alias("user_id"),
+            F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts"),
+        )
+        .withWatermark("ts", f"{_OJ_WM} seconds")
+    )
+    agg = ev.groupBy(
+        F.session_window("ts", f"{_SW_GAP} seconds").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("value.user_id").alias("user_id"),
+        (F.unix_seconds(F.col("value.session_window.start")) - F.lit(_OJ_BASE)).alias(
+            "session_start_s"
+        ),
+        (F.unix_seconds(F.col("value.session_window.end")) - F.lit(_OJ_BASE)).alias(
+            "session_end_s"
+        ),
+        F.col("value.count").alias("n_events"),
+    )

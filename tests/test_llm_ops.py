@@ -356,3 +356,29 @@ def test_incremental_neardup_only_crosses_the_split(spark):
         assert bucket(r["doc_new"]) >= _Q133_HIST_CUT
         assert bucket(r["doc_hist"]) < _Q133_HIST_CUT
         assert r["jaccard"] >= 0.05
+
+
+def test_approx_top_k_combine_refuses_mixed_sizes_bare(spark):
+    """q283's contract edge, pinned: merging sketches accumulated with
+    different maxItemsTracked is an ERROR unless combine() is given an
+    explicit target size — Spark refuses rather than silently merging
+    unequal-width sketches (which would corrupt the error bound)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    spark.range(100).selectExpr("id", "id % 7 AS v").createOrReplaceTempView(
+        "__mixed_sizes_probe"
+    )
+    with pytest.raises(SparkRuntimeException, match="APPROX_TOP_K_SKETCH_SIZE_NOT_MATCH"):
+        spark.sql(
+            """
+            WITH p AS (
+              SELECT approx_top_k_accumulate(v, 100) sk
+              FROM __mixed_sizes_probe WHERE id % 2 = 0
+              UNION ALL
+              SELECT approx_top_k_accumulate(v, 50) sk
+              FROM __mixed_sizes_probe WHERE id % 2 = 1
+            )
+            SELECT approx_top_k_estimate(approx_top_k_combine(sk), 3) FROM p
+            """
+        ).collect()

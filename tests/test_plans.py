@@ -993,6 +993,72 @@ def test_q262_analyze_stats_flip_join_strategy(spark):
     assert "rowCount" in after_stats
 
 
+def _join_order(df):
+    """Bottom-up relation order of the optimized plan's innermost join:
+    the pair of base tables joined FIRST. Walks to the deepest Join
+    node and returns the base-table names under each of its sides."""
+    def leaves(node):
+        nm = node.nodeName()
+        if nm in ("LogicalRelation", "Relation"):
+            s = node.toString().splitlines()[0]
+            for t in ("orders", "customer", "lineitem"):
+                if f"{t}_" in s:
+                    return [t]
+            return []
+        out = []
+        it = node.children().iterator()
+        while it.hasNext():
+            out += leaves(it.next())
+        return out
+
+    def deepest_join(node):
+        found = None
+        it = node.children().iterator()
+        while it.hasNext():
+            sub = deepest_join(it.next())
+            if sub is not None:
+                found = sub
+        if found is not None:
+            return found
+        return node if node.nodeName() == "Join" else None
+
+    j = deepest_join(df._jdf.queryExecution().optimizedPlan())  # noqa: SLF001
+    assert j is not None
+    return set(leaves(j))
+
+
+def test_q281_cbo_join_reorder_flips_order(spark):
+    """q281's claim, pinned mechanically: the SAME fact-first 3-table
+    chain keeps its syntactic order (lineitem ⋈ orders innermost)
+    without join reordering, and flips to dims-first
+    (orders ⋈ filtered customer innermost) under
+    spark.sql.cbo.joinReorder.enabled with ANALYZE'd column stats —
+    the DP reorderer pays the selective filter before the fact join."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import (
+        q281_join,
+    )
+
+    def probe(reorder):
+        confs = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": str(reorder).lower(),
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            return _join_order(q281_join(spark, SF_SMALL))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    assert probe(False) == {"lineitem", "orders"}
+    assert probe(True) == {"orders", "customer"}
+
+
 def test_round7_queries_stay_jvm_side(spark):
     """q263/q266/q267/q270 are pure Catalyst surface — lateral aliases
     inline to projections, the quantization round trip and truncation

@@ -531,3 +531,50 @@ def test_statestore_source_reads_join_state(spark, tmp_path):
         for side in ("left", "right")
     }
     assert counts == {"left": 8, "right": 6}
+
+
+def test_q280_session_state_metadata_and_retention(spark):
+    """q280's companion pin: the checkpoint's state-metadata names the
+    sessionWindowStateStoreSaveExec operator (the third store family of
+    the introspection matrix, after q273's stateStoreSave and q279's
+    symmetricHashJoin stores), and the retained inventory matches the
+    closed form computed here from the fixture constants — exactly one
+    open session per (user, run) whose end (last event + gap) is
+    strictly after the final watermark (N-1) - WM."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _OJ_N,
+        _OJ_WM,
+        _SW_GAP,
+        _SW_RUN,
+        _SW_USERS,
+    )
+
+    from .conftest import SF_SMALL as sf
+
+    got = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in all_queries()["q280_session_state_introspection"]
+        .builder(spark, sf)
+        .collect()
+    }
+    wm = (_OJ_N - 1) - _OJ_WM
+    run_span = _SW_RUN * _SW_USERS
+    expected = set()
+    for u in range(_SW_USERS):
+        for m in range(_OJ_N // run_span):
+            start = m * run_span + u * _SW_RUN
+            end = start + _SW_RUN - 1 + _SW_GAP
+            if end > wm:
+                expected.add((u, start, end, _SW_RUN))
+    assert got == expected and expected  # non-vacuous
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", f"session_state_probe_{os.path.basename(sf)}",
+    )
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert {r["operatorName"] for r in meta} == {"sessionWindowStateStoreSaveExec"}
+    assert meta[0]["numPartitions"] == 8
