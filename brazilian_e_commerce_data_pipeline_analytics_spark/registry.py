@@ -70,33 +70,74 @@ _REGISTRY: dict[str, Query] = {}
 # the CORRECTNESS_r*.json history; ``tools/round_checklist.py``
 # re-verifies everything still pending before rotation.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- round-8 additions (no green row yet — must hold the window
-    # head until CORRECTNESS_r08 lands): --
+    # -- round-8 window (slots 1-50): the 4 new r8 queries, the 11
+    # queries whose builders/oracles changed in the r8 broadcast-hint
+    # sweep (their old green evidence predates the change), the full
+    # 32-row r02-evidence block from the r8 rotation plan, and 3
+    # oldest-r03 fills. Behind the window: previous order (the r03
+    # block continues in r9). --
     "q280_session_state_introspection",
     "q281_cbo_join_reorder",
     "q282_approx_top_k_int",
     "q283_approx_top_k_mixed_sizes",
-    # -- round-7 window (slots 1-50), rotated per VERDICT r6 item 1:
-    # the 11 queries with no green driver row (q251-q261, late round-6
-    # additions), then the 10 rows whose only green evidence dates to
-    # r01, then 29 of the 43 oldest-r02 rows. New round-7 queries are
-    # inserted at the very front as they land (the
-    # tests/test_registry.py no-green-row-in-window invariant enforces
-    # this mechanically); each insertion pushes one r02 row past slot
-    # 50 into the round-8 rotation. --
+    "q48_knn_bruteforce",
+    "q51_ann_lsh_bucketed",
+    "q75_ann_ivf",
+    "q111_basket_lift",
+    "q130_ann_pq",
+    "q134_ann_pq_trained",
+    "q187_kmeans_lloyd",
+    "q188_hard_negatives",
+    "q202_ann_recall_calibration",
+    "q267_matryoshka_trunc_recall",
+    "q274_semantic_decontamination",
+    "q57_knn_pandas_udf",
+    "q52_blob_meta",
+    "q55_stream_sessions_closed",
+    "q56_stream_hourly_append",
+    "q60_native_session_window",
+    "q71_stream_dedup",
+    "q89_stream_stream_join",
+    "q91_stream_static_enrich",
+    "q37_sliding_windows",
+    "q36_salted_user_agg",
+    "q64_weekday_hour_heatmap",
+    "q65_unpivot_daily",
+    "q70_json_props_map",
+    "q73_value_position_windows",
+    "q94_map_ops",
+    "q40_token_stats",
+    "q41_lang_id_confusion",
+    "q42_quality_score",
+    "q43_fingerprint_groups",
+    "q44_exact_dedup",
+    "q61_subword_token_stats",
+    "q66_rolling_fingerprint",
+    "q83_hash_split",
+    "q84_fuzzy_part_names",
+    "q85_stopword_filtered_stats",
+    "q86_stratified_sample",
+    "q87_doc_chunks",
+    "q95_repetition_stats",
+    "q96_bm25_search",
+    "q50_label_norm_stats",
+    "q74_embedding_dim_stats",
+    "q54_sessions_batch",
+    "q46p_minhash_lsh_portable",
+    "q115_scd2_customer_dim",
+    "q104_jdbc_roundtrip",
+    # -- below here: outside the 50-row window --
     "q262_cbo_stats_join_strategy",
     "q263_lateral_column_alias",
     "q264_mapinarrow_doc_bytes",
     "q265_applyinarrow_norms",
     "q266_int8_quant_calibration",
-    "q267_matryoshka_trunc_recall",
     "q268_stream_full_outer_join",
     "q269_sql_scripting",
     "q270_collated_grouping",
     "q271_udtf_table_argument",
     "q272_approx_top_k_mergeable",
     "q273_statestore_introspection",
-    "q274_semantic_decontamination",
     "q275_pandas_api_on_spark",
     "q276_dataframe_transpose",
     "q277_select_star_except",
@@ -130,45 +171,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q68_simhash_portable",
     "q81_ngram_jaccard_capped",
     "q82_dup_clusters",
-    "q48_knn_bruteforce",
     "q49_embedding_neardup",
-    "q51_ann_lsh_bucketed",
-    "q75_ann_ivf",
-    "q57_knn_pandas_udf",
-    "q52_blob_meta",
-    "q55_stream_sessions_closed",
-    "q56_stream_hourly_append",
-    "q60_native_session_window",
-    "q71_stream_dedup",
-    "q89_stream_stream_join",
-    "q91_stream_static_enrich",
-    "q37_sliding_windows",
-    "q36_salted_user_agg",
-    "q64_weekday_hour_heatmap",
-    "q65_unpivot_daily",
-    "q70_json_props_map",
-    "q73_value_position_windows",
-    "q94_map_ops",
-    "q40_token_stats",
-    "q41_lang_id_confusion",
-    "q42_quality_score",
-    # -- below here: outside the 50-row window. Round-8 rotation order:
-    # the 14 r02 rows that did not fit this round first (plus any that
-    # round-7 insertions displaced), then r03-era evidence. --
-    "q43_fingerprint_groups",
-    "q44_exact_dedup",
-    "q61_subword_token_stats",
-    "q66_rolling_fingerprint",
-    "q83_hash_split",
-    "q84_fuzzy_part_names",
-    "q85_stopword_filtered_stats",
-    "q86_stratified_sample",
-    "q87_doc_chunks",
-    "q95_repetition_stats",
-    "q96_bm25_search",
-    "q50_label_norm_stats",
-    "q74_embedding_dim_stats",
-    "q54_sessions_batch",
     "q97_approx_distinct_users",
     "q244_udtf_polymorphic_ngrams",
     "q245_stream_gold_yoy",
@@ -225,7 +228,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q199_curriculum_bins",
     "q200_gold_cube_levels",
     "q201_kl_segment_drift",
-    "q202_ann_recall_calibration",
     "q203_next_event_accuracy",
     "q204_temperature_mixture",
     "q205_chi_square_independence",
@@ -307,8 +309,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q184_vocab_oov_rate",
     "q185_doc_chunking",
     "q186_bigram_lm",
-    "q187_kmeans_lloyd",
-    "q188_hard_negatives",
     "q189_winsorized_stats",
     "q190_cms_frequency",
     "q191_psi_drift",
@@ -316,9 +316,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q193_markov_entropy",
     "q194_recursive_cte",
     "q196_sql_udf",
-    "q46p_minhash_lsh_portable",
-    "q115_scd2_customer_dim",
-    "q104_jdbc_roundtrip",
     "q101_minhash_recall",
     "q102_token_zipf",
     "q103_token_entropy",
@@ -328,7 +325,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q108_udaf_xor_signature",
     "q109_ensemble_neardup",
     "q110_geo_nearest_seller",
-    "q111_basket_lift",
     "q88_sequence_packing",
     "q90_mad_outliers",
     "q98_decontamination",
@@ -348,11 +344,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q127_tfidf_top_terms",
     "q128_pagerank_copurchase",
     "q129_format_roundtrip",
-    "q130_ann_pq",
     "q131_domain_caps",
     "q132_unigram_logprob",
     "q133_incremental_neardup",
-    "q134_ann_pq_trained",
     "q135_stream_incremental_dedup",
     "q137_versioned_cdc_apply",
     "q138_stream_outer_join",
@@ -365,7 +359,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q145_range_sorted_write",
     "q146_revenue_trend_ols",
 )
-
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a query builder under ``name``.
