@@ -658,6 +658,9 @@ GROUP BY 1
 _CBO_FIXES = {
     "orders": lambda d, F: d.withColumn("o_orderdate", F.to_date("o_orderdate")),
     "lineitem": lambda d, F: d.withColumn("l_shipdate", F.to_date("l_shipdate")),
+    # ts is TIMESTAMP(NANOS) (the catalog gotcha) and props is a map —
+    # both hazards for ANALYZE FOR ALL COLUMNS; q284 needs neither
+    "events": lambda d, F: d.select("event_id", "user_id", "event_type", "value"),
 }
 
 
@@ -825,6 +828,75 @@ def q281_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the physical plan while CBO is active (q232's
         # conf-scoping pattern: executedPlan is a cached lazy val)
         df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q284: equi-height HISTOGRAM statistics — the third CBO row (strategy
+# q262, order q281, selectivity here). Basic column stats assume a
+# UNIFORM value distribution: on the right-skewed events.value column
+# (median 35, max 490), a tail filter `value > 245` interpolates to
+# ~50% of rows when the truth is <1% — measured 5.00E+3 estimated vs
+# 67 true at sf0.01, a 71x error that cascades into every join-order
+# and strategy decision above the filter. ANALYZE under
+# spark.sql.statistics.histogram.enabled=true adds an equi-height
+# histogram per column and FilterEstimation reads selectivity from the
+# buckets instead — estimate 70 vs 67 true. The estimate fix is pinned
+# in tests/test_plans.py::test_q284_histogram_fixes_skewed_estimate
+# (basic >= 10x histogram estimate; histogram within 3x of truth); the
+# registered result is the tail rollup itself, value-exact.
+# Scale: histograms are THE defense for skewed predicate selectivity
+# at 100 TB — without them every tail-filter plan upstream of a join
+# is sized from a uniform fiction.
+# ---------------------------------------------------------------------------
+
+_Q284_TAIL = 245.0
+
+_Q284_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE value > {_Q284_TAIL}
+GROUP BY event_type
+"""
+
+
+@register(
+    "q284_cbo_histogram_stats",
+    oracle=_Q284_ORACLE,
+    tags=("optimizer", "cbo", "statistics", "histogram"),
+)
+def q284_cbo_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.statistics.histogram.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        (et,) = cbo_stats_tables(spark, sf_dir, sources=("events",))
+        df = (
+            spark.table(et)
+            .filter(F.col("value") > _Q284_TAIL)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        df._jdf.queryExecution().executedPlan()  # plan under active confs
         return df
     finally:
         for k, v in saved.items():

@@ -80,6 +80,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q281_cbo_join_reorder",
     "q282_approx_top_k_int",
     "q283_approx_top_k_mixed_sizes",
+    "q284_cbo_histogram_stats",
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
     "q75_ann_ivf",
@@ -125,8 +126,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q54_sessions_batch",
     "q46p_minhash_lsh_portable",
     "q115_scd2_customer_dim",
-    "q104_jdbc_roundtrip",
     # -- below here: outside the 50-row window --
+    "q104_jdbc_roundtrip",
     "q262_cbo_stats_join_strategy",
     "q263_lateral_column_alias",
     "q264_mapinarrow_doc_bytes",

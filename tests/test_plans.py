@@ -1059,6 +1059,49 @@ def test_q281_cbo_join_reorder_flips_order(spark):
     assert probe(True) == {"orders", "customer"}
 
 
+def test_q284_histogram_fixes_skewed_estimate(spark):
+    """q284's claim, pinned mechanically: on the right-skewed
+    events.value column, basic column stats (uniform interpolation)
+    overestimate the `value > 245` tail by >=10x vs equi-height
+    histogram stats, and the histogram estimate lands within 3x of the
+    true count (measured at sf0.01: 5.00E+3 basic vs 70 histogram vs
+    67 true)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import (
+        _Q284_TAIL,
+        cbo_stats_tables,
+    )
+
+    def probe(hist):
+        confs = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.statistics.histogram.enabled": str(hist).lower(),
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            (et,) = cbo_stats_tables(spark, SF_SMALL, sources=("events",))
+            df = spark.table(et).filter(F.col("value") > _Q284_TAIL)
+            st = df._jdf.queryExecution().optimizedPlan().stats().toString()  # noqa: SLF001
+            est = float(re.search(r"rowCount=([0-9.E+]+)", st).group(1))
+            return est, df.count()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    basic_est, true_n = probe(False)
+    hist_est, _ = probe(True)
+    assert basic_est >= 10 * hist_est, (basic_est, hist_est)
+    assert hist_est <= 3 * true_n and true_n <= 3 * hist_est, (hist_est, true_n)
+
+
 def test_round7_queries_stay_jvm_side(spark):
     """q263/q266/q267/q270 are pure Catalyst surface — lateral aliases
     inline to projections, the quantization round trip and truncation
