@@ -968,3 +968,49 @@ def q283_approx_top_k_mixed_sizes(spark: SparkSession, sf_dir: str) -> DataFrame
         LATERAL VIEW inline(a) tk
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q286: approx_top_k NULL contract — unlike almost every aggregate
+# (COUNT(col)/SUM/MIN ignore nulls), approx_top_k counts NULL as a
+# FIRST-CLASS ITEM (probed r8: 3 nulls + 2 'a' + 1 'b' returns
+# [null:3, a:2, b:1]). That is the right semantics for a heavy-hitter
+# audit — "the most common value is missing" is exactly the data-quality
+# signal — but it is a trap if the consumer assumes null-free output.
+# Exercised by NULLIF-ing the 'view' type away: NULL then genuinely
+# competes for (and at sf0.1 wins) a top-3 slot. Oracle: the same
+# GROUP BY with NULLs grouped (ANSI behavior in both engines); same
+# tracked>=NDV exactness + cut-distinctness contract as q259/q282
+# (cut gaps 2/24/78 at sf0.001/0.01/0.1 — verified).
+# ---------------------------------------------------------------------------
+
+_Q286_ORACLE = """
+SELECT et AS event_type, CAST(n_events AS BIGINT) AS n_events
+FROM (
+  SELECT NULLIF(event_type, 'view') AS et, COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1
+)
+ORDER BY n_events DESC, et NULLS FIRST
+LIMIT 3
+"""
+
+
+@register(
+    "q286_approx_top_k_null_item",
+    oracle=_Q286_ORACLE,
+    tags=("sketch", "topk", "approx", "nulls"),
+)
+def q286_approx_top_k_null_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__q286_events")
+    return spark.sql(
+        """
+        SELECT tk.item AS event_type, tk.count AS n_events
+        FROM (
+          SELECT approx_top_k(NULLIF(event_type, 'view'), 3, 100) AS a
+          FROM __q286_events
+        )
+        LATERAL VIEW inline(a) tk
+        """
+    )

@@ -81,6 +81,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q282_approx_top_k_int",
     "q283_approx_top_k_mixed_sizes",
     "q284_cbo_histogram_stats",
+    "q285_dedup_state_introspection",
+    "q286_approx_top_k_null_item",
     "q48_knn_bruteforce",
     "q51_ann_lsh_bucketed",
     "q75_ann_ivf",
@@ -124,9 +126,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q50_label_norm_stats",
     "q74_embedding_dim_stats",
     "q54_sessions_batch",
+    # -- below here: outside the 50-row window --
     "q46p_minhash_lsh_portable",
     "q115_scd2_customer_dim",
-    # -- below here: outside the 50-row window --
     "q104_jdbc_roundtrip",
     "q262_cbo_stats_join_strategy",
     "q263_lateral_column_alias",

@@ -2207,3 +2207,57 @@ def q280_session_state_introspection(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         F.col("value.count").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q285: DEDUP state introspection — the fourth statestore leg
+# (aggregate q273 / join q279 / session q280 / streaming dropDuplicates
+# here). A streaming dropDuplicates(user_id) keeps one void-valued
+# state row PER KEY EVER SEEN (no watermark => nothing evicts), so on
+# a completed availableNow run the store's key inventory IS the
+# distinct-key set — the oracle is a plain SELECT DISTINCT, the same
+# "state equals its relational definition" bar as q273. This is the
+# store an on-call engineer inspects when a streaming dedup's state
+# grows without bound (the fix — dropDuplicatesWithinWatermark — is
+# exactly a policy on which of these rows may be deleted).
+# State schema (probed r8): key = the dedup columns, value = a void
+# __dummy__; operator name 'dedupe' in state-metadata (test-pinned).
+# ---------------------------------------------------------------------------
+
+_Q285_ORACLE = """
+SELECT DISTINCT user_id FROM events
+"""
+
+
+@register(
+    "q285_dedup_state_introspection",
+    oracle=_Q285_ORACLE,
+    tags=("streaming", "statestore", "dedup", "ops"),
+)
+def q285_dedup_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"dedup_state_probe_{sf_name}",
+    )
+    # fresh checkpoint per run (the q273/q279/q280 staleness rule)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    dd = stream.select("user_id").dropDuplicates(["user_id"])
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(F.col("key.user_id").alias("user_id"))

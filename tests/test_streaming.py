@@ -578,3 +578,28 @@ def test_q280_session_state_metadata_and_retention(spark):
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert {r["operatorName"] for r in meta} == {"sessionWindowStateStoreSaveExec"}
     assert meta[0]["numPartitions"] == 8
+
+
+def test_q285_dedup_state_metadata(spark):
+    """q285's companion pin: the checkpoint's state-metadata names the
+    'dedupe' operator (fourth store family of the introspection
+    matrix), and the state's key inventory size equals the batch
+    COUNT(DISTINCT user_id)."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    got = all_queries()["q285_dedup_state_introspection"].builder(spark, sf).collect()
+    expected = load_table(spark, sf, "events").select("user_id").distinct().count()
+    assert len(got) == expected
+    assert len({r["user_id"] for r in got}) == expected  # keys, not dupes
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", f"dedup_state_probe_{os.path.basename(sf)}",
+    )
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert {r["operatorName"] for r in meta} == {"dedupe"}
