@@ -1057,6 +1057,16 @@ def q270_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-partition window over the whole table, the classic
 # pandas-on-Spark scale trap. Aggregates are order-free (count/min/max)
 # so the pandas layer adds zero determinism risk.
+#
+# DOCUMENTED ANTI-PATTERN (probed r7, deliberately NOT registered):
+# ps rolling/expanding — `ps.DataFrame.rolling(n).sum()` etc. — plans
+# an UNPARTITIONED row_number window over __natural_order__, i.e. the
+# whole table through ONE task at any scale. It would need a
+# registry-lint whitelist entry to even register, and unlike the
+# calendar-bounded whitelist trio (q24/q93/q154) its input scales with
+# the data. The engine's moving-window capability is q24/q37's
+# partitioned RANGE frames; per-key sequential logic is q271's UDTF
+# TABLE argument. Use those, never ps.rolling, on SF-scaling tables.
 # ---------------------------------------------------------------------------
 
 _Q275_ORACLE = """

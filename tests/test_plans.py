@@ -1117,6 +1117,22 @@ def test_round7_queries_stay_jvm_side(spark):
         assert not has_python_eval(df), f"{name} plan crosses into Python"
 
 
+def test_round8_queries_stay_jvm_side(spark):
+    """The round-8 batch queries are pure Catalyst surface — CBO
+    planning (q281/q284) and the approx_top_k sketch family
+    (q282/q283/q286) never cross into Python (the statestore pair
+    q280/q285 is covered by its own companion pins)."""
+    for name in (
+        "q281_cbo_join_reorder",
+        "q282_approx_top_k_int",
+        "q283_approx_top_k_mixed_sizes",
+        "q284_cbo_histogram_stats",
+        "q286_approx_top_k_null_item",
+    ):
+        df = QUERIES[name].builder(spark, SF_SMALL)
+        assert not has_python_eval(df), f"{name} plan crosses into Python"
+
+
 def test_round7_arrow_boundaries_use_arrow_nodes(spark):
     """The two new Arrow APIs must plan as their Arrow-native physical
     nodes (NOT the pandas ones): q264 -> MapInArrow, q265 ->
