@@ -42,9 +42,10 @@ def bounded_set(df: DataFrame, id_col: str = "vec_id", mod: int = 100,
     caps the set deterministically (lowest ``cap`` ids), so the bound is
     value-exact replayable by the SQL oracles (same ORDER BY/LIMIT) and
     mechanically visible to the broadcast-hint lint (a GlobalLimit node).
-    ``cap`` exceeds the slice size at every test SF (500 at sf0.1), so
-    results are unchanged there; at larger SF the set stays ``cap`` rows
-    by contract rather than silently scaling.
+    ``cap`` exceeds the slice size at every test SF (embeddings is 2000
+    rows at sf0.1 → 20 matches at mod=100, 200 at mod=10), so results
+    are unchanged there; at larger SF the set stays ``cap`` rows by
+    contract rather than silently scaling.
     """
     return df.filter(F.col(id_col) % mod == 0).orderBy(id_col).limit(cap)
 
