@@ -918,6 +918,18 @@ def test_lint_detects_reintroduced_fact_broadcast(spark):
         F.broadcast(c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
     )
     assert _unbounded_broadcast_hints(ok) == []
+    # the pruned-projection escape (closed when markers became
+    # schema-derived): a broadcast whose projection drops every KEY
+    # column still reaches the customer scan — all-columns leaf markers
+    # must flag it (the old key-only dict waved it through)
+    pruned = o.crossJoin(F.broadcast(c.select("c_mktsegment")))
+    assert _unbounded_broadcast_hints(pruned) == [["customer"]]
+    # and an Aggregate keyed by a NON-key attribute stays bounding even
+    # though c_mktsegment is a leaf marker (key/leaf marker separation)
+    keyed = o.crossJoin(
+        F.broadcast(c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n")))
+    )
+    assert _unbounded_broadcast_hints(keyed) == [["customer"]]
 
 
 def test_registry_wide_no_unbounded_broadcast_hint(spark):
