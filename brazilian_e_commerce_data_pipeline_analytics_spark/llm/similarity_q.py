@@ -256,7 +256,8 @@ def q75_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      broadcast numpy matrix) puts corpus/100 rows through the driver —
 #      a scale-killer at 100 TB (VERDICT r1 "What's wrong" #2).
 # Instead the corpus is shuffled ONCE by a block key and the small query
-# side (1% by contract; use q51/q75 LSH/IVF when it isn't) is replicated
+# side (bounded_set-capped by contract; use q51/q75 LSH/IVF when the
+# query load outgrows even that) is replicated
 # per block IN-PLAN (explode over 0..B-1 — |q| x B narrow rows), then a
 # cogrouped applyInPandas scores each (candidate-block x all-queries)
 # pair as one numpy block. Nothing ever passes through the driver; both
@@ -1046,7 +1047,8 @@ def q188_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a first-class oracle-checked query, so the calibration itself is
 # evidence, not a notebook artifact.
 #
-# Scale: the brute-force side is the 1%-query contract (q48); the IVF
+# Scale: the brute-force side is the bounded query-set contract (q48);
+# the IVF
 # side shares its candidate economics with q75 (probed cells only).
 # The recall join is exact-top-k sized (queries × k rows). Recall is
 # an integer division evaluated identically on both engines. At corpus
@@ -1349,7 +1351,8 @@ def q266_int8_quant_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly what the gate exists to catch before a 4x-cheaper index
 # ships.
 #
-# Scale: both sides are the 1%-query brute-force contract (q48); the
+# Scale: both sides are the bounded query-set brute-force contract
+# (q48); the
 # truncated side reads 4x fewer bytes per score. The recall join is
 # queries x k rows. Everything JVM-side.
 # ---------------------------------------------------------------------------
@@ -1436,7 +1439,8 @@ def q267_matryoshka_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q274: semantic decontamination — the embedding-space sibling of q98's
 # n-gram decontamination: flag corpus vectors whose cosine to ANY
 # eval-set vector clears a threshold (paraphrased eval leakage that
-# lexical n-grams miss). Eval set = the 1% vec_id%100==0 slice; the
+# lexical n-grams miss). Eval set = the bounded_set-capped
+# vec_id%100==0 slice; the
 # flag is an EXISTS over the (corpus x eval) cosine — expressed as a
 # left semi-ish aggregate so each corpus row carries its max eval
 # similarity (the audit wants the margin, not just the bit). Rolled up
