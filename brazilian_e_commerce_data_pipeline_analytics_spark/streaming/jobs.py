@@ -1865,7 +1865,8 @@ def q268_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the whole fixture must equal the batch GROUP BY, and that is
 # exactly what the oracle checks. The companion `state-metadata` source
 # (operator names / state store names / batch ids) is probed in
-# tests/test_streaming.py.
+# tests/test_streaming.py. State layout and source behavior probed on
+# Spark 4.1.2 (2026-08-15) — re-probe on upgrade before blaming a diff.
 #
 # Scale: the state source reads snapshot + delta files per partition in
 # parallel — O(state size), no reprocessing of the input stream.
@@ -2026,6 +2027,9 @@ def q278_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # misbehaving join ("why is this state store 400 GB?") — answered with
 # SQL over the checkpoint, no reprocessing, verified here against the
 # closed form. Fresh checkpoint per run (the q273 staleness rule).
+# Retention arithmetic (which side buffers until which watermark) is
+# empirically pinned on Spark 4.1.2 (2026-08-15); a 4.2 bump that
+# shifts eviction by one boundary reads as "re-probe", not "flaky".
 # ---------------------------------------------------------------------------
 
 _Q279_ORACLE = f"""
@@ -2107,7 +2111,9 @@ def q279_join_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
 # each run is one session [first, last + GAP). Final global watermark
 # wm = (N-1) - WM, and a session stays in state iff its end is
 # STRICTLY after wm (end == wm was emitted and evicted — verified:
-# user 1's 300-block session ends exactly at wm and is gone). The
+# user 1's 300-block session ends exactly at wm and is gone; probed on
+# Spark 4.1.2, 2026-08-15 — an upgrade shifting the boundary by one
+# means "re-probe the retention rule", not "flaky"). The
 # oracle replays the session merge relationally (the q256 running-max
 # technique) and applies that retention predicate — state content as a
 # closed-form query, like q279.
@@ -2219,9 +2225,11 @@ def q280_session_state_introspection(spark: SparkSession, sf_dir: str) -> DataFr
 # "state equals its relational definition" bar as q273. This is the
 # store an on-call engineer inspects when a streaming dedup's state
 # grows without bound (the fix — dropDuplicatesWithinWatermark — is
-# exactly a policy on which of these rows may be deleted).
-# State schema (probed r8): key = the dedup columns, value = a void
-# __dummy__; operator name 'dedupe' in state-metadata (test-pinned).
+# exactly a policy on which of these rows may be deleted — see
+# q287/q288).
+# State schema (probed r8, Spark 4.1.2 2026-08-15 — re-probe on
+# upgrade): key = the dedup columns, value = a void __dummy__;
+# operator name 'dedupe' in state-metadata (test-pinned).
 # ---------------------------------------------------------------------------
 
 _Q285_ORACLE = """
@@ -2261,3 +2269,144 @@ def q285_dedup_state_introspection(spark: SparkSession, sf_dir: str) -> DataFram
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(F.col("key.user_id").alias("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# q287/q288: dropDuplicatesWithinWatermark — BOTH faces of the
+# production fix for the unbounded dedup state q285 made inspectable.
+# Plain streaming dropDuplicates (q71/q285) keeps one state row per key
+# FOREVER; dropDuplicatesWithinWatermark bounds the state by policy:
+# the first sighting of a key EMITS and records
+# expiresAt = event_time + delay; later sightings are dropped (without
+# extending the expiry) for as long as the state row exists; the row is
+# evicted once the watermark passes expiresAt, after which the next
+# sighting re-emits and resets. Together q71 (exact), q135
+# (incremental), q285 (introspection) and this pair complete the dedup
+# story: semantics, state shape, and the bounded-state production
+# operator.
+#
+# Closed form on the kind-tagged fixture (a-rows at ets=id, id 0..399,
+# one 100-row file per micro-batch in mtime order, key = id % 50,
+# delay = _OJ_WM = 60 s) — REPLAYED from an empirical probe on Spark
+# 4.1.2 (2026-08-15; the batch/eviction interleaving below is an
+# implementation observation, re-probe on upgrade):
+#   batch 0 (ids 0..99):    state empty -> id k emits, exp = k+60;
+#                           id k+50 <= exp -> dropped, NO extension.
+#   batch 1 (ids 100..199): eviction watermark is still 39 (watermark
+#                           advances one batch behind: max ets of the
+#                           PREVIOUS batch - 60), exp = k+60 > 39 ->
+#                           rows survive -> k+100 dropped.
+#   batch 2 (ids 200..299): watermark 139 now passes every exp <= 109,
+#                           BUT input processing runs BEFORE
+#                           end-of-batch eviction, so k+200 still sees
+#                           the stale row and is DROPPED; the row is
+#                           evicted at batch end.
+#   batch 3 (ids 300..399): state empty again -> k+300 emits,
+#                           exp = k+360; k+350 dropped.
+# Emitted = {k, k+300 : k in 0..49} (100 rows); final state = 50 rows
+# with expiresAt = BASE + k + 360 (> final watermark BASE+339, so none
+# evict). Deterministic because each micro-batch is ONE file = ONE map
+# task, so every shuffle partition receives its rows in ascending-id
+# scan order (multi-file batches would make within-key arrival order,
+# and hence which sighting emits, racy).
+# Scale: this is THE bounded-state dedup for 100 TB streams — state is
+# O(distinct keys within the watermark horizon), not O(keys ever seen).
+# ---------------------------------------------------------------------------
+
+_DW_KEYS = 50  # dedup-key period: id % _DW_KEYS
+
+_Q287_ORACLE = f"""
+WITH ids AS (SELECT range AS id FROM range({_OJ_N}))
+SELECT id % {_DW_KEYS} AS dedup_key, id AS emitted_s
+FROM ids
+WHERE id // {_DW_KEYS} IN (0, 6)
+"""
+
+_Q288_ORACLE = f"""
+SELECT range AS dedup_key,
+       range + {_DW_KEYS * 6} + {_OJ_WM} AS expires_rel_s
+FROM range({_DW_KEYS})
+"""
+
+
+def _run_ddww_probe(spark: SparkSession, suffix: str) -> tuple[str, str]:
+    """Run the dropDuplicatesWithinWatermark stream over the kind-tagged
+    fixture to completion; returns (sink_dir, checkpoint_dir). Fresh
+    checkpoint+sink per run (the q273/q279/q280/q285 staleness rule).
+    Each face runs its own probe so the registered queries stay
+    independent under the driver's per-query harness."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream",
+    )
+    ckpt = os.path.join(base, f"ddww_probe_{suffix}_ckpt")
+    sink = os.path.join(base, f"ddww_probe_{suffix}_out")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    dd = (
+        st.filter(F.col("kind") == "a")
+        .select(
+            (F.col("id") % _DW_KEYS).alias("dedup_key"),
+            F.col("id").alias("emitted_s"),
+            F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts"),
+        )
+        .withWatermark("ts", f"{_OJ_WM} seconds")
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+        .drop("ts")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return sink, ckpt
+
+
+@register(
+    "q287_dedup_within_watermark",
+    oracle=_Q287_ORACLE,
+    tags=("streaming", "dedup", "watermark", "bounded-state"),
+)
+def q287_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMITTED face: which sightings survive the chain semantics
+    (first-per-state-epoch emits; duplicates drop without extending)."""
+    sink, _ = _run_ddww_probe(spark, "emit")
+    return spark.read.parquet(sink).select("dedup_key", "emitted_s")
+
+
+@register(
+    "q288_dedup_within_wm_state",
+    oracle=_Q288_ORACLE,
+    tags=("streaming", "dedup", "watermark", "statestore", "ops"),
+)
+def q288_dedup_within_wm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE face (fifth statestore leg): key = the dedup columns,
+    value = expiresAtMicros — unlike q285's void value, the expiry IS
+    the bounded-state policy, so the inventory carries it. Returned
+    relative to _OJ_BASE in seconds: expires_rel_s = k + 360."""
+    _, ckpt = _run_ddww_probe(spark, "state")
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.dedup_key").alias("dedup_key"),
+        (
+            (F.col("value.expiresAtMicros") / F.lit(1_000_000)).cast("long")
+            - F.lit(_OJ_BASE)
+        ).alias("expires_rel_s"),
+    )

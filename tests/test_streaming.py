@@ -603,3 +603,45 @@ def test_q285_dedup_state_metadata(spark):
     )
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert {r["operatorName"] for r in meta} == {"dedupe"}
+
+
+def test_q288_ddww_state_metadata_and_pairing(spark):
+    """q287/q288's companion pin: the checkpoint's state-metadata names
+    the 'dedupeWithinWatermark' operator (fifth store family of the
+    introspection matrix), the state VALUE carries expiresAtMicros
+    (unlike q285's void value — the expiry IS the bounded-state
+    policy), and the two faces agree: every final state row's expiry
+    equals last-emitted-sighting + delay for its key.
+    Emission/eviction interleaving probed on Spark 4.1.2 (2026-08-15);
+    a Spark upgrade that shifts the batch-vs-eviction order reads as
+    "re-probe the closed form", not "flaky test"."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import _OJ_WM
+
+    from .conftest import SF_SMALL as sf
+
+    qs = all_queries()
+    emitted = qs["q287_dedup_within_watermark"].builder(spark, sf).collect()
+    state = {
+        r["dedup_key"]: r["expires_rel_s"]
+        for r in qs["q288_dedup_within_wm_state"].builder(spark, sf).collect()
+    }
+    last_emit = {}
+    for r in emitted:
+        last_emit[r["dedup_key"]] = max(
+            last_emit.get(r["dedup_key"], -1), r["emitted_s"]
+        )
+    assert state == {k: s + _OJ_WM for k, s in last_emit.items()} and state
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "ddww_probe_state_ckpt",
+    )
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert {r["operatorName"] for r in meta} == {"dedupeWithinWatermark"}
+    raw = spark.read.format("statestore").load(ckpt)
+    assert [f.name for f in raw.schema["value"].dataType.fields] == [
+        "expiresAtMicros"
+    ]
