@@ -106,6 +106,32 @@ def _spin_probe(n: int = 3) -> float:
     return round(samples[n // 2], 4)
 
 
+def _mc_probe(spark, n: int = 3) -> float:
+    """Min wall time of a fixed 32-task shuffle micro-job (~0.5s quiet).
+
+    The single-thread _spin_probe is blind to multi-core contention: r8
+    showed loadavg ~3 inflating every 32-way query stage +25-70% while
+    the 1-thread probe still read a quiet ~0.12. This job exercises
+    exactly what the bench queries exercise — 32 parallel map tasks,
+    a 32->32 shuffle, a hash aggregate — so neighbor CPU steal that
+    slows the queries slows this number proportionally. Read bench
+    deltas against BOTH probes: spin ~0.10-0.13 AND mc near its quiet
+    floor means the host is genuinely quiet; mc inflated with spin
+    quiet means multi-core steal, and the query timings are suspect."""
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr("id % 65536 AS k")
+            .groupBy("k")
+            .count()
+            .count()
+        )
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -164,6 +190,7 @@ def main() -> None:
         return round(best, 3)
 
     probe_pre = _spin_probe()
+    mc_pre = _mc_probe(spark)
     timings = {name: time_query(name) for name in BENCH_QUERIES}
     total = round(sum(timings.values()), 3)
     ext = {name: time_query(name) for name in BENCH_EXTENDED}
@@ -188,6 +215,11 @@ def main() -> None:
                 # loadavg complements it: the 1-thread probe can look
                 # quiet while a loaded box still slows 32-way stages.
                 "noise_probe_sec": {"pre": probe_pre, "post": _spin_probe()},
+                # 32-task shuffle micro-job (min-of-3): the multi-core
+                # companion the 1-thread probe can't see — ~0.5s quiet;
+                # inflated readings mean neighbor load stole cores from
+                # 32-way stages and the query timings are inflated too.
+                "mc_probe_sec": {"pre": mc_pre, "post": _mc_probe(spark)},
                 "loadavg": list(os.getloadavg()),
             }
         )

@@ -655,12 +655,32 @@ GROUP BY 1
 
 # TimestampNTZ columns crash FilterEstimation under ANALYZE'd column
 # stats (Spark 4.1 scala.MatchError — found round 7): store DATE first.
+# Each entry is (source parquet stem, transform, fix_tag): the stem lets
+# a pseudo-source (events_anon) derive from a real table, and fix_tag
+# VERSIONS the transform — the parquet cache below is keyed on it, so
+# editing a fix rebuilds the cached table instead of silently replaying
+# stale data shaped by the old transform (ADVICE r8; the same stale-
+# fixture class _ensure_kind_tagged_fixture's pred_tag stamp closes).
 _CBO_FIXES = {
-    "orders": lambda d, F: d.withColumn("o_orderdate", F.to_date("o_orderdate")),
-    "lineitem": lambda d, F: d.withColumn("l_shipdate", F.to_date("l_shipdate")),
+    "orders": ("orders", lambda d, F: d.withColumn("o_orderdate", F.to_date("o_orderdate")), "odate_v1"),
+    "lineitem": ("lineitem", lambda d, F: d.withColumn("l_shipdate", F.to_date("l_shipdate")), "sdate_v1"),
     # ts is TIMESTAMP(NANOS) (the catalog gotcha) and props is a map —
     # both hazards for ANALYZE FOR ALL COLUMNS; q284 needs neither
-    "events": lambda d, F: d.select("event_id", "user_id", "event_type", "value"),
+    "events": ("events", lambda d, F: d.select("event_id", "user_id", "event_type", "value"), "proj_v1"),
+    # q289's sentinel-skew key: every 5th user's events collapse onto
+    # key 0 (the "anonymous traffic" mega-key), the rest stay unique
+    # per event — the zipf-ish shape where equi-height histograms must
+    # beat NDV-uniform JoinEstimation
+    "events_anon": (
+        "events",
+        lambda d, F: d.select(
+            F.when(F.col("user_id") % 5 == 0, F.lit(0))
+            .otherwise(F.col("event_id"))
+            .alias("skew_key"),
+            "event_type",
+        ),
+        "anon5_v1",
+    ),
 }
 
 
@@ -688,23 +708,34 @@ def cbo_stats_tables(
     spark.sql("CREATE DATABASE IF NOT EXISTS cbo_stats")
     names = tuple(f"cbo_stats.{src}_{sf_tag}" for src in sources)
     for tbl, src in zip(names, sources):
-        fix = _CBO_FIXES.get(src, lambda d, F: d)
+        stem, fix, fix_tag = _CBO_FIXES.get(src, (src, lambda d, F: d, "id_v1"))
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         loc = os.path.join(base, src)
-        src_path = os.path.join(sf_dir, f"{src}.parquet")
+        src_path = os.path.join(sf_dir, f"{stem}.parquet")
         success = os.path.join(loc, "_SUCCESS")
-        # The parquet DATA is deterministic per (sf, source) — rewrite
-        # it only when missing or when the fixture is newer (the shared
-        # catalog.source_mtime rule: recursive max over contained files,
-        # since an in-place part-file overwrite does not bump a
-        # directory's mtime — ADVICE r7); DDL registration and ANALYZE
-        # run per call, since the in-memory catalog (and its stats) is
-        # fresh per session and the plan-pin test flips analyze on/off.
-        if not os.path.exists(success) or os.path.getmtime(
-            success
-        ) < source_mtime(src_path):
+        tag_file = os.path.join(loc, "_fix_tag")
+        # The parquet DATA is deterministic per (sf, source, fix_tag) —
+        # rewrite it when missing, when the fixture is newer (the
+        # shared catalog.source_mtime rule: recursive max over contained
+        # files, since an in-place part-file overwrite does not bump a
+        # directory's mtime — ADVICE r7), or when the fix TRANSFORM's
+        # tag changed (ADVICE r8 — an edited fix must not replay data
+        # shaped by the old one); DDL registration and ANALYZE run per
+        # call, since the in-memory catalog (and its stats) is fresh
+        # per session and the plan-pin test flips analyze on/off.
+        cached_tag = None
+        if os.path.exists(tag_file):
+            with open(tag_file, encoding="utf-8") as fh:
+                cached_tag = fh.read()
+        if (
+            not os.path.exists(success)
+            or os.path.getmtime(success) < source_mtime(src_path)
+            or cached_tag != fix_tag
+        ):
             df = fix(spark.read.parquet(src_path), F)
             df.write.mode("overwrite").option("path", loc).saveAsTable(tbl)
+            with open(tag_file, "w", encoding="utf-8") as fh:
+                fh.write(fix_tag)
         else:
             spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'")
         if analyze:
@@ -895,6 +926,86 @@ def q284_cbo_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("total_value"),
             )
+        )
+        df._jdf.queryExecution().executedPlan()  # plan under active confs
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q289: equi-height histograms feeding JOIN estimation — the fourth CBO
+# row (strategy q262, order q281, filter selectivity q284, join
+# cardinality here). NDV-based JoinEstimation assumes every key carries
+# |T|/ndv rows; on the sentinel-skew shape (events_anon: all events of
+# every 5th user collapse onto skew_key 0 — the "anonymous traffic"
+# mega-key holding ~20% of rows — all other keys unique per event) a
+# self-join's true cardinality is dominated by the mega-key's square,
+# which the uniform model misses by orders of magnitude: measured at
+# sf0.01, true 4.10E+6 pair rows vs NDV estimate ~1.2E+4 (≈330x under)
+# vs histogram estimate ≈1.0x — Spark's computeCardinalityByHistogram
+# merges same-valued bucket runs into one range, so a mega-key spanning
+# many equi-height buckets contributes height²/1, recovering the square
+# the NDV model averages away. Pinned mechanically in tests/
+# test_plans.py::test_q289_histogram_fixes_join_estimate (basic >= 10x
+# off; histogram within 3x of truth); measured numbers probed on Spark
+# 4.1.2 (2026-08-15). The registered result is the pair-type rollup of
+# the same self-join, value-exact.
+# Scale: join-output cardinality is the number every upstream decision
+# (strategy, order, shuffle partitioning) keys on — at 100 TB a 300x
+# under-estimate on a skewed join turns into a broadcast OOM or a
+# one-reducer straggler; per-key histograms are the defense.
+# ---------------------------------------------------------------------------
+
+_Q289_ORACLE = """
+WITH sk AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN 0 ELSE event_id END AS skew_key,
+         event_type
+  FROM events
+)
+SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM sk a JOIN sk b ON a.skew_key = b.skew_key
+GROUP BY 1, 2
+"""
+
+
+def q289_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare sentinel-skew self-join (no rollup), shared by the
+    registered query and the plan-pin test — the node whose estimated
+    cardinality the histogram must fix."""
+    from pyspark.sql import functions as F
+
+    (st,) = cbo_stats_tables(spark, sf_dir, sources=("events_anon",))
+    a = spark.table(st).select("skew_key", F.col("event_type").alias("etype_a"))
+    b = spark.table(st).select("skew_key", F.col("event_type").alias("etype_b"))
+    return a.join(b, "skew_key")
+
+
+@register(
+    "q289_cbo_histogram_join_estimate",
+    oracle=_Q289_ORACLE,
+    tags=("optimizer", "cbo", "statistics", "histogram", "join"),
+)
+def q289_cbo_histogram_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.statistics.histogram.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = (
+            q289_join(spark, sf_dir)
+            .groupBy("etype_a", "etype_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
         )
         df._jdf.queryExecution().executedPlan()  # plan under active confs
         return df

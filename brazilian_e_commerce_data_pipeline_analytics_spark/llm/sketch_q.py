@@ -923,7 +923,8 @@ def q282_approx_top_k_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_llm_ops.py, because silently merging unequal-width
 # sketches would corrupt the error bound), while combine(sk, size)
 # with an explicit target size re-buckets and merges. Exactness holds
-# because EVERY width in play (50, 80) exceeds the 7-value NDV — no
+# because EVERY width in play (accumulate 100 and 50, combine target
+# 80 — min 50) exceeds the 7-value NDV — no
 # sketch ever evicted, so the re-bucketed merge is still exact and
 # hash-checkable against the true counts. Same cut-distinctness
 # argument as q282.

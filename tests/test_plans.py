@@ -803,7 +803,21 @@ def _fixture_columns(table):
 
     path = f"{SF_SMALL}/{table}.parquet"
     if os.path.isdir(path):
-        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            raise FileNotFoundError(
+                f"fixture {path} exists but contains no part files — "
+                "regenerate the test fixtures (tests/fixtures_gen.py)"
+            )
+        path = parts[0]
+    if not os.path.exists(path):
+        # _derive_markers() runs at module import (collection) time: on
+        # a checkout without generated fixtures, fail collection with a
+        # pointer instead of an opaque IndexError (ADVICE r8).
+        raise FileNotFoundError(
+            f"broadcast-lint markers need the {table} fixture at {path} "
+            "— generate test data first (see TESTDATA.md)"
+        )
     return list(pq.ParquetFile(path).schema_arrow.names)
 
 
@@ -1111,6 +1125,49 @@ def test_q284_histogram_fixes_skewed_estimate(spark):
     basic_est, true_n = probe(False)
     hist_est, _ = probe(True)
     assert basic_est >= 10 * hist_est, (basic_est, hist_est)
+    assert hist_est <= 3 * true_n and true_n <= 3 * hist_est, (hist_est, true_n)
+
+
+def test_q289_histogram_fixes_join_estimate(spark):
+    """q289's claim, pinned mechanically: on the sentinel-skew self-join
+    (mega-key 0 holds ~20% of rows, every other key unique), NDV-based
+    JoinEstimation under-estimates the join cardinality >=10x, while
+    equi-height histograms land within 3x of the true pair count —
+    Spark merges same-valued bucket runs into one range, recovering the
+    mega-key's square (measured at sf0.001: true 3.80E+4 vs basic
+    1.2E+3 vs histogram 3.8E+4; probed on Spark 4.1.2, 2026-08-15 —
+    an upgrade changing the bucket-merge rule means re-probe)."""
+    import re
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import (
+        q289_join,
+    )
+
+    def probe(hist):
+        confs = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.statistics.histogram.enabled": str(hist).lower(),
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            df = q289_join(spark, SF_SMALL)
+            st = df._jdf.queryExecution().optimizedPlan().stats().toString()  # noqa: SLF001
+            est = float(re.search(r"rowCount=([0-9.E+]+)", st).group(1))
+            return est, df.count()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    basic_est, true_n = probe(False)
+    hist_est, _ = probe(True)
+    # the skewed join is UNDER-estimated by the uniform model
+    assert true_n >= 10 * basic_est, (basic_est, true_n)
+    assert basic_est <= hist_est / 10, (basic_est, hist_est)
     assert hist_est <= 3 * true_n and true_n <= 3 * hist_est, (hist_est, true_n)
 
 
