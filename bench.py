@@ -132,6 +132,27 @@ def _mc_probe(spark, n: int = 3) -> float:
     return round(min(samples), 4)
 
 
+def _proc_stat() -> tuple[int, int, int] | None:
+    """(steal, idle, total) jiffies from /proc/stat's aggregate cpu line.
+
+    The r9 finding that motivates this: both same-day reads agreed at
+    ~23.4s while the single-thread probe sat on its quiet floor (0.114)
+    and loadavg was 0 at launch — yet a 32-wide spin test showed 9%
+    STEAL plus forced idle, i.e. the hypervisor had shaved ~25% off the
+    VM's aggregate capacity. Steal is invisible to loadavg and to any
+    in-process probe, but /proc/stat accounts it directly; the delta
+    across the whole run is absolute (baseline-free) evidence of how
+    much CPU the host actually surrendered while the queries ran."""
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+        # user nice system idle iowait irq softirq steal
+        return vals[7], vals[3] + vals[4], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -189,6 +210,7 @@ def main() -> None:
             assert rows is not None
         return round(best, 3)
 
+    stat0 = _proc_stat()
     probe_pre = _spin_probe()
     mc_pre = _mc_probe(spark)
     timings = {name: time_query(name) for name in BENCH_QUERIES}
@@ -221,9 +243,25 @@ def main() -> None:
                 # 32-way stages and the query timings are inflated too.
                 "mc_probe_sec": {"pre": mc_pre, "post": _mc_probe(spark)},
                 "loadavg": list(os.getloadavg()),
+                # whole-run /proc/stat delta: steal% is CPU the
+                # hypervisor withheld from this VM — absolute evidence
+                # (no quiet-floor baseline needed) that multi-core
+                # capacity was reduced while the queries ran. ~0% on a
+                # healthy host; the r9 reads that agreed at ~23.4s with
+                # quiet single-core probes showed 9% steal under load.
+                "cpu_steal_pct": _steal_pct(stat0, _proc_stat()),
             }
         )
     )
+
+
+def _steal_pct(s0, s1) -> float | None:
+    if s0 is None or s1 is None:
+        return None
+    dtotal = s1[2] - s0[2]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * (s1[0] - s0[0]) / dtotal, 2)
 
 
 if __name__ == "__main__":
