@@ -2410,3 +2410,221 @@ def q288_dedup_within_wm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(_OJ_BASE)
         ).alias("expires_rel_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290/q291/q292: the state BACKEND and state HISTORY legs of the
+# statestore matrix. q273/q279/q280/q285/q288 pinned WHAT each stateful
+# operator keeps; these three pin WHERE it lives and HOW it evolves:
+#
+#   q290 — RocksDBStateStoreProvider: the production backend for
+#          large state (off-heap, SST-file spill, incremental zip
+#          snapshots — state scales with DISK, not executor heap; the
+#          default HDFSBackedStateStoreProvider keeps every key in
+#          heap memory, a hard wall at 100 TB-stream key cardinality).
+#          The statestore reader resolves the provider from the
+#          checkpoint's own offset log, so the inventory read needs NO
+#          provider conf — pinned here by reading with the default
+#          session conf.
+#   q291 — changelog checkpointing + readChangeFeed: state CDC. With
+#          rocksdb.changelogCheckpointing the commit uploads a delta
+#          changelog instead of a full snapshot (upload cost O(changed
+#          keys), not O(state)); the statestore source can then replay
+#          state EVOLUTION as (batch_id, change_type, key, value) rows.
+#   q292 — batchId time travel on the default provider: state AS OF
+#          batch k reconstructed from retained snapshot versions
+#          (minBatchesToRetain, default 100) — the "what did the
+#          operator know at trigger k" debugging read.
+#
+# All three share one deterministic substrate: the kind-tagged fixture
+# (4 one-file micro-batches of 100 sequential ids each), an update-mode
+# groupBy-count whose grouping key is a MATERIALIZED column — probed
+# Spark 4.1.2 (2026-08-15): grouping by an inline expression names the
+# state key struct field `_groupingexpression`, so a readable state
+# schema requires selecting the key as a real column BEFORE groupBy.
+# Counts are arrival-order-independent, so unlike q287 these rows do
+# not depend on the one-file-per-batch scan-order guarantee — only the
+# BATCH BOUNDARIES (which ids landed by batch k) must be deterministic,
+# and mtime-ordered maxFilesPerTrigger=1 fixes that.
+# Oracles: cumulative counts of id % m over the id-prefix each batch
+# has seen — closed-form over range(), no engine-specific values.
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _run_mod_count_stream(
+    spark: SparkSession,
+    suffix: str,
+    mod: int,
+    provider: str | None = None,
+    changelog: bool = False,
+) -> str:
+    """Run groupBy(id % mod).count() in update mode over the kind-tagged
+    fixture to completion under the given state-store provider; returns
+    the checkpoint dir. Fresh checkpoint per run (the q273 staleness
+    rule); session confs are restored even on failure so a dead query
+    cannot leak a provider override into later registry entries."""
+    import os
+    import shutil
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", f"modcount_{suffix}_ckpt",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        st.filter(F.col("kind") == "a")
+        .select((F.col("id") % mod).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    confs: dict[str, str] = {"spark.sql.shuffle.partitions": "8"}
+    if provider:
+        confs["spark.sql.streaming.stateStore.providerClass"] = provider
+    if changelog:
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    saved = {key: spark.conf.get(key, None) for key in confs}
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return ckpt
+
+
+_Q290_ORACLE = """
+WITH ids AS (SELECT range AS id FROM range(400))
+SELECT id % 11 AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ids
+GROUP BY 1
+"""
+
+
+@register(
+    "q290_rocksdb_state_backend",
+    oracle=_Q290_ORACLE,
+    tags=("streaming", "statestore", "rocksdb", "ops"),
+)
+def q290_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate state written by RocksDBStateStoreProvider, read back
+    WITHOUT any provider conf — the reader takes the provider from the
+    checkpoint itself, so an on-call inventory read works the same
+    against either backend. Backend engagement is not taken on faith:
+    tests/test_streaming.py pins SST files + versioned zip snapshots
+    inside the checkpoint. Probed Spark 4.1.2 (2026-08-15)."""
+    ckpt = _run_mod_count_stream(
+        spark, "rocksdb", mod=11, provider=_ROCKSDB_PROVIDER
+    )
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.k").alias("k"), F.col("value.count").alias("cnt")
+    )
+
+
+_Q291_ORACLE = """
+WITH batches AS (SELECT range AS b FROM range(4)),
+     ids AS (SELECT range AS id FROM range(400))
+SELECT b AS batch_id, 'update' AS change_type,
+       id % 7 AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM batches JOIN ids ON id < (b + 1) * 100
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q291_state_change_feed",
+    oracle=_Q291_ORACLE,
+    tags=("streaming", "statestore", "rocksdb", "cdc", "ops"),
+)
+def q291_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State CDC: readChangeFeed over a changelog-checkpointing RocksDB
+    checkpoint replays every (batch, key) state transition — an update
+    row per key per batch carrying the NEW cumulative count (every
+    100-id batch touches all 7 residues, so 7 keys x 4 batches = 28
+    transitions). The changelog is also the scale lever: commit uploads
+    become O(keys changed this batch) instead of O(total state).
+    change_type is part of the result so the oracle pins the contract
+    that a blind-append count stream never deletes. Probed Spark 4.1.2
+    (2026-08-15); like q290's snapshot read, the changelog reader
+    resolves the provider from the checkpoint — no session conf."""
+    ckpt = _run_mod_count_stream(
+        spark, "changefeed", mod=7, provider=_ROCKSDB_PROVIDER, changelog=True
+    )
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return feed.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("change_type").alias("change_type"),
+        F.col("key.k").alias("k"),
+        F.col("value.count").alias("cnt"),
+    )
+
+
+_Q292_ORACLE = """
+WITH batches AS (SELECT range AS b FROM range(4)),
+     ids AS (SELECT range AS id FROM range(400))
+SELECT b AS batch_id, id % 9 AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM batches JOIN ids ON id < (b + 1) * 100
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q292_state_time_travel",
+    oracle=_Q292_ORACLE,
+    tags=("streaming", "statestore", "timetravel", "ops"),
+)
+def q292_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State AS OF batch k: the statestore source's batchId option
+    reconstructs each retained snapshot version on the default
+    HDFS-backed provider, so one query returns the operator's entire
+    knowledge HISTORY — cumulative counts over exactly the id-prefix
+    delivered by batches 0..k (4 batches x 9 residues = 36 rows).
+    Complements q291: snapshot-per-version on the heap-backed store vs
+    delta-per-version on the RocksDB changelog. Retention bound:
+    minBatchesToRetain (default 100) >= the 4 versions read here.
+    Probed Spark 4.1.2 (2026-08-15)."""
+    ckpt = _run_mod_count_stream(spark, "timetravel", mod=9)
+    parts = []
+    for b in range(4):
+        state = (
+            spark.read.format("statestore").option("batchId", b).load(ckpt)
+        )
+        parts.append(
+            state.select(
+                F.lit(b).cast("long").alias("batch_id"),
+                F.col("key.k").alias("k"),
+                F.col("value.count").alias("cnt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -645,3 +645,94 @@ def test_q288_ddww_state_metadata_and_pairing(spark):
     assert [f.name for f in raw.schema["value"].dataType.fields] == [
         "expiresAtMicros"
     ]
+
+
+def test_q290_rocksdb_backend_engaged(spark):
+    """q290's companion pin: the checkpoint really is a RocksDB store —
+    SST files and versioned zip snapshots on disk (the disk-resident
+    layout that makes state O(disk) instead of O(heap)), not the
+    HDFS-backed provider's .delta files — while the no-conf inventory
+    read still resolves it. Layout probed Spark 4.1.2 (2026-08-15)."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    got = {
+        (r["k"], r["cnt"])
+        for r in all_queries()["q290_rocksdb_state_backend"]
+        .builder(spark, sf)
+        .collect()
+    }
+    expected = {}
+    for i in range(400):
+        expected[i % 11] = expected.get(i % 11, 0) + 1
+    assert got == set(expected.items())
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "modcount_rocksdb_ckpt",
+    )
+    exts = set()
+    for root, _, files in os.walk(os.path.join(ckpt, "state")):
+        for f in files:
+            exts.add(os.path.splitext(f)[1])
+    assert ".sst" in exts and ".zip" in exts  # RocksDB layout
+    assert ".delta" not in exts  # not silently HDFS-backed
+
+
+def test_q291_change_feed_is_cumulative_updates(spark):
+    """q291's companion pin: the feed is update-only (a count stream
+    never deletes), covers every batch 0..3, and its final-batch rows
+    agree with the checkpoint's latest snapshot read — changelog
+    replay and snapshot state are two views of one store."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    rows = (
+        all_queries()["q291_state_change_feed"].builder(spark, sf).collect()
+    )
+    assert {r["change_type"] for r in rows} == {"update"}
+    assert {r["batch_id"] for r in rows} == {0, 1, 2, 3}
+    final_feed = {
+        (r["k"], r["cnt"]) for r in rows if r["batch_id"] == 3
+    }
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "modcount_changefeed_ckpt",
+    )
+    snap = spark.read.format("statestore").load(ckpt)
+    final_snap = {
+        (r["k"], r["count"]) for r in snap.select("key.k", "value.count").collect()
+    }
+    assert final_feed == final_snap and final_feed
+
+
+def test_q292_time_travel_last_batch_is_latest(spark):
+    """q292's companion pin: batchId=3 reconstructs exactly the state
+    an unoptioned (latest) read returns — time travel's end point IS
+    the present."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    rows = all_queries()["q292_state_time_travel"].builder(spark, sf).collect()
+    last = {(r["k"], r["cnt"]) for r in rows if r["batch_id"] == 3}
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "modcount_timetravel_ckpt",
+    )
+    latest = {
+        (r["k"], r["count"])
+        for r in spark.read.format("statestore")
+        .load(ckpt)
+        .select("key.k", "value.count")
+        .collect()
+    }
+    assert last == latest and last
