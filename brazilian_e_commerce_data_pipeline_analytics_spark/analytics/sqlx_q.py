@@ -1295,3 +1295,210 @@ def q277_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey % 1000 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q293/q294/q295: the AQE trio — RUNTIME re-planning pinned as
+# first-class rows, symmetric with the CBO quartet (q262 strategy /
+# q281 order / q284 selectivity / q289 join cardinality, all driven by
+# STATIC stats). CBO fixes the plan before execution from ANALYZE'd
+# statistics; AQE fixes it DURING execution from the actual shuffle
+# bytes — the two halves of Catalyst's cost story, and the reference's
+# own session knobs (`spark_jobs/reporting.py:12-14`: adaptive.enabled,
+# coalescePartitions, skewJoin) elevated from "config we set" to
+# behavior the driver gate verifies:
+#
+#   q293 — runtime SMJ→BHJ switch: static planning cannot size an
+#          aggregate's output (no group count without CBO stats), so a
+#          join against a 5-row aggregated dim plans as a shuffle join;
+#          after the dim side's shuffle MATERIALIZES at a few hundred
+#          bytes, AQE re-plans the remaining stages as a broadcast
+#          join. At 100 TB this is the safety net for every
+#          "join-to-small-rollup" in the gold layer: nobody has to
+#          guess the rollup's size in advance, and a rollup that ISN'T
+#          small (q111's lesson) is measured, not assumed broadcastable.
+#   q294 — runtime partition right-sizing: shuffle.partitions is only
+#          an UPPER BOUND under coalescePartitions (session.py's
+#          contract) — a 200-partition conf over a 7-group aggregate
+#          coalesces to a handful of post-shuffle reader tasks instead
+#          of launching 193 empty ones. The same conf then scales to a
+#          1000-executor cluster where 200 partitions are real.
+#   q295 — skew-join split: the no-code-change answer to hot keys (the
+#          salted operators q36/q226 are the explicit answer): the hot
+#          partition of a sort-merge join is split into multiple reader
+#          tasks (skew=true in the final plan), rescuing the join from
+#          one straggler task. Same synthetic one-hot-key shape as the
+#          r3 lint test, now a driver-green row with a closed-form
+#          range() oracle.
+#
+# AQE finalizes the plan during EXECUTION (unlike CBO's planning-time
+# choices), so each builder runs its query to completion INSIDE the
+# conf scope: AdaptiveSparkPlanExec caches the finalized plan on its
+# QueryExecution, so the driver's later collect() re-executes the same
+# final plan (isFinalPlan=true) under restored session confs. The
+# companion plan pins live in tests/test_plans.py (before/after faces,
+# the q262/q281 style).
+# ---------------------------------------------------------------------------
+
+_Q293_ORACLE = """
+WITH mx AS (
+  SELECT o_orderpriority, MAX(o_totalprice) AS prio_max
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_totalprice * 2 > mx.prio_max THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_half_max
+FROM orders o JOIN mx ON o.o_orderpriority = mx.o_orderpriority
+GROUP BY 1
+"""
+
+
+@register(
+    "q293_aqe_runtime_broadcast",
+    oracle=_Q293_ORACLE,
+    tags=("optimizer", "aqe", "join"),
+)
+def q293_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to their own per-priority MAX rollup (5 rows at any
+    SF — priority is a bounded domain), counting orders above half the
+    class maximum. o_totalprice*2 keeps the threshold comparison in
+    exact DECIMAL arithmetic in both engines. Static broadcast is OFF
+    (-1) and the adaptive threshold ON, so the ONLY way the final plan
+    is a BroadcastHashJoin is AQE measuring the materialized dim side —
+    which tests/test_plans.py pins (and pins the SMJ 'before' face with
+    the adaptive threshold off too)."""
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = orders.groupBy("o_orderpriority").agg(
+            F.max("o_totalprice").alias("prio_max")
+        )
+        df = (
+            orders.join(dim, "o_orderpriority")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    (F.col("o_totalprice") * 2 > F.col("prio_max")).cast("long")
+                ).alias("n_above_half_max"),
+            )
+        )
+        df.collect()  # AQE finalizes during execution, not at planning
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_Q294_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "q294_aqe_partition_coalesce",
+    oracle=_Q294_ORACLE,
+    tags=("optimizer", "aqe", "aggregate"),
+)
+def q294_aqe_partition_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 7-group aggregate deliberately run under a 200-partition
+    shuffle conf: AQE's coalescePartitions folds the post-shuffle side
+    down to a handful of reader tasks (pinned in tests/test_plans.py via
+    AQEShuffleRead/coalesced + the final partition count), so the conf
+    can be sized for the CLUSTER's biggest shuffle and small stages
+    still don't pay 193 empty tasks. min/max over the double column are
+    exact picks (no float-fold ordering hazard)."""
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        df = events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        df.collect()  # finalize the adaptive plan under the 200-part conf
+        return df
+    finally:
+        spark.conf.set(key, saved)
+
+
+_Q295_ORACLE = """
+WITH hot AS (SELECT 99 AS k, range AS v FROM range(200000)),
+     uni AS (SELECT range % 32 AS k, range AS v FROM range(3200)),
+     big AS (SELECT * FROM hot UNION ALL SELECT * FROM uni),
+     dim AS (SELECT range AS k, range * 10 AS p FROM range(100))
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p) AS BIGINT) AS sp,
+       CAST(SUM(v) AS BIGINT) AS sv
+FROM big JOIN dim ON big.k = dim.k
+"""
+
+
+@register(
+    "q295_aqe_skew_split",
+    oracle=_Q295_ORACLE,
+    tags=("optimizer", "aqe", "skew", "join"),
+)
+def q295_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One dominant key (99) carrying 200k of 203.2k rows through a
+    sort-merge join under test-sized skew thresholds; the global agg is
+    deliberate — a downstream groupBy(k) would require hash
+    distribution on k and AQE (correctly) refuses to split a partition
+    that must stay co-located. sum(v) keeps a wide column through the
+    shuffle so the hot partition's BYTES actually dominate (pruned
+    constant keys compress below any threshold). skew=true in the final
+    plan is pinned in tests/test_plans.py."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(99).alias("k"), F.col("id").alias("v")
+        )
+        uniform = spark.range(3_200).select(
+            (F.col("id") % 32).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("p")
+        )
+        df = hot.union(uniform).join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("v").alias("sv"),
+        )
+        df.collect()  # finalize the adaptive plan under the skew confs
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1249,3 +1249,52 @@ def test_q274_broadcasts_eval_side_only(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert not has_python_eval(df)
     assert exchange_count(df) == 2
+
+
+# ---------------------------------------------------------------------------
+# q293/q294/q295 companion pins: AQE's three runtime re-plans, each read
+# from the FINALIZED adaptive plan the registered builder executed
+# (AdaptiveSparkPlanExec caches the final plan on its QueryExecution,
+# and its toString renders BOTH faces — "== Final Plan ==" first, then
+# "== Initial Plan ==" — so one string carries the before/after the CBO
+# pins needed two conf scopes for).
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_faces(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in plan, plan[:500]
+    head, _, initial = plan.partition("== Initial Plan ==")
+    assert initial, plan[:500]  # both sections must be present
+    return head, initial
+
+
+def test_q293_aqe_switches_smj_to_broadcast(spark):
+    """The static planner cannot size the 5-row aggregate dim (no group
+    count without CBO stats) and static broadcast is off, so the
+    INITIAL plan is a SortMergeJoin; AQE measures the materialized dim
+    shuffle and the FINAL plan is a BroadcastHashJoin."""
+    df = QUERIES["q293_aqe_runtime_broadcast"].builder(spark, SF_SMALL)
+    final, initial = _adaptive_faces(df)
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+    assert "SortMergeJoin" in initial and "BroadcastHashJoin" not in initial
+
+
+def test_q294_aqe_coalesces_200_partitions(spark):
+    """Under the builder's 200-partition shuffle conf, the final plan
+    reads the 7-group aggregate's shuffle through a COALESCED
+    AQEShuffleRead and lands on a handful of output partitions — the
+    conf is an upper bound, not a task count."""
+    df = QUERIES["q294_aqe_partition_coalesce"].builder(spark, SF_SMALL)
+    final, _ = _adaptive_faces(df)
+    assert "AQEShuffleRead" in final and "coalesced" in final
+    assert df.rdd.getNumPartitions() < 50  # vs the 200 the conf named
+
+
+def test_q295_aqe_skew_split_fires(spark):
+    """The one-hot-key sort-merge join's final plan carries skew=true:
+    the hot partition was split into multiple reader tasks instead of
+    one straggler."""
+    df = QUERIES["q295_aqe_skew_split"].builder(spark, SF_SMALL)
+    final, _ = _adaptive_faces(df)
+    assert "SortMergeJoin" in final and "skew=true" in final
