@@ -2628,3 +2628,94 @@ def q292_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q296: state-metadata operator TOPOLOGY — the catalog face of the
+# statestore matrix. Every introspection leg so far (q273/q279/q280/
+# q285/q288/q290-q292) attached to a store it already knew; the
+# state-metadata source answers the PRIOR question an operator reading
+# an unfamiliar checkpoint must ask first: WHICH stateful operators
+# live here, under what operatorId/storeName, over which batch range —
+# the values the statestore source's operatorId/storeName/batchId
+# options take. Here a chained stateful query (two windowed
+# aggregations in one plan, q144's multi-stateful feature) writes TWO
+# stateStoreSave operators into one checkpoint; the metadata lists
+# both, ids 0 and 1, batches 0..3 (4 one-file micro-batches; no
+# trailing no-data batch on this build — probed Spark 4.1.2,
+# 2026-08-15, re-probe on upgrade). Oracle: the literal topology.
+# ---------------------------------------------------------------------------
+
+_Q296_ORACLE = """
+SELECT CAST(operator_id AS BIGINT) AS operator_id,
+       operator_name, store_name,
+       CAST(num_partitions AS INTEGER) AS num_partitions,
+       CAST(min_batch_id AS BIGINT) AS min_batch_id,
+       CAST(max_batch_id AS BIGINT) AS max_batch_id
+FROM (VALUES
+  (0, 'stateStoreSave', 'default', 8, 0, 3),
+  (1, 'stateStoreSave', 'default', 8, 0, 3)
+) AS t(operator_id, operator_name, store_name,
+       num_partitions, min_batch_id, max_batch_id)
+"""
+
+
+@register(
+    "q296_state_metadata_topology",
+    oracle=_Q296_ORACLE,
+    tags=("streaming", "statestore", "metadata", "ops"),
+)
+def q296_state_metadata_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", "statemeta_topology_ckpt",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    d = _ensure_outer_join_fixture()
+    st = (
+        spark.readStream.schema("id bigint, ets bigint, kind string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    base = (
+        st.filter(F.col("kind") == "a")
+        .select(
+            F.timestamp_seconds(F.lit(_OJ_BASE) + F.col("ets")).alias("ts"),
+            (F.col("id") % 5).alias("k"),
+        )
+        .withWatermark("ts", f"{_OJ_WM} seconds")
+    )
+    fine = base.groupBy(F.window("ts", "100 seconds"), "k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    coarse = (
+        fine.select(F.col("window.start").alias("ws"), "k", "n")
+        .withWatermark("ws", f"{_OJ_WM} seconds")
+        .groupBy(F.window("ws", "200 seconds"), "k")
+        .agg(F.sum("n").alias("n2"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            coarse.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    return meta.select(
+        F.col("operatorId").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("store_name"),
+        F.col("numPartitions").alias("num_partitions"),
+        F.col("minBatchId").alias("min_batch_id"),
+        F.col("maxBatchId").alias("max_batch_id"),
+    )

@@ -736,3 +736,38 @@ def test_q292_time_travel_last_batch_is_latest(spark):
         .collect()
     }
     assert last == latest and last
+
+
+def test_q296_operator_ids_address_distinct_stores(spark):
+    """q296's companion pin: the metadata's operatorIds are live
+    addresses — statestore reads with operatorId 0 and 1 return the two
+    DIFFERENT aggregation stores (fine vs coarse window keys), so the
+    topology row is the index into the checkpoint, not decoration."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    rows = (
+        all_queries()["q296_state_metadata_topology"].builder(spark, sf).collect()
+    )
+    assert {(r["operator_id"], r["operator_name"]) for r in rows} == {
+        (0, "stateStoreSave"),
+        (1, "stateStoreSave"),
+    }
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "statemeta_topology_ckpt",
+    )
+    # the two ids resolve to DISTINCT stores: the value schema names the
+    # aggregate each store belongs to (coarse sum(n) vs fine count).
+    # Deliberately NOT pinned: per-store row counts — which chained-agg
+    # windows remain resident at stream end is eviction-interleaving
+    # implementation detail (observed on Spark 4.1.2: the fine store
+    # retains all closed windows, the coarse store drains fully).
+    value_fields = {}
+    for op in (0, 1):
+        st = spark.read.format("statestore").option("operatorId", op).load(ckpt)
+        value_fields[op] = [f.name for f in st.schema["value"].dataType.fields]
+    assert value_fields == {0: ["sum"], 1: ["count"]}
