@@ -106,7 +106,7 @@ def _spin_probe(n: int = 3) -> float:
     return round(samples[n // 2], 4)
 
 
-def _mc_probe(spark, n: int = 3) -> float:
+def _mc_probe(spark, n: int = 3) -> tuple[float, float | None]:
     """Min wall time of a fixed 32-task shuffle micro-job (~0.5s quiet).
 
     The single-thread _spin_probe is blind to multi-core contention: r8
@@ -116,8 +116,18 @@ def _mc_probe(spark, n: int = 3) -> float:
     a 32->32 shuffle, a hash aggregate — so neighbor CPU steal that
     slows the queries slows this number proportionally. Read bench
     deltas against BOTH probes: spin ~0.10-0.13 AND mc near its quiet
-    floor means the host is genuinely quiet; mc inflated with spin
-    quiet means multi-core steal, and the query timings are suspect."""
+    floor (~0.39) means the host is genuinely quiet; mc inflated with
+    spin quiet means multi-core steal, and the query timings are
+    suspect.
+
+    Returns (min wall sec, steal share). The share is the /proc/stat
+    steal delta across the probe window as a fraction of DEMANDED
+    (non-idle) CPU: a whole-run steal average dilutes to ~0 because
+    steal only accrues while we actually ask for all 32 cores (r9
+    measured 0.08% whole-run vs ~12% of demanded ticks under a
+    32-wide spin on the same host) — so it is sampled here, during a
+    known full-width load, where it means something."""
+    s0 = _proc_stat()
     samples = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -129,7 +139,13 @@ def _mc_probe(spark, n: int = 3) -> float:
             .count()
         )
         samples.append(time.perf_counter() - t0)
-    return round(min(samples), 4)
+    s1 = _proc_stat()
+    share = None
+    if s0 is not None and s1 is not None:
+        demanded = (s1[2] - s0[2]) - (s1[1] - s0[1])
+        if demanded > 0:
+            share = round(100.0 * (s1[0] - s0[0]) / demanded, 2)
+    return round(min(samples), 4), share
 
 
 def _proc_stat() -> tuple[int, int, int] | None:
@@ -212,10 +228,11 @@ def main() -> None:
 
     stat0 = _proc_stat()
     probe_pre = _spin_probe()
-    mc_pre = _mc_probe(spark)
+    mc_pre, steal_pre = _mc_probe(spark)
     timings = {name: time_query(name) for name in BENCH_QUERIES}
     total = round(sum(timings.values()), 3)
     ext = {name: time_query(name) for name in BENCH_EXTENDED}
+    mc_post, steal_post = _mc_probe(spark)
     print(
         json.dumps(
             {
@@ -241,14 +258,17 @@ def main() -> None:
                 # companion the 1-thread probe can't see — ~0.5s quiet;
                 # inflated readings mean neighbor load stole cores from
                 # 32-way stages and the query timings are inflated too.
-                "mc_probe_sec": {"pre": mc_pre, "post": _mc_probe(spark)},
+                "mc_probe_sec": {"pre": mc_pre, "post": mc_post},
+                # steal as a share of DEMANDED CPU during each mc_probe
+                # window (full 32-wide load): the hypervisor-withheld
+                # fraction the whole-run average dilutes away. ~0% on a
+                # healthy host; r9 measured ~12% under a 32-wide spin
+                # while the whole-run figure read 0.08%.
+                "mc_steal_pct": {"pre": steal_pre, "post": steal_post},
                 "loadavg": list(os.getloadavg()),
-                # whole-run /proc/stat delta: steal% is CPU the
-                # hypervisor withheld from this VM — absolute evidence
-                # (no quiet-floor baseline needed) that multi-core
-                # capacity was reduced while the queries ran. ~0% on a
-                # healthy host; the r9 reads that agreed at ~23.4s with
-                # quiet single-core probes showed 9% steal under load.
+                # whole-run /proc/stat steal delta: blunt (diluted by
+                # idle gaps between queries) but absolute and
+                # baseline-free; read it with mc_steal_pct above.
                 "cpu_steal_pct": _steal_pct(stat0, _proc_stat()),
             }
         )
