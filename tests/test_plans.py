@@ -1298,3 +1298,56 @@ def test_q295_aqe_skew_split_fires(spark):
     df = QUERIES["q295_aqe_skew_split"].builder(spark, SF_SMALL)
     final, _ = _adaptive_faces(df)
     assert "SortMergeJoin" in final and "skew=true" in final
+
+
+def test_cbo_stats_make_q293s_runtime_rescue_unnecessary(spark):
+    """The CBO↔AQE interplay pin that closes both stories: q293's shape
+    (join against a per-priority aggregate) needs AQE's runtime switch
+    ONLY because the static planner can't size an aggregate without
+    stats. Run the same shape against the ANALYZE'd stats table under
+    CBO and the INITIAL plan is already a BroadcastHashJoin —
+    BasicStatsPlanVisitor propagates the 5-row group count through the
+    Aggregate (optimizedPlan stats: rowCount=5, ~185 B), so the static
+    choice is right before a single byte shuffles. Static stats and
+    runtime re-planning are complements: ANALYZE what you curate, let
+    AQE cover what you can't."""
+    from pyspark.sql import functions as F
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import (
+        cbo_stats_tables,
+    )
+
+    (ot,) = cbo_stats_tables(spark, SF_SMALL, sources=("orders",))
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        # same cap on BOTH thresholds: whichever planner decides to
+        # broadcast must believe the dim fits in 1 MB
+        "spark.sql.autoBroadcastJoinThreshold": "1MB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "1MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.table(ot)
+        dim = orders.groupBy("o_orderpriority").agg(
+            F.max("o_totalprice").alias("prio_max")
+        )
+        df = (
+            orders.join(dim, "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()
+        final, initial = _adaptive_faces(df)
+        # the INITIAL plan already broadcasts: nothing for AQE to fix
+        assert "BroadcastHashJoin" in initial and "SortMergeJoin" not in initial
+        assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+        stats = df._jdf.queryExecution().optimizedPlan().stats().toString()  # noqa: SLF001
+        assert "rowCount=5" in stats, stats
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
