@@ -2719,3 +2719,133 @@ def q296_state_metadata_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minBatchId").alias("min_batch_id"),
         F.col("maxBatchId").alias("max_batch_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q297: snapshot + changelog state reconstruction — the read path that
+# makes q291's changelogs a complete story. With changelog
+# checkpointing, a version's full snapshot (.zip) is uploaded by the
+# provider's MAINTENANCE thread, not per-commit; reconstructing
+# version N therefore means: load the newest snapshot <= N, replay
+# changelogs up to N — exactly what snapshotStartBatchId does, and
+# exactly how a RocksDB store restarts at scale without re-reading
+# O(state) per trigger. Probed Spark 4.1.2 (2026-08-15):
+#   - snapshotStartBatchId=b requires state/<op>/<part>/<b+1>.zip; a
+#     short availableNow run uploads NO zips (maintenance defaults:
+#     interval 60s, minDeltasForSnapshot 30) — CANNOT_LOAD_STATE_STORE
+#     / FileNotFoundException without the tuned confs below.
+#   - WHICH versions get snapshots is a race against maintenance, so
+#     determinism comes from staging input in two phases: batch 0
+#     alone stays the LATEST version until its snapshot provably
+#     lands (polled), then the rest streams in.
+#   - snapshotStartBatchId reads ONE partition (snapshotPartitionId is
+#     mandatory with it), so the stream runs with ONE shuffle
+#     partition and partition 0 holds every key.
+# The registered result — final counts reconstructed from snapshot 1 +
+# changelogs 2..4 — equals the plain read (companion test pins that),
+# and the oracle is the same closed form as the direct legs.
+# ---------------------------------------------------------------------------
+
+_Q297_ORACLE = """
+WITH ids AS (SELECT range AS id FROM range(400))
+SELECT id % 13 AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ids
+GROUP BY 1
+"""
+
+
+def _poll_until(pred, timeout_s: float, what: str) -> None:
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if pred():
+            return
+        time.sleep(0.25)
+    raise RuntimeError(f"q297 probe timed out after {timeout_s}s waiting for {what}")
+
+
+@register(
+    "q297_state_snapshot_replay",
+    oracle=_Q297_ORACLE,
+    tags=("streaming", "statestore", "rocksdb", "snapshot", "ops"),
+)
+def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream",
+    )
+    ckpt = os.path.join(base, "snapshot_replay_ckpt")
+    src = os.path.join(base, "snapshot_replay_src")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    fixture = _ensure_outer_join_fixture()
+
+    def stage(names: list[str]) -> None:
+        for i, name in enumerate(sorted(names)):
+            dst = os.path.join(src, name)
+            shutil.copy(os.path.join(fixture, name), dst)
+            os.utime(dst, (_OJ_BASE + i, _OJ_BASE + i))
+
+    stage(["batch_0.parquet"])  # phase 1: version 1 stays latest
+    confs = {
+        "spark.sql.shuffle.partitions": "1",  # partition 0 holds all keys
+        "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot": "1",
+        "spark.sql.streaming.stateStore.maintenanceInterval": "500ms",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    snap1 = os.path.join(ckpt, "state", "0", "0", "1.zip")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        st = (
+            spark.readStream.schema("id bigint, ets bigint, kind string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            st.filter(F.col("kind") == "a")
+            .select((F.col("id") % 13).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            _poll_until(lambda: os.path.exists(snap1), 60, "snapshot 1.zip")
+            # phase 2: the rest of the fixture; version 4's changelog
+            # marks batch 3 (ids 100..399) committed
+            stage(["batch_1.parquet", "batch_2.parquet", "batch_3.parquet"])
+            chlog4 = os.path.join(ckpt, "state", "0", "0", "4.changelog")
+            _poll_until(lambda: os.path.exists(chlog4), 60, "changelog 4")
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    state = (
+        spark.read.format("statestore")
+        .option("snapshotStartBatchId", 0)  # load snapshot version 1...
+        .option("snapshotPartitionId", 0)
+        .option("batchId", 3)  # ...then replay changelogs 2..4
+        .load(ckpt)
+    )
+    return state.select(
+        F.col("key.k").alias("k"), F.col("value.count").alias("cnt")
+    )

@@ -771,3 +771,36 @@ def test_q296_operator_ids_address_distinct_stores(spark):
         st = spark.read.format("statestore").option("operatorId", op).load(ckpt)
         value_fields[op] = [f.name for f in st.schema["value"].dataType.fields]
     assert value_fields == {0: ["sum"], 1: ["count"]}
+
+
+def test_q297_snapshot_replay_equals_direct_read(spark):
+    """q297's companion pin: the snapshot-anchored read (snapshot 1 +
+    changelog replay to batch 3) returns byte-for-byte the same state
+    as the plain latest read — two retrieval paths, one store — and
+    the anchor snapshot actually exists on disk (the two-phase staging
+    really did capture version 1 before more input arrived)."""
+    import os
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    from .conftest import SF_SMALL as sf
+
+    via_snapshot = {
+        (r["k"], r["cnt"])
+        for r in all_queries()["q297_state_snapshot_replay"]
+        .builder(spark, sf)
+        .collect()
+    }
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "snapshot_replay_ckpt",
+    )
+    assert os.path.exists(os.path.join(ckpt, "state", "0", "0", "1.zip"))
+    direct = {
+        (r["k"], r["count"])
+        for r in spark.read.format("statestore")
+        .load(ckpt)
+        .select("key.k", "value.count")
+        .collect()
+    }
+    assert via_snapshot == direct and len(via_snapshot) == 13
