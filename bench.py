@@ -86,6 +86,42 @@ BENCH_EXTENDED = (
 )
 
 
+def _spin_work(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
+def _effective_cores() -> float | None:
+    """How many of the advertised cores the host actually delivers to a
+    full-width CPU-bound load: wall-time ratio of one worker running a
+    fixed spin vs all workers running it concurrently. Self-calibrating
+    — no cross-round baseline or quiet floor needed, which is what
+    finally settled the r9 bench mystery: with steal ~0 and the
+    single-core probe on its quiet floor, this read 18.7/32 — the box
+    physically delivers ~59% of nominal width (SMT siblings /
+    co-tenant pinning the guest cannot see), explaining a uniform
+    ~+20% on every 32-wide stage with no per-query suspect."""
+    import multiprocessing as mp
+
+    workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    work = 12_000_000  # ~0.7s single, dominates pool startup
+    try:
+        t0 = time.perf_counter()
+        _spin_work(work)
+        single = time.perf_counter() - t0
+        with mp.Pool(workers) as pool:
+            t0 = time.perf_counter()
+            pool.map(_spin_work, [work] * workers)
+            wide = time.perf_counter() - t0
+        if wide <= 0:
+            return None
+        return round(workers * single / wide, 1)
+    except OSError:
+        return None
+
+
 def _spin_probe(n: int = 3) -> float:
     """Median wall time of a fixed CPU-bound workload (~100 ms quiet).
 
@@ -228,6 +264,7 @@ def main() -> None:
 
     stat0 = _proc_stat()
     probe_pre = _spin_probe()
+    cores_pre = _effective_cores()
     mc_pre, steal_pre = _mc_probe(spark)
     timings = {name: time_query(name) for name in BENCH_QUERIES}
     total = round(sum(timings.values()), 3)
@@ -265,6 +302,12 @@ def main() -> None:
                 # healthy host; r9 measured ~12% under a 32-wide spin
                 # while the whole-run figure read 0.08%.
                 "mc_steal_pct": {"pre": steal_pre, "post": steal_post},
+                # self-calibrating width probe: how many of the
+                # advertised cores a full-width spin actually gets
+                # (single-vs-wide wall ratio; 32.0 on a healthy box,
+                # r9 measured 18.7 at steal ~0). THE number to
+                # normalize 32-wide query timings by across rounds.
+                "effective_cores": {"pre": cores_pre, "post": _effective_cores()},
                 "loadavg": list(os.getloadavg()),
                 # whole-run /proc/stat steal delta: blunt (diluted by
                 # idle gaps between queries) but absolute and
