@@ -804,3 +804,77 @@ def test_q297_snapshot_replay_equals_direct_read(spark):
         .collect()
     }
     assert via_snapshot == direct and len(via_snapshot) == 13
+
+
+def test_checkpoint_pins_shuffle_partitions_across_restarts(spark):
+    """The ops contract behind q296's numPartitions column: a stateful
+    checkpoint PINS the shuffle-partition count at first write —
+    restarting the same checkpoint under a different
+    spark.sql.shuffle.partitions is silently ignored for the stateful
+    operator (state-metadata still reports the original count) and the
+    results stay correct. The flip side is the real 100 TB lesson: you
+    cannot rescale a stream's state parallelism with a conf change —
+    day-one sizing sticks until the state is rebuilt (probed Spark
+    4.1.2, 2026-08-15)."""
+    import os
+    import shutil
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _ensure_outer_join_fixture,
+    )
+
+    fixture = _ensure_outer_join_fixture()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "stickyparts_test",
+    )
+    src, ckpt = base + "_src", base + "_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(names):
+        for name in names:
+            shutil.copy(os.path.join(fixture, name), os.path.join(src, name))
+
+    def run(parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        st = (
+            spark.readStream.schema("id bigint, ets bigint, kind string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            st.filter(F.col("kind") == "a")
+            .select((F.col("id") % 7).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        stage(["batch_0.parquet", "batch_1.parquet"])
+        run(8)
+        stage(["batch_2.parquet", "batch_3.parquet"])
+        run(16)  # restart under a DIFFERENT conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert [r["numPartitions"] for r in meta] == [8]  # conf 16 ignored
+    assert [r["maxBatchId"] for r in meta] == [3]  # restart DID process
+    state = spark.read.format("statestore").load(ckpt)
+    got = sorted(
+        (r["k"], r["count"]) for r in state.select("key.k", "value.count").collect()
+    )
+    expected = {}
+    for i in range(400):
+        expected[i % 7] = expected.get(i % 7, 0) + 1
+    assert got == sorted(expected.items())
