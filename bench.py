@@ -270,11 +270,57 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ext = {name: time_query(name) for name in BENCH_EXTENDED}
     mc_post, steal_post = _mc_probe(spark)
+    cores_post = _effective_cores()
+
+    # Effective-cores-NORMALIZED headline (VERDICT r9 item 3): the raw
+    # total is inflated by however much of the advertised width the host
+    # withholds (r9: 18.7-22 of 32 delivered at steal ~0), so the
+    # cross-round trend line lost meaning — r7 18.25s -> r9 24.02s with
+    # every plan audit clean. First-cut normalization: value *
+    # effective_cores/32, i.e. "what this read would cost at nominal
+    # width if the run were perfectly wide". It OVER-corrects
+    # single-thread-bound spans (they don't scale with width), so read
+    # it as a lower bound and the raw value as an upper bound; the
+    # regression alarm is: normalized total >20% over r7's 18.25s while
+    # effective_cores >= 28 = investigate code, not the host.
+    workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    eff_samples = [c for c in (cores_pre, cores_post) if c]
+    eff_mean = round(sum(eff_samples) / len(eff_samples), 1) if eff_samples else None
+    total_normalized = (
+        round(total * eff_mean / workers, 3) if eff_mean else None
+    )
+    _R7_ANCHOR = 18.25  # r7's quiet-host headline, the trend baseline
+    if total_normalized is not None:
+        drift = 100.0 * (total_normalized - _R7_ANCHOR) / _R7_ANCHOR
+        verdict = (
+            "normalized total >20% over the r7 anchor at near-nominal "
+            "width: investigate code, not the host"
+            if eff_mean >= 28 and drift > 20
+            else "within the host-capacity explanation: raw inflation "
+            "tracks the withheld width, plans unchanged"
+            if drift <= 20
+            else "normalized drift >20% but the box is far from nominal "
+            "width: re-read on a quieter host before blaming code"
+        )
+        normalized_note = (
+            f"raw {total}s at {eff_mean}/{workers} effective cores -> "
+            f"normalized {total_normalized}s vs r7 anchor {_R7_ANCHOR}s "
+            f"({drift:+.0f}%): {verdict}"
+        )
+    else:
+        normalized_note = "effective_cores probe unavailable; raw value only"
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
+                # value scaled by measured effective_cores/nominal: the
+                # host-capacity-corrected headline (lower bound; raw
+                # value is the upper bound). See comment at computation.
+                "value_normalized": total_normalized,
+                # the one-sentence reading of (value, value_normalized)
+                # against the r7 anchor — the cross-round trend verdict
+                "normalized_note": normalized_note,
                 "unit": "sec",
                 "queries": timings,
                 # round-3 families, excluded from "value" so the headline
@@ -307,7 +353,7 @@ def main() -> None:
                 # (single-vs-wide wall ratio; 32.0 on a healthy box,
                 # r9 measured 18.7 at steal ~0). THE number to
                 # normalize 32-wide query timings by across rounds.
-                "effective_cores": {"pre": cores_pre, "post": _effective_cores()},
+                "effective_cores": {"pre": cores_pre, "post": cores_post},
                 "loadavg": list(os.getloadavg()),
                 # whole-run /proc/stat steal delta: blunt (diluted by
                 # idle gaps between queries) but absolute and

@@ -1502,3 +1502,128 @@ def q295_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q299: the CBO x AQE INTERPLAY — the row that closes the cost story as
+# a matrix instead of two parallel lists. The same join-to-rollup shape
+# (q293's: orders joined to its 5-row per-priority MAX aggregate) is run
+# twice and the two (initial, final) join strategies are emitted as
+# data:
+#   leg 1, no stats: the static planner cannot size an aggregate's
+#     output, so the initial plan is a SortMergeJoin and AQE's runtime
+#     measurement rescues it to a BroadcastHashJoin (q293's switch).
+#   leg 2, ANALYZE'd stats + CBO: BasicStatsPlanVisitor propagates the
+#     5-row group count through the Aggregate, so the INITIAL plan is
+#     already a BroadcastHashJoin — nothing left for AQE to fix.
+# Static statistics and runtime re-planning are complements: ANALYZE
+# what you curate, let AQE cover what you can't — at 100 TB that means
+# stats on curated gold/dim tables buy right-first-time plans (no wasted
+# first shuffle), while ad-hoc shapes still get the runtime safety net.
+# Probed + plan-pinned first in tests/test_plans.py::
+# test_cbo_stats_make_q293s_runtime_rescue_unnecessary (r9); registered
+# here as driver-green evidence (VERDICT r9 item 6). The strategy
+# strings are deterministic engine behavior replayed by the oracle as
+# literals (q158/q97 calibration-gate shape); n_orders/n_priorities are
+# real aggregates from the executed joins, so values are checked too.
+# ---------------------------------------------------------------------------
+
+_Q299_ORACLE = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+  FROM orders
+)
+SELECT 'no_stats_aqe_rescue' AS scenario,
+       'SortMergeJoin' AS initial_join,
+       'BroadcastHashJoin' AS final_join,
+       n_orders, n_priorities
+FROM t
+UNION ALL
+SELECT 'cbo_stats_static' AS scenario,
+       'BroadcastHashJoin' AS initial_join,
+       'BroadcastHashJoin' AS final_join,
+       n_orders, n_priorities
+FROM t
+"""
+
+
+def _join_strategy_of(face: str) -> str:
+    """Which join operator a rendered plan face carries (exactly one of
+    the three shuffle-family strategies appears in this shape)."""
+    for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        if kind in face:
+            return kind
+    return "none"
+
+
+@register(
+    "q299_aqe_cbo_interplay",
+    oracle=_Q299_ORACLE,
+    tags=("optimizer", "aqe", "cbo", "statistics", "join"),
+)
+def q299_aqe_cbo_interplay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    rows = []
+
+    def run(scenario: str, orders, confs: dict[str, str]) -> None:
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            dim = orders.groupBy("o_orderpriority").agg(
+                F.max("o_totalprice").alias("prio_max")
+            )
+            df = (
+                orders.join(dim, "o_orderpriority")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            got = df.collect()  # AQE finalizes during execution
+            plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            final_face, _, initial_face = plan.partition("== Initial Plan ==")
+            rows.append(
+                (
+                    scenario,
+                    _join_strategy_of(initial_face),
+                    _join_strategy_of(final_face),
+                    sum(r["n"] for r in got),
+                    len(got),
+                )
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    # leg 1: plain parquet, no stats, static broadcast off — only AQE's
+    # runtime measurement of the materialized dim side can broadcast
+    run(
+        "no_stats_aqe_rescue",
+        load_table(spark, sf_dir, "orders"),
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+        },
+    )
+    # leg 2: ANALYZE'd external table under CBO — the propagated 5-row
+    # group count (~185 B) clears the SAME 1MB cap on both thresholds,
+    # so the static choice is right before a single byte shuffles
+    (ot,) = cbo_stats_tables(spark, sf_dir, sources=("orders",))
+    run(
+        "cbo_stats_static",
+        spark.table(ot),
+        {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "1MB",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "1MB",
+        },
+    )
+    return spark.createDataFrame(
+        rows,
+        "scenario string, initial_join string, final_join string, "
+        "n_orders bigint, n_priorities bigint",
+    )

@@ -2744,6 +2744,24 @@ def q296_state_metadata_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The registered result — final counts reconstructed from snapshot 1 +
 # changelogs 2..4 — equals the plain read (companion test pins that),
 # and the oracle is the same closed form as the direct legs.
+#
+# Backend asymmetry (probed Spark 4.1.2, 2026-08-15, re-confirmed r10):
+# snapshotStartBatchId is RocksDB+changelog ONLY — on an HDFS-backed
+# checkpoint the same read raises CANNOT_LOAD_STATE_STORE (the HDFS
+# provider keeps .delta/.snapshot files, not the <v>.zip layout this
+# option resolves). Pinned in
+# tests/test_streaming.py::test_snapshot_start_batch_id_requires_rocksdb.
+#
+# Hardening (r10, after one load-induced flake in the r9 full-suite run):
+# the 250ms trigger + 500ms maintenance interval + 60s poll ceiling was
+# not starvation-proof on this ~19-effective-core box under a concurrent
+# full-registry replay. Two fixes: (1) after changelog 4 appears we ALSO
+# poll the checkpoint's commit log for batch 3 before q.stop() — the
+# changelog uploads during the state commit, which precedes the
+# commit-log entry, so stopping inside that window left batch 3
+# uncommitted and the batchId=3 read short; (2) the whole two-phase run
+# retries ONCE from a cleared checkpoint on poll timeout (the fixture is
+# cheap; a second 60s budget under transient contention beats failing).
 # ---------------------------------------------------------------------------
 
 _Q297_ORACLE = """
@@ -2781,9 +2799,6 @@ def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(base, "snapshot_replay_ckpt")
     src = os.path.join(base, "snapshot_replay_src")
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src)
     fixture = _ensure_outer_join_fixture()
 
     def stage(names: list[str]) -> None:
@@ -2792,7 +2807,6 @@ def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(os.path.join(fixture, name), dst)
             os.utime(dst, (_OJ_BASE + i, _OJ_BASE + i))
 
-    stage(["batch_0.parquet"])  # phase 1: version 1 stays latest
     confs = {
         "spark.sql.shuffle.partitions": "1",  # partition 0 holds all keys
         "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
@@ -2801,10 +2815,13 @@ def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.maintenanceInterval": "500ms",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
-    snap1 = os.path.join(ckpt, "state", "0", "0", "1.zip")
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+
+    def run_two_phase() -> None:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        stage(["batch_0.parquet"])  # phase 1: version 1 stays latest
+        snap1 = os.path.join(ckpt, "state", "0", "0", "1.zip")
         st = (
             spark.readStream.schema("id bigint, ets bigint, kind string")
             .option("maxFilesPerTrigger", 1)
@@ -2830,9 +2847,25 @@ def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage(["batch_1.parquet", "batch_2.parquet", "batch_3.parquet"])
             chlog4 = os.path.join(ckpt, "state", "0", "0", "4.changelog")
             _poll_until(lambda: os.path.exists(chlog4), 60, "changelog 4")
+            # the changelog uploads DURING the state commit, before the
+            # commit-log entry lands; gate stop() on commits/3 so the
+            # final batch can't be left uncommitted (ADVICE r9)
+            commit3 = os.path.join(ckpt, "commits", "3")
+            _poll_until(lambda: os.path.exists(commit3), 60, "commit log 3")
         finally:
             q.stop()
             q.awaitTermination()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            run_two_phase()
+        except RuntimeError:
+            # one self-healing retry from a cleared checkpoint: the 60s
+            # poll ceilings are not starvation-proof under concurrent
+            # full-registry load on this host (observed once, r9)
+            run_two_phase()
     finally:
         for k, v in saved.items():
             if v is None:
@@ -2848,4 +2881,121 @@ def q297_state_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return state.select(
         F.col("key.k").alias("k"), F.col("value.count").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298: constructive state REPARTITIONING — the operational job the
+# statestore matrix (q273/q279/q280/q285/q288 reads, q290 backend, q291
+# change feed, q292 time travel, q296 topology) opens but none of them
+# closes. The contract it fixes is test-pinned (tests/test_streaming.py::
+# test_checkpoint_pins_shuffle_partitions_across_restarts): a stateful
+# checkpoint pins spark.sql.shuffle.partitions at FIRST write; restarting
+# under a different conf is silently ignored — day-one sizing sticks.
+# Public PySpark has no state-bootstrap API for aggregation state, so the
+# only sound rescale is REBUILD, DON'T MUTATE: replay the retained input
+# into a FRESH checkpoint under the new partition count, verify the new
+# state matches the old byte-for-value, then cut the job over. Cost = one
+# input replay (bounded by the source's retention, not by wall-clock
+# history) — at 100 TB that is a planned backfill, vs the alternative of
+# hand-rewriting RocksDB SST files that no public API sanctions.
+# The registered result carries BOTH faces per key (cnt_original from the
+# 8-partition store, cnt_rebuilt from the 16-partition rebuild) plus the
+# measured state-metadata partition counts, so the driver's value check
+# IS the rebuild-equivalence proof; the oracle replays the closed form
+# and the expected 8 -> 16 scaling as literals (the q158/q97
+# calibration-gate shape). Companion pin in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_Q298_ORACLE = f"""
+WITH ids AS (SELECT range AS id FROM range({_OJ_N}))
+SELECT id % 7 AS k,
+       CAST(COUNT(*) AS BIGINT) AS cnt_original,
+       CAST(COUNT(*) AS BIGINT) AS cnt_rebuilt,
+       CAST(8 AS INT) AS parts_original,
+       CAST(16 AS INT) AS parts_rebuilt
+FROM ids
+GROUP BY 1
+"""
+
+
+@register(
+    "q298_state_repartition_rebuild",
+    oracle=_Q298_ORACLE,
+    tags=("streaming", "statestore", "repartition", "ops"),
+)
+def q298_state_repartition_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream",
+    )
+    src = os.path.join(base, "repart_rebuild_src")
+    ckpt_a = os.path.join(base, "repart_rebuild_ckpt8")
+    ckpt_b = os.path.join(base, "repart_rebuild_ckpt16")
+    for d in (src, ckpt_a, ckpt_b):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    fixture = _ensure_outer_join_fixture()
+    for i, name in enumerate(
+        ["batch_0.parquet", "batch_1.parquet", "batch_2.parquet", "batch_3.parquet"]
+    ):
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(fixture, name), dst)
+        os.utime(dst, (_OJ_BASE + i, _OJ_BASE + i))
+
+    def run(parts: int, ckpt: str) -> None:
+        key = "spark.sql.shuffle.partitions"
+        saved = spark.conf.get(key)
+        try:
+            spark.conf.set(key, str(parts))
+            st = (
+                spark.readStream.schema("id bigint, ets bigint, kind string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = (
+                st.filter(F.col("kind") == "a")
+                .select((F.col("id") % 7).alias("k"))
+                .groupBy("k")
+                .count()
+            )
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(key, saved)
+
+    run(8, ckpt_a)  # day-one sizing: the checkpoint pins 8 partitions
+    run(16, ckpt_b)  # the rebuild: same input replayed under the new conf
+    orig = (
+        spark.read.format("statestore").load(ckpt_a)
+        .select(F.col("key.k").alias("k"), F.col("value.count").alias("cnt_original"))
+    )
+    rebuilt = (
+        spark.read.format("statestore").load(ckpt_b)
+        .select(F.col("key.k").alias("k"), F.col("value.count").alias("cnt_rebuilt"))
+    )
+    parts_a = (
+        spark.read.format("state-metadata").load(ckpt_a)
+        .select(F.col("numPartitions").cast("int").alias("parts_original"))
+    )
+    parts_b = (
+        spark.read.format("state-metadata").load(ckpt_b)
+        .select(F.col("numPartitions").cast("int").alias("parts_rebuilt"))
+    )
+    # metadata sides are exactly one row each (single stateful operator
+    # per checkpoint), so the cross joins are scalar annotations
+    return (
+        orig.join(rebuilt, "k")
+        .crossJoin(parts_a)
+        .crossJoin(parts_b)
+        .select("k", "cnt_original", "cnt_rebuilt", "parts_original", "parts_rebuilt")
     )

@@ -1134,9 +1134,12 @@ def test_q289_histogram_fixes_join_estimate(spark):
     JoinEstimation under-estimates the join cardinality >=10x, while
     equi-height histograms land within 3x of the true pair count —
     Spark merges same-valued bucket runs into one range, recovering the
-    mega-key's square (measured at sf0.001: true 3.80E+4 vs basic
-    1.2E+3 vs histogram 3.8E+4; probed on Spark 4.1.2, 2026-08-15 —
-    an upgrade changing the bucket-merge rule means re-probe)."""
+    mega-key's square (probed at BOTH scales on Spark 4.1.2,
+    2026-08-15: this fixture's SF_SMALL=sf0.001 gives true 3.80E+4 vs
+    basic 1.2E+3 vs histogram 3.8E+4; the builder comment in sqlx_q.py
+    cites the driver-gate scale sf0.01, true 4.10E+6 vs NDV ~1.2E+4 —
+    the ~10x/3x margins hold at both, so a threshold trip on a rescale
+    means the bucket-merge rule changed, not the fixture)."""
     import re
 
     from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import (

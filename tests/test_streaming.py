@@ -815,7 +815,11 @@ def test_checkpoint_pins_shuffle_partitions_across_restarts(spark):
     results stay correct. The flip side is the real 100 TB lesson: you
     cannot rescale a stream's state parallelism with a conf change —
     day-one sizing sticks until the state is rebuilt (probed Spark
-    4.1.2, 2026-08-15)."""
+    4.1.2, 2026-08-15). The second half asserts the fix the first half
+    denies: the REBUILD path (q298_state_repartition_rebuild — replay
+    the same input into a FRESH checkpoint under the new conf) actually
+    lands on 16 partitions with identical state, so rescaling is a
+    planned backfill, not a conf edit."""
     import os
     import shutil
 
@@ -878,3 +882,121 @@ def test_checkpoint_pins_shuffle_partitions_across_restarts(spark):
     for i in range(400):
         expected[i % 7] = expected.get(i % 7, 0) + 1
     assert got == sorted(expected.items())
+
+    # the rebuild path fixes what restart can't: the full input replayed
+    # into a FRESH checkpoint under parts=16 genuinely lands on 16
+    # partitions with identical state (q298's job, in miniature)
+    ckpt16 = base + "_ckpt_rebuilt"
+    shutil.rmtree(ckpt16, ignore_errors=True)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+
+        def run_into(parts, target):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            st = (
+                spark.readStream.schema("id bigint, ets bigint, kind string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = (
+                st.filter(F.col("kind") == "a")
+                .select((F.col("id") % 7).alias("k"))
+                .groupBy("k")
+                .count()
+            )
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", target)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_into(16, ckpt16)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    meta16 = spark.read.format("state-metadata").load(ckpt16).collect()
+    assert [r["numPartitions"] for r in meta16] == [16]  # rescaled for real
+    rebuilt = sorted(
+        (r["k"], r["count"])
+        for r in spark.read.format("statestore")
+        .load(ckpt16)
+        .select("key.k", "value.count")
+        .collect()
+    )
+    assert rebuilt == got  # rebuild == original results, under 16 parts
+
+
+def test_snapshot_start_batch_id_requires_rocksdb(spark):
+    """q297's backend precondition, pinned as contract: the
+    snapshotStartBatchId read path is RocksDB+changelog ONLY. On an
+    HDFS-backed checkpoint (the default provider — .delta/.snapshot
+    layout, no <v>.zip) the identical read raises
+    CANNOT_LOAD_STATE_STORE (probed Spark 4.1.2 r9, pinned r10), so the
+    q297 recipe must not be mistaken for backend-generic."""
+    import os
+    import shutil
+
+    import pytest
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.streaming.jobs import (
+        _ensure_outer_join_fixture,
+    )
+
+    fixture = _ensure_outer_join_fixture()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "stream", "hdfs_snapshot_asym",
+    )
+    src, ckpt = base + "_src", base + "_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+    for name in ("batch_0.parquet", "batch_1.parquet"):
+        shutil.copy(os.path.join(fixture, name), os.path.join(src, name))
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        st = (
+            spark.readStream.schema("id bigint, ets bigint, kind string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            st.filter(F.col("kind") == "a")
+            .select((F.col("id") % 7).alias("k"))
+            .groupBy("k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    # HDFS layout: versioned .delta files, never <v>.zip snapshots
+    part_dir = os.path.join(ckpt, "state", "0", "0")
+    names = os.listdir(part_dir)
+    assert any(n.endswith(".delta") for n in names)
+    assert not any(n.endswith(".zip") for n in names)
+
+    # the plain latest read works on this backend...
+    plain = spark.read.format("statestore").load(ckpt)
+    assert plain.count() == 7
+    # ...but the snapshot-anchored read is a pinned refusal
+    with pytest.raises(Exception, match="CANNOT_LOAD_STATE_STORE"):
+        (
+            spark.read.format("statestore")
+            .option("snapshotStartBatchId", 0)
+            .option("snapshotPartitionId", 0)
+            .option("batchId", 1)
+            .load(ckpt)
+            .collect()
+        )
