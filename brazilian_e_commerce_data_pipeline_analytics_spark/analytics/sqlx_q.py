@@ -1627,3 +1627,182 @@ def q299_aqe_cbo_interplay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scenario string, initial_join string, final_join string, "
         "n_orders bigint, n_priorities bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q300: EXECUTE IMMEDIATE (Spark 4.0, SQL/PSM dynamic SQL) — the fourth
+# leg of the parameterized-SQL story (q227 spark.sql args, q243
+# IDENTIFIER(), q248 session variables, q269 scripting): a SQL string
+# executed server-side with USING parameter binding and INTO variable
+# capture, the stored-procedure migration surface that otherwise forces
+# driver-side string formatting (injection) or client round-trips. The
+# two-step shape is the common one: capture a data-derived scalar INTO
+# a session variable (MAX is an exact decimal pick — no rounding
+# hazard), then bind it as a positional ? parameter of the main
+# statement. Bound parameters constant-fold like q227's, so pushdown is
+# unaffected. Probed Spark 4.1.2 (2026-08-15): both positional (?) and
+# named (:x) USING forms plus INTO work on this build.
+# ---------------------------------------------------------------------------
+
+_Q300_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,4)) * 2 >
+                          (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4)))
+                           FROM orders)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "q300_execute_immediate",
+    oracle=_Q300_ORACLE,
+    tags=("sql-api", "dynamic-sql", "variables"),
+)
+def q300_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE q300_max DECIMAL(18,4)")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders' "
+        "INTO q300_max"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority AS priority,
+                CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,4)) * 2 > ?
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY 1'
+        USING q300_max
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q301: DEFAULT column values (Spark 3.4+ DDL) — declared defaults on an
+# external parquet table, filled two ways: an INSERT naming only a
+# column subset (the unnamed columns take their defaults — the ingest
+# shape where upstream feeds omit bookkeeping fields) and an explicit
+# DEFAULT keyword in VALUES. The intake-table pattern this encodes: at
+# 100 TB the alternative is a COALESCE() sprayed across every consumer
+# query forever; a declared default normalizes once, at write time, in
+# the table contract. Defaults are resolved at INSERT (stored in the
+# data), not at read — so existing files never rewrite and the scan
+# stays plain parquet. Probed Spark 4.1.2 (2026-08-15) on v1 external
+# parquet tables.
+# ---------------------------------------------------------------------------
+
+_Q301_ORACLE = """
+SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'pending' ELSE 'expedited' END
+         AS status,
+       'web' AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 10 IN (0, 3)
+GROUP BY 1, 2
+UNION ALL
+SELECT 'pending', 'store', 1, 0.0
+"""
+
+
+@register(
+    "q301_default_columns",
+    oracle=_Q301_ORACLE,
+    tags=("ddl", "defaults", "sql-api"),
+)
+def q301_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    register_views(spark, sf_dir, names=("orders",))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "sql", f"defaults_tbl_{sf_tag}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)  # fresh, deterministic content
+    spark.sql("DROP TABLE IF EXISTS q301_intake")
+    spark.sql(
+        f"""
+        CREATE TABLE q301_intake (
+          o_orderkey BIGINT,
+          o_totalprice DECIMAL(18,4),
+          status STRING DEFAULT 'pending',
+          channel STRING DEFAULT 'web'
+        ) USING PARQUET LOCATION '{loc}'
+        """
+    )
+    # feed 1 omits the bookkeeping columns entirely: defaults fill both
+    spark.sql(
+        """
+        INSERT INTO q301_intake (o_orderkey, o_totalprice)
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))
+        FROM orders WHERE o_orderkey % 10 = 0
+        """
+    )
+    # feed 2 sets status explicitly; channel still defaults
+    spark.sql(
+        """
+        INSERT INTO q301_intake (o_orderkey, o_totalprice, status)
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)), 'expedited'
+        FROM orders WHERE o_orderkey % 10 = 3
+        """
+    )
+    # the explicit DEFAULT keyword face (per-position opt-in)
+    spark.sql(
+        "INSERT INTO q301_intake VALUES "
+        "(-1, CAST(0.0 AS DECIMAL(18,4)), DEFAULT, 'store')"
+    )
+    return spark.sql(
+        """
+        SELECT status, channel,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
+        FROM q301_intake
+        GROUP BY 1, 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302: DataFrame lateralJoin API (Spark 4.0) — q222's correlated
+# LATERAL subquery, expressed programmatically: the right side
+# references the left row's column via Column.outer() and carries its
+# own ORDER BY ... LIMIT, so "top-3 per outer row" composes without
+# leaving the DataFrame API (previously SQL-string-only). Catalyst
+# decorrelates it into the same rank-per-group plan q222's SQL gets —
+# same total-order tiebreak (c_acctbal DESC, c_name), same oracle
+# shape. Probed Spark 4.1.2 (2026-08-15).
+# ---------------------------------------------------------------------------
+
+_Q302_ORACLE = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+"""
+
+
+@register(
+    "q302_lateral_join_api",
+    oracle=_Q302_ORACLE,
+    tags=("dataframe-api", "lateral", "topk"),
+)
+def q302_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    top3 = (
+        customer.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_name")
+        .limit(3)
+        .select("c_name", "c_acctbal")
+    )
+    return nation.lateralJoin(top3).select("n_name", "c_name", "c_acctbal")
