@@ -1103,3 +1103,72 @@ def q251_try_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("conv_rate")).alias("n_undefined"),
         F.round(F.sum("conv_rate") / F.count("conv_rate"), 6).alias("avg_conv_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q304: variant_explode — schema DISCOVERY over heterogeneous variant
+# payloads, the table-function face of the variant story (q106 is the
+# typed-path face: variant_get when you know the path). Real mixed-
+# payload feeds carry different shapes per event class, so the fixture
+# builds one deterministically from real columns: even user_ids carry
+# an OBJECT {"k": <props.k>, "t": "<event_type>"}, odd user_ids carry
+# an ARRAY [k, k % 7]. variant_explode emits (pos, key, value) rows —
+# key per object field, key NULL for array elements — and the rollup
+# per discovered key (entry count + distinct stringified values) is
+# the "what's actually inside this column" profile run before anyone
+# writes a schema. The oracle replays by CONSTRUCTION (the payload is
+# derived from typed columns, so no JSON parsing is needed on the
+# DuckDB side). CAST(variant AS STRING) unquotes strings and renders
+# ints bare — both match DuckDB's VARCHAR casts. Probed Spark 4.1.2
+# (2026-08-15).
+# ---------------------------------------------------------------------------
+
+_Q304_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, CAST(props::JSON ->> 'k' AS BIGINT) AS k
+  FROM events
+)
+SELECT 'k' AS prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(COUNT(DISTINCT CAST(k AS VARCHAR)) AS BIGINT) AS n_values
+FROM base WHERE user_id % 2 = 0
+UNION ALL
+SELECT 't',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT)
+FROM base WHERE user_id % 2 = 0
+UNION ALL
+SELECT NULL,
+       CAST(2 * COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(DISTINCT CAST(v AS VARCHAR)) AS BIGINT)
+        FROM (SELECT k AS v FROM base WHERE user_id % 2 = 1
+              UNION ALL
+              SELECT k % 7 FROM base WHERE user_id % 2 = 1))
+FROM base WHERE user_id % 2 = 1
+"""
+
+
+@register(
+    "q304_variant_explode",
+    oracle=_Q304_ORACLE,
+    tags=("events", "variant", "semi-structured", "tvf"),
+)
+def q304_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    payload = F.when(
+        F.col("user_id") % 2 == 0,
+        F.format_string('{"k": %d, "t": "%s"}', k, F.col("event_type")),
+    ).otherwise(F.format_string("[%d, %d]", k, k % 7))
+    ev.select(F.parse_json(payload).alias("v")).createOrReplaceTempView(
+        "__q304_payloads"
+    )
+    return spark.sql(
+        """
+        SELECT x.key AS prop_key,
+               COUNT(*) AS n_entries,
+               COUNT(DISTINCT CAST(x.value AS STRING)) AS n_values
+        FROM __q304_payloads, LATERAL variant_explode(v) x
+        GROUP BY 1
+        """
+    )

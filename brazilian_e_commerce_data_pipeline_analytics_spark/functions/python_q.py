@@ -408,3 +408,70 @@ def q271_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM gap_stats(TABLE(__q271_events) "
         "PARTITION BY user_id ORDER BY (us, event_id))"
     )
+
+
+# ---------------------------------------------------------------------------
+# q303: UDTF TABLE argument via the DataFrame asTable() API (Spark 4) —
+# q271's capability (a whole ordered partition streamed through one
+# UDTF instance), expressed programmatically:
+# ``Fn(df.asTable().partitionBy(...).orderBy(...))`` instead of the SQL
+# string ``FROM fn(TABLE(v) PARTITION BY ... ORDER BY (...))``. Same
+# planner contract — one shuffle on the partition key, rows delivered
+# in ORDER BY order, a fresh instance per partition, terminate() at
+# partition end — so pipelines can compose custom sequential operators
+# without a temp view + SQL round-trip. The computation is distinct
+# from q271's gap stats: per-user event-type SWITCH counts (a Markov-
+# chain transition tally, the sequential shape lag() replays). Total
+# order (ts micros, event_id) makes the scan sequence deterministic.
+# Probed Spark 4.1.2 (2026-08-15).
+# ---------------------------------------------------------------------------
+
+_Q303_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev_type IS NOT NULL AND event_type <> prev_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+FROM seq
+GROUP BY user_id
+"""
+
+
+@register(
+    "q303_udtf_astable_api",
+    oracle=_Q303_ORACLE,
+    tags=("udtf", "python", "table-arg", "dataframe-api"),
+)
+def q303_udtf_astable_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @udtf(returnType="user_id bigint, n_events bigint, n_switches bigint")
+    class TypeSwitches:
+        def __init__(self):
+            self.user = None
+            self.prev = None
+            self.n = 0
+            self.switches = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            t = row["event_type"]
+            if self.prev is not None and t != self.prev:
+                self.switches += 1
+            self.prev = t
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.switches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    return TypeSwitches(
+        ev.asTable().partitionBy("user_id").orderBy("us", "event_id")
+    )
