@@ -1222,6 +1222,25 @@ def test_round7_arrow_boundaries_use_arrow_nodes(spark):
     assert exchange_count(q271) == 1  # one shuffle: the PARTITION BY key
 
 
+def test_round10_api_faces_plan_like_their_sql_twins(spark):
+    """The r10 DataFrame-API faces must compile to the same plans their
+    SQL twins get — the API is sugar, not a different engine path:
+    q302's lateralJoin (Column.outer() + ORDER BY/LIMIT 3) DECORRELATES
+    into the rank-per-group shape (Window + WindowGroupLimit pushing
+    the per-group top-k below the shuffle) joined broadcast — never a
+    nested-loop re-execution per outer row; q303's asTable() UDTF plans
+    exactly like q271's SQL TABLE() form — one UDTF eval node fed by a
+    single shuffle on the PARTITION BY key."""
+    q302 = QUERIES["q302_lateral_join_api"].builder(spark, SF_SMALL)
+    plan = formatted_plan(q302)
+    assert "Window" in plan and "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    q303 = QUERIES["q303_udtf_astable_api"].builder(spark, SF_SMALL)
+    plan3 = formatted_plan(q303)
+    assert "PythonUDTF" in plan3 or "BatchEvalPythonUDTF" in plan3
+    assert exchange_count(q303) == 1  # one shuffle: the partitionBy key
+
+
 def test_q275_pandas_api_compiles_to_catalyst(spark):
     """pyspark.pandas must hand back a pure-JVM plan: no Python eval
     node AND no Window at all — the default 'sequence' index would pin
