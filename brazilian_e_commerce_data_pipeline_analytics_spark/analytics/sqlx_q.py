@@ -1806,3 +1806,66 @@ def q302_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "c_acctbal")
     )
     return nation.lateralJoin(top3).select("n_name", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# q305: SQL TABLE function (Spark 4.0 — CREATE FUNCTION ... RETURNS
+# TABLE) — the table-valued complement to q196's scalar SQL UDF: a
+# row-generating function defined IN SQL, planned by Catalyst like a
+# view-with-parameters (no Python boundary, unlike the UDTF family
+# q107/q244/q271/q303), usable standalone or LATERAL-correlated. Here
+# an equal-width tier generator laterally joined to orders buckets
+# every order into its price tier — the parameterized-dimension idiom
+# (calendars, tiers, grids) that otherwise gets materialized as a
+# physical table per parameter choice. Gotcha probed on 4.1.2:
+# range(n) inside the body rejects non-foldable parameter args
+# (NON_FOLDABLE_ARGUMENT) — explode(sequence(0, n-1)) accepts them.
+# Bounds are exact double multiples of 200000, so the oracle replays
+# the bucketing as floor division (boundary-safe: decimal(18,4) inputs
+# are >=1e-4 away from any multiple, far above double ulp).
+# ---------------------------------------------------------------------------
+
+_Q305_ORACLE = """
+SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 200000) AS INT) AS tier,
+       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 200000) * 200000 AS DOUBLE)
+         AS lo_bound,
+       CAST((FLOOR(CAST(o_totalprice AS DOUBLE) / 200000) + 1) * 200000
+            AS DOUBLE) AS hi_bound,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q305_sql_table_function",
+    oracle=_Q305_ORACLE,
+    tags=("sql-api", "table-function", "lateral"),
+)
+def q305_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q305_tiers(
+          lo DOUBLE, hi DOUBLE, n INT)
+        RETURNS TABLE (tier INT, lo_bound DOUBLE, hi_bound DOUBLE)
+        RETURN SELECT CAST(id AS INT) AS tier,
+                      lo + (hi - lo) * id / n AS lo_bound,
+                      lo + (hi - lo) * (id + 1) / n AS hi_bound
+               FROM (SELECT explode(sequence(0, n - 1)) AS id)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT p.tier, p.lo_bound, p.hi_bound,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM orders,
+        LATERAL q305_tiers(CAST(0 AS DOUBLE), CAST(1000000 AS DOUBLE), 5) p
+        WHERE CAST(o_totalprice AS DOUBLE) >= p.lo_bound
+          AND CAST(o_totalprice AS DOUBLE) < p.hi_bound
+        GROUP BY 1, 2, 3
+        """
+    )
