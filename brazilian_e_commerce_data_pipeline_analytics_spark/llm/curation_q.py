@@ -965,3 +965,59 @@ def q261_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.col("n_customers") - noise), 6
         ).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q306: format-preserving data MASKING — mask() (Spark 3.4), the
+# column-level governance primitive next to q139's content redaction:
+# q139 rewrites PII patterns INSIDE free text; mask() de-identifies a
+# whole typed column while preserving its FORMAT (case class and digit
+# positions survive, so downstream format validation, length stats,
+# and pattern analytics still work on the masked export). The shape is
+# the standard de-identified extract: top parts by retail price with
+# name/brand/type masked — default alphabet (X/x/n, other chars kept)
+# plus the custom-alphabet form on the brand (digits -> '#') — under a
+# total-order rank (p_retailprice DESC, p_partkey). Value-exact
+# oracle: mask() is a pure character-class map, replayed in DuckDB as
+# a regexp_replace chain ([A-Z]->X, [a-z]->x, [0-9]->n) — equivalence
+# probed on Spark 4.1.2 (2026-08-15). Scale: a codegen'd row-local
+# expression — no shuffle, no Python, applies at any width.
+# ---------------------------------------------------------------------------
+
+_Q306_MASK_DUCK = (
+    "regexp_replace(regexp_replace(regexp_replace({col}, '[A-Z]', '{u}', 'g'),"
+    " '[a-z]', '{l}', 'g'), '[0-9]', '{d}', 'g')"
+)
+
+_Q306_ORACLE = f"""
+SELECT p_partkey,
+       {_Q306_MASK_DUCK.format(col="p_name", u="X", l="x", d="n")} AS name_masked,
+       {_Q306_MASK_DUCK.format(col="p_brand", u="X", l="x", d="n")} AS brand_masked,
+       {_Q306_MASK_DUCK.format(col="p_type", u="X", l="x", d="n")} AS type_masked,
+       {_Q306_MASK_DUCK.format(col="p_brand", u="X", l="x", d="#")} AS brand_custom,
+       p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 20
+"""
+
+
+@register(
+    "q306_data_masking",
+    oracle=_Q306_ORACLE,
+    tags=("governance", "pii", "masking", "curation"),
+)
+def q306_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr("mask(p_name)").alias("name_masked"),
+            F.expr("mask(p_brand)").alias("brand_masked"),
+            F.expr("mask(p_type)").alias("type_masked"),
+            F.expr("mask(p_brand, 'X', 'x', '#')").alias("brand_custom"),
+            "p_retailprice",
+        )
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(20)
+    )
