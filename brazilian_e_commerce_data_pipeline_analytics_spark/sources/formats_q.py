@@ -482,3 +482,133 @@ def q232_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q307: XML EXPRESSION functions (Spark 4.0 — to_xml / from_xml /
+# schema_of_xml) — the column-level face of the XML story, same split
+# as to_json/from_json vs the json source: q150 reads/writes XML FILES
+# through the DataSource; these functions convert per-ROW between a
+# struct column and an XML string inside a plan, which is how an XML
+# payload embedded in another feed (a CDC envelope, a message queue
+# column) gets parsed without a detour through files. The row proves a
+# value-exact struct -> to_xml -> from_xml round trip on real order
+# rows (the parsed values ARE the compared output), plus two
+# calibration-gate columns: the serialized form carries the expected
+# field tags, and schema_of_xml infers the documented schema string
+# for a sample literal (deterministic engine output replayed by the
+# oracle as a literal, q158/q97 shape).
+# ---------------------------------------------------------------------------
+
+_Q307_ORACLE = """
+SELECT o_orderkey AS okey_rt,
+       o_orderpriority AS prio_rt,
+       CAST(o_totalprice AS DOUBLE) AS price_rt,
+       TRUE AS xml_has_tags,
+       'STRUCT<id: BIGINT>' AS inferred_schema
+FROM orders
+ORDER BY o_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q307_xml_functions",
+    oracle=_Q307_ORACLE,
+    tags=("formats", "xml", "functions", "semi-structured"),
+)
+def q307_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderpriority"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            ).alias("s")
+        )
+    )
+    xml = o.select(F.to_xml("s").alias("x"))
+    parsed = xml.select(
+        F.from_xml(
+            "x", "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+        ).alias("p"),
+        "x",
+    )
+    return parsed.select(
+        F.col("p.o_orderkey").alias("okey_rt"),
+        F.col("p.o_orderpriority").alias("prio_rt"),
+        F.col("p.o_totalprice").alias("price_rt"),
+        (
+            F.col("x").contains("<o_orderkey>")
+            & F.col("x").contains("<o_orderpriority>")
+        ).alias("xml_has_tags"),
+        F.schema_of_xml(F.lit("<ROW><id>1</id></ROW>")).alias("inferred_schema"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308: UTF-8 validation quartet (Spark 4.0 — is_valid_utf8 /
+# make_valid_utf8 / try_validate_utf8) — ingest hygiene for binary
+# feeds, next to q155's corrupt-record JSON handling: real corpora
+# arrive with encoding damage, and the three policies are exactly
+# these functions — DETECT (is_valid_utf8 flag for routing), REPAIR
+# (make_valid_utf8 substitutes U+FFFD for invalid sequences, keeping
+# the valid remainder), REJECT (try_validate_utf8 -> NULL, the
+# dead-letter route; validate_utf8 raises, exercised in the test
+# suite, not here — a raising expression can't be a driver row). The
+# fixture damages real document bytes deterministically (odd doc_ids
+# get an invalid 0xFF prefix), so every policy's outcome is
+# closed-form: repaired length = 1 replacement char + the original,
+# rejected = all damaged rows. Oracle replays by construction.
+# ---------------------------------------------------------------------------
+
+_Q308_ORACLE = """
+SELECT TRUE AS is_valid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_rejected,
+       CAST(0 AS BIGINT) AS extra_repair_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT FALSE,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@register(
+    "q308_utf8_validation",
+    oracle=_Q308_ORACLE,
+    tags=("formats", "robustness", "utf8", "curation"),
+)
+def q308_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    damaged = d.select(
+        "doc_id",
+        F.length("text").alias("orig_chars"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.encode("text", "UTF-8")
+        ).otherwise(
+            F.concat(F.lit(bytes([0xFF])), F.encode("text", "UTF-8"))
+        ).alias("raw"),
+    )
+    return (
+        damaged.select(
+            "orig_chars",
+            F.expr("is_valid_utf8(raw)").alias("is_valid"),
+            F.expr("try_validate_utf8(raw)").alias("tried"),
+            F.length(F.expr("make_valid_utf8(raw)")).alias("repaired_chars"),
+        )
+        .groupBy("is_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("tried").isNull().cast("long")).alias("n_rejected"),
+            F.sum(F.col("repaired_chars") - F.col("orig_chars")).alias(
+                "extra_repair_chars"
+            ),
+        )
+    )

@@ -112,3 +112,17 @@ def test_zorder_tiles_bound_both_dimensions(spark):
     ).count()
     assert bad == 0
     assert out.count() > 1
+
+
+def test_validate_utf8_raises_on_invalid_bytes(spark):
+    """q308's fourth policy, pinned here because a raising expression
+    can't be a driver row: validate_utf8 is the FAIL-FAST variant —
+    invalid bytes abort the job (INVALID_UTF8_STRING), unlike
+    make_valid_utf8 (repairs) and try_validate_utf8 (NULLs). The valid
+    face passes through unchanged."""
+    import pytest
+
+    ok = spark.sql("SELECT validate_utf8(X'68656C6C6F') AS s").collect()
+    assert ok[0]["s"] == "hello"
+    with pytest.raises(Exception, match="INVALID_UTF8_STRING"):
+        spark.sql("SELECT validate_utf8(X'FF686921') AS s").collect()
