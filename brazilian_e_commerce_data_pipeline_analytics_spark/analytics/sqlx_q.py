@@ -1869,3 +1869,178 @@ def q305_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q309: dynamic partition pruning — the RUNTIME partition-skipping leg
+# of the optimizer story (CBO quartet q262/q281/q284/q289 = static
+# stats; AQE trio q293/q294/q295 = runtime shuffle stats; q309/q310 =
+# runtime FILTER propagation). A fact table laid out by year (the q145
+# partition-layout idiom) joined to a filtered dim on the partition
+# column: Spark plans a dynamicpruning subquery that executes the dim
+# side FIRST and feeds the surviving years into the fact scan's
+# partition filter, so only matching directories are listed and read.
+# The reference re-reads its whole fact table for every report
+# (`spark_jobs/reporting.py:25-38`); at 100 TB with a 7-year layout
+# and a 4-year dim filter, DPP is the difference between scanning 7
+# years and 4 — before a single task runs. The plan face (a
+# dynamicpruning expression inside the scan's PartitionFilters) is
+# pinned in tests/test_plans.py::test_q309_plan_has_dynamic_pruning;
+# the values are plain SQL (the dim's surviving years replayed as a
+# WHERE ... IN over year(o_orderdate)).
+#
+# Fixture: orders partitioned by o_year under .tmp/dpp/<sf>/ — cached
+# on catalog.source_mtime like every other fixture (the q245/_CBO
+# freshness rule).
+# ---------------------------------------------------------------------------
+
+_Q309_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE year(o_orderdate) IN (1995, 1997, 1999, 2001)
+GROUP BY 1
+"""
+
+
+def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per fixture freshness) orders partitioned by o_year."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "dpp", sf_tag, "orders_by_year",
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    success = os.path.join(loc, "_SUCCESS")
+    if not os.path.exists(success) or os.path.getmtime(success) < source_mtime(src):
+        (
+            spark.read.parquet(src)
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(loc)
+        )
+    return loc
+
+
+@register(
+    "q309_dynamic_partition_pruning",
+    oracle=_Q309_ORACLE,
+    tags=("optimizer", "dpp", "partitioning", "runtime-filter"),
+)
+def q309_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.compat import dsum
+
+    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir))
+    # Dim: the year spine with a selective attribute — only ODD years
+    # survive its filter. spark.range keeps the dim independent of the
+    # fact (DPP needs a genuinely separate build side); the oracle
+    # replays the surviving years literally.
+    dim = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("d_year"),
+        (F.col("id") % 2 == 1).alias("is_odd"),
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        df = (
+            fact.join(
+                dim.filter(F.col("is_odd")),
+                fact["o_year"] == dim["d_year"],
+            )
+            .groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "revenue"),
+            )
+        )
+        df.collect()  # the pruning decision happens at runtime; execute
+        # inside the conf scope so the cached result reuses it (q293 rule)
+        return df
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved
+        )
+
+
+# ---------------------------------------------------------------------------
+# q310: runtime bloom-filter join pruning — the ROW-level sibling of
+# q309's partition-level runtime filter (and the built-in form of
+# q118's explicit bucket-set semi-join reduction): a selective filter
+# on the orders side of a shuffle join makes Spark build a
+# bloom_filter_agg over the surviving join keys and inject
+# might_contain(...) onto the lineitem side BEFORE its shuffle, so
+# non-matching probe rows are dropped at the scan instead of being
+# exchanged. At 100 TB this cuts the big side's shuffle by ~the
+# filter's selectivity (here ~1/5: one of five priorities) — the
+# no-code-change version of the semi-join prefilter SCALING.md
+# documents. Plan faces (bloom_filter_agg on the build side,
+# might_contain on the probe side) pinned in
+# tests/test_plans.py::test_q310_plan_has_runtime_bloom_filter; values
+# are plain SQL (the join itself — the bloom filter is semantics-free,
+# false positives only pass extra rows to the exact join).
+#
+# Conf note (probed on this 4.1.2 build, 2026-08-16): the rewrite is
+# gated on creation-side size <= creationSideThreshold AND
+# application-side scan >= applicationSideScanSizeThreshold; prod
+# defaults (10MB/10GB) only fire at real-table sizes, so the builder
+# scopes test-scale thresholds exactly like the r3 plan pin.
+# ---------------------------------------------------------------------------
+
+_Q310_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
+@register(
+    "q310_runtime_bloom_filter",
+    oracle=_Q310_ORACLE,
+    tags=("optimizer", "bloom", "runtime-filter", "join"),
+)
+def q310_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..functions.compat import dsum
+
+    confs = {
+        # force the shuffle join (a broadcast join gets no bloom filter
+        # — the build side already ships whole) ...
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # ... and test-scale thresholds (prod defaults need real sizes)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_quantity", "total_qty"),
+                dsum("l_extendedprice", "revenue"),
+            )
+        )
+        df.collect()  # execute inside the conf scope (q293 rule)
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

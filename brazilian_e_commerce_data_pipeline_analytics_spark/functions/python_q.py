@@ -25,6 +25,8 @@ JVM-side so Arrow traffic is one long per row, not the text.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple  # noqa: UP035 — pandas_udf resolves string hints
+
 import pandas as pd  # module scope: pandas_udf resolves string type hints
 
 from pyspark.sql import DataFrame, SparkSession
@@ -474,4 +476,97 @@ def q303_udtf_astable_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return TypeSwitches(
         ev.asTable().partitionBy("user_id").orderBy("us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311: ITERATOR pandas UDFs — the missing leg of the Python-boundary
+# matrix (q39 scalar pandas_udf, q168 Arrow scalar, q264 mapInArrow,
+# q265 applyInArrow, q57 cogrouped, q55 withState, q107/q244/q271/q303
+# UDTF, q108 UDAF): ``Iterator[pd.Series] -> Iterator[pd.Series]`` and
+# the multi-column ``Iterator[Tuple[...]]`` face. The iterator form is
+# the production shape for model-scoring pipelines: the function body
+# runs ONCE per python worker per task, so expensive setup (loading a
+# scoring model / codebook / tokenizer — here a weight table and a
+# compiled pattern) is amortized across every Arrow batch the task
+# streams through it, instead of re-running per batch like a plain
+# scalar pandas_udf's closure would. At 100 TB with ~10k-row Arrow
+# batches that is the difference between one model load per TASK and
+# one per 10k rows. The once-per-iterator contract is pinned with
+# accumulators in tests/test_plans.py (inits == tasks while
+# batches > tasks under a small maxRecordsPerBatch).
+#
+# Deterministic stand-in for the "model": a 5-term lexicon scorer
+# (integer weights, whitespace tokens — q264's tokenization) and a
+# per-lang multiplier; the oracle replays both as literal VALUES
+# tables. Everything post-UDF aggregates JVM-side.
+# ---------------------------------------------------------------------------
+
+_Q311_LEXICON = {"scan": 3, "join": 2, "sort": 2, "the": 1, "a": 1}
+_Q311_LANG_MULT = {"en": 1, "fr": 2, "es": 3, "de": 4, "zh": 5}
+
+_Q311_ORACLE = """
+WITH lex(tok, w) AS (
+  VALUES ('scan', 3), ('join', 2), ('sort', 2), ('the', 1), ('a', 1)
+),
+mult(lang, m) AS (
+  VALUES ('en', 1), ('fr', 2), ('es', 3), ('de', 4), ('zh', 5)
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         COALESCE((SELECT SUM(l.w) FROM toks t JOIN lex l ON t.tok = l.tok
+                   WHERE t.doc_id = d.doc_id), 0) AS lex_score
+  FROM documents d
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.lex_score) AS BIGINT) AS total_lex,
+       CAST(SUM(s.n_chars * m.m) AS BIGINT) AS total_char_load
+FROM scored s JOIN mult m ON s.lang = m.lang
+GROUP BY 1
+"""
+
+
+@register(
+    "q311_iterator_pandas_udf",
+    oracle=_Q311_ORACLE,
+    tags=("python", "udf", "iterator", "arrow"),
+)
+def q311_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def lex_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time init per python worker per task: the "model load"
+        import re
+
+        weights = dict(_Q311_LEXICON)
+        pat = re.compile(r"\S+")
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(weights.get(tok, 0) for tok in pat.findall(t.lower()))
+            ).astype("int64")
+
+    @pandas_udf("long")
+    def char_load(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        mult = dict(_Q311_LANG_MULT)  # init once; applied per batch
+        for n_chars, langs in batches:
+            yield (n_chars * langs.map(mult)).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    scored = d.select(
+        "lang",
+        lex_score(F.col("text")).alias("lex"),
+        char_load(F.col("n_chars"), F.col("lang")).alias("load"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("lex").alias("total_lex"),
+        F.sum("load").alias("total_char_load"),
     )

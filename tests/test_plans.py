@@ -5,6 +5,10 @@ regression fails CI like a wrong value would."""
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: UP035 — pandas_udf resolves string hints
+                             # in the defining module's globals (q311 pin)
+
+import pandas as pd
 import pytest
 
 from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import (
@@ -1373,3 +1377,67 @@ def test_cbo_stats_make_q293s_runtime_rescue_unnecessary(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q309_plan_has_dynamic_pruning(spark):
+    """q309's fact scan must carry a dynamicpruning subquery on the
+    o_year partition column — the dim filter's surviving years reach
+    the directory listing at runtime, so only matching partitions are
+    read (partition-level runtime filtering)."""
+    df = QUERIES["q309_dynamic_partition_pruning"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_q310_plan_has_runtime_bloom_filter(spark):
+    """q310's shuffle join must build a bloom filter over the filtered
+    orders side's keys (bloom_filter_agg) and probe it on the lineitem
+    side (might_contain) BEFORE lineitem's shuffle — row-level runtime
+    filtering, the built-in form of q118's explicit semi-join
+    reduction."""
+    df = QUERIES["q310_runtime_bloom_filter"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan.lower(), plan[:2000]
+
+
+def test_q311_plan_uses_arrow_eval_and_iterator_contract(spark):
+    """q311's two iterator UDFs must plan as ArrowEvalPython (vectorized
+    Arrow transfer, not row-pickling BatchEvalPython); and the ITERATOR
+    contract — function body runs once per task, batches stream through
+    — is pinned with accumulators: under a small Arrow batch size, the
+    batch count strictly exceeds the task count while the init count
+    equals the task count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    df = QUERIES["q311_iterator_pandas_udf"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+    sc = spark.sparkContext
+    inits = sc.accumulator(0)
+    batches_seen = sc.accumulator(0)
+
+    @pandas_udf("long")
+    def counting(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        inits.add(1)  # once per python worker per task
+        for s in batches:
+            batches_seen.add(1)
+            yield s.astype("int64")
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        docs = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id")
+            .repartition(2)
+        )
+        docs.select(counting(F.col("doc_id"))).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+    # 500 docs / 2 tasks / 50-row batches: ~5 batches per single init
+    assert inits.value == 2, (inits.value, batches_seen.value)
+    assert batches_seen.value >= 2 * inits.value, (inits.value, batches_seen.value)
