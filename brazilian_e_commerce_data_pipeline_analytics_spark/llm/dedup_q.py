@@ -1493,3 +1493,167 @@ def q231_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
         (F.col("source_a") != F.col("source_b")).alias("cross_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q312: exact repeated-SUBSTRING duplicate spans — the span-level member
+# of the dedup family (q44 exact doc, q45/q183 shingle-set similarity,
+# q46p/q198 MinHash, q68/q230 SimHash, q135 incremental): find the
+# maximal token runs a document shares VERBATIM with any other document,
+# the "exact substring deduplication" of Lee et al. 2022 (Deduplicating
+# Training Data Makes Language Models Better), which removes memorizable
+# repeated passages that set-level similarity misses (two long docs can
+# share a 50-token boilerplate run at jaccard ~0.05).
+#
+# The suffix-array construction of the paper is inherently sequential;
+# the Spark-first equivalent is a shingle-position index: every k-token
+# window (k=8) keyed by its text, windows occurring in >= 2 DISTINCT
+# docs survive a semi-join, and each doc's surviving window starts merge
+# into maximal token intervals with the classic gaps-and-islands
+# running-max — a window PARTITIONED per doc (bounded by doc length,
+# lint-safe). A duplicated run of L tokens yields L-k+1 consecutive
+# starts, so interval-merging [pos, pos+k-1] reconstructs the maximal
+# span exactly.
+#
+# Scale: one explode (~n_tokens rows per doc), one groupBy on the
+# shingle key, one semi-join back, per-doc windows — no pair blow-up,
+# never corpus^2 (the q45 discipline). Production would key the index
+# on a 64-bit shingle hash instead of the string (exactness modulo
+# hash collisions); the string key here keeps the claim "exact" and
+# the oracle replay trivial.
+# ---------------------------------------------------------------------------
+
+_Q312_K = 8
+
+_Q312_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_Q312_K - 1})) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_Q312_K - 1}),
+           i -> array_to_string(t[i:i + {_Q312_K - 1}], ' ')
+         )) AS s
+  FROM toks
+  WHERE len(t) >= {_Q312_K}
+),
+dup AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON sh.s = dup.s
+),
+isl AS (
+  SELECT doc_id, pos,
+         MAX(pos + {_Q312_K - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM hits
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END
+           AS new_island
+  FROM isl
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island_id,
+         MAX(pos) + {_Q312_K - 1} - MIN(pos) + 1 AS span_len
+  FROM grp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+         CAST(MAX(span_len) AS BIGINT) AS max_span
+  FROM spans GROUP BY 1
+)
+SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       p.n_spans, p.dup_tokens, p.max_span,
+       round(p.dup_tokens / len(t.t), 6) AS dup_ratio
+FROM per_doc p JOIN toks t ON p.doc_id = t.doc_id
+"""
+
+
+@register(
+    "q312_repeated_substring_spans",
+    oracle=_Q312_ORACLE,
+    tags=("dedup", "llm", "substring", "spans"),
+)
+def q312_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    k = _Q312_K
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0).alias("__t"),
+    )
+    toks = d.withColumn("n_tokens", F.size("__t")).filter(F.col("n_tokens") >= k)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k - 1}), "
+                f"i -> struct(i AS pos, array_join(slice(__t, i, {k}), ' ') AS s))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.s").alias("s"))
+    dup = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("s")
+    )
+    hits = sh.join(dup, "s", "left_semi").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = (
+        hits.withColumn("prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("new_island").over(w_run))
+    )
+    spans = grp.groupBy("doc_id", "island_id").agg(
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.max("span_len").alias("max_span"),
+    )
+    return (
+        per_doc.join(toks.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_spans",
+            "dup_tokens",
+            "max_span",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
+        )
+    )

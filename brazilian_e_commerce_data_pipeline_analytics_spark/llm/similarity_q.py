@@ -1513,3 +1513,140 @@ def q274_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.max("max_eval_sim").alias("worst_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q313: BINARY (sign-bit) embedding quantization + Hamming recall — the
+# 1-bit extreme of the compression family (q266 int8 = 4x, q267
+# Matryoshka prefix = 4x, q130 PQ = codebook; this is 64x: one bit per
+# dimension). The production recipe for first-stage retrieval at
+# billion-vector scale: pack sign(v[i]) into machine words, rank by
+# Hamming distance (XOR + popcount — one cycle per word), then re-rank
+# survivors with the full-precision metric. Here the gate measures the
+# FIRST stage alone against exact cosine truth, per rank (q202/q267's
+# calibration harness): how much of the true top-k does a 64x-cheaper
+# index keep. Packing = two 32-bit sign words per vector (bit j of
+# word w set iff v[32w + j] > 0) held in BIGINTs so both engines'
+# bit_count/xor arithmetic is exact and overflow-free (the q147
+# bit-interleave discipline; a 1<<63 term would wrap signed ranges).
+#
+# Scale: the packed corpus is 16 bytes/vector (vs 256 for float32 d=64)
+# — RAM-resident at 10^9 vectors; the query side is the bounded_set
+# contract (<= 512 rows, broadcast); Hamming ranking is a map-side
+# scan + per-query top-k (TakeOrdered economics), no corpus shuffle.
+# Ties are dense in integer Hamming space, so the rank order pins the
+# total order (hamming ASC, neighbor_id ASC) in both engines.
+# ---------------------------------------------------------------------------
+
+_Q313_K = 5
+
+
+def _sign_word_terms(elem_fmt: str, lo: int, bits: int = 32) -> str:
+    """SUM of CASE terms packing sign bits lo..lo+bits-1 (1-based dims)
+    into one BIGINT word; ``elem_fmt`` formats a 1-based element access
+    for the target engine."""
+    return " + ".join(
+        f"(CASE WHEN {elem_fmt.format(i=lo + j)} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+
+
+_Q313_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+packed AS (
+  SELECT vec_id,
+         {_sign_word_terms('v[{i}]', 1)} AS w1,
+         {_sign_word_terms('v[{i}]', 33)} AS w2
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS q_vec FROM e
+      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {QSET_CAP}),
+qp AS (SELECT p.vec_id AS query_id, p.w1 AS q1, p.w2 AS q2
+       FROM packed p JOIN q ON p.vec_id = q.query_id),
+exact AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, e.v), 6) DESC,
+                      e.vec_id
+           ) AS rank
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_Q313_K}
+),
+ham AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qp.query_id, p.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qp.query_id
+             ORDER BY bit_count(xor(p.w1, qp.q1)) + bit_count(xor(p.w2, qp.q2)),
+                      p.vec_id
+           ) AS rank
+    FROM packed p CROSS JOIN qp
+    WHERE p.vec_id <> qp.query_id
+  ) WHERE rank <= {_Q313_K}
+)
+SELECT ex.rank,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact ex
+LEFT JOIN ham h
+  ON h.query_id = ex.query_id AND h.neighbor_id = ex.neighbor_id
+GROUP BY ex.rank
+"""
+
+
+@register(
+    "q313_binary_quant_recall",
+    oracle=_Q313_ORACLE,
+    tags=("similarity", "quantization", "recall", "llm", "calibration"),
+)
+def q313_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = bounded_set(e)
+    exact = knn_bruteforce(
+        e, queries, id_col="vec_id", vec_col="embedding", k=_Q313_K
+    ).select("query_id", "neighbor_id", "rank")
+
+    w1 = F.expr(_sign_word_terms("element_at(embedding, {i})", 1))
+    w2 = F.expr(_sign_word_terms("element_at(embedding, {i})", 33))
+    packed = e.select("vec_id", w1.alias("w1"), w2.alias("w2"))
+    # pack the query words FROM the bounded set (its LIMIT lives inside
+    # the broadcast subtree — the lint-verifiable fixed-size contract),
+    # never by semi-joining the packed corpus (same values, but the
+    # broadcast subtree would contain an unbounded corpus scan)
+    qp = queries.select(
+        F.col("vec_id").alias("query_id"),
+        w1.alias("q1"),
+        w2.alias("q2"),
+    )
+    hamming = F.expr("bit_count(w1 ^ q1) + bit_count(w2 ^ q2)")
+    w_rank = Window.partitionBy("query_id").orderBy("__ham", "neighbor_id")
+    ham = (
+        packed.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__ham", hamming)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _Q313_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return (
+        exact.join(ham, ["query_id", "neighbor_id"], "left")
+        .groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            hit.cast("bigint").alias("n_hit"),
+            (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

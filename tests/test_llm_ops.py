@@ -382,3 +382,30 @@ def test_approx_top_k_combine_refuses_mixed_sizes_bare(spark):
             SELECT approx_top_k_estimate(approx_top_k_combine(sk), 3) FROM p
             """
         ).collect()
+
+
+def test_q312_span_merge_closed_form(spark, tmp_path):
+    """q312's interval merge, pinned on a constructed corpus: two docs
+    share one verbatim 12-token run (k=8 -> 5 consecutive window starts
+    -> ONE maximal span of exactly 12 tokens in each doc); a third doc
+    shares nothing and must not appear. Also pins the overlap case:
+    a second shared run ADJACENT to unique text merges into its own
+    span, not the first one."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    shared = " ".join(f"s{i}" for i in range(12))        # 12-token run
+    shared2 = " ".join(f"z{i}" for i in range(9))        # 9-token run
+    rows = [
+        Row(doc_id=0, text=f"a0 a1 a2 {shared} a3 a4 a5 a6 {shared2}"),
+        Row(doc_id=1, text=f"b0 {shared} b1 b2 b3 b4 b5 b6 b7 {shared2} b8"),
+        Row(doc_id=2, text=" ".join(f"c{i}" for i in range(30))),
+    ]
+    d = spark.createDataFrame(rows)
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    builder = all_queries()["q312_repeated_substring_spans"].builder
+    res = {r["doc_id"]: r for r in builder(spark, str(tmp_path)).collect()}
+    assert set(res) == {0, 1}
+    for doc in (0, 1):
+        assert res[doc]["n_spans"] == 2, res[doc]
+        assert res[doc]["max_span"] == 12, res[doc]
+        assert res[doc]["dup_tokens"] == 12 + 9, res[doc]
