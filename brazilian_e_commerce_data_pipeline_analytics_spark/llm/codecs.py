@@ -118,7 +118,11 @@ def encode_bmp(media_id: int) -> bytes:
     return hdr + info + b"".join(rows)
 
 
-def decode_bmp(payload: bytes) -> dict:
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Parse a 24bpp uncompressed BMP into a top-down (h, w, 3) uint8
+    array in BMP channel order (B, G, R). The pixel-level entry point
+    q314's perceptual hash consumes; decode_bmp's features derive from
+    it."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP file")
     off = struct.unpack_from("<I", payload, 10)[0]
@@ -132,6 +136,12 @@ def decode_bmp(payload: bytes) -> dict:
     px = px.reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
     if not top_down:
         px = px[::-1]
+    return px
+
+
+def decode_bmp(payload: bytes) -> dict:
+    px = decode_bmp_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
     px64 = px.astype(np.int64)
     n = w * h
     return {

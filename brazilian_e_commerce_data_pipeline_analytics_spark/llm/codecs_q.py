@@ -222,3 +222,124 @@ def q173_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats,
         "media_id long, frame_idx int, width int, height int, mean_r double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q314: perceptual image near-dup (average-hash) — the IMAGE member of
+# the dedup family (text: q44/q45/q46p/q68/q312; this is the pixel
+# side): decode each BMP, compute the aHash bit grid (bit i set iff
+# pixel i's luminance strictly exceeds the image mean — integer-exact
+# as lum*n > total, no float division), pack row-major into one BIGINT
+# (dims here are <= 8x5 = 40 bits), and cluster by (width, height,
+# ahash). aHash is brightness-offset invariant, so the fixture's
+# media_id*11 luminance offset collapses non-wrapping same-dims images
+# into genuine clusters — the property production aHash relies on
+# (exposure changes don't break matches). Grouping by dims stands in
+# for the resize normalization a library-backed pipeline would do
+# (documented stub boundary: no image libs in this environment; the
+# decode and hash arithmetic are real).
+#
+# Scale: synth/decode/hash is one mapInPandas pass (Arrow batches, no
+# pixel ever leaves the executor); clustering is a groupBy on a 16-byte
+# key — exact-hash clusters need NO pairwise join (the q44 economics);
+# a Hamming-banded near-match pass would bolt on exactly like q68's.
+# Oracle: the closed-form pixel function replayed per (w, h) in DuckDB
+# (q157's discipline), including the per-channel mod-before-sum
+# luminance and the strict-inequality bit rule.
+# ---------------------------------------------------------------------------
+
+_Q314_LUM = (
+    "(((media_id * 11 + (i % w) * 3 + (i // w) * 7) % 256)"
+    " + ((media_id * 11 + (i % w) * 3 + (i // w) * 7 + 31) % 256)"
+    " + ((media_id * 11 + (i % w) * 3 + (i // w) * 7 + 62) % 256))"
+)
+
+_Q314_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+  FROM documents
+),
+lum AS (
+  SELECT media_id, w, h,
+         list_transform(range(w * h), i -> {_Q314_LUM}) AS l
+  FROM m
+),
+hashed AS (
+  SELECT media_id, w, h,
+         CAST(list_sum(list_transform(
+           range(w * h),
+           i -> CASE WHEN l[i + 1] * (w * h) > list_sum(l)
+                THEN 1::BIGINT << i ELSE 0::BIGINT END
+         )) AS BIGINT) AS ahash
+  FROM lum
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height, ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(media_id) AS min_media
+FROM hashed
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "q314_image_ahash_neardup",
+    oracle=_Q314_ORACLE,
+    tags=("multimodal", "image", "dedup", "llm"),
+)
+def q314_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import decode_bmp_pixels
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [encode_bmp(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+
+    def ahash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, hv = [], [], []
+            for p in pdf["payload"]:
+                px = decode_bmp_pixels(bytes(p)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                lum = px.sum(axis=2).reshape(-1)  # B+G+R, row-major top-down
+                n, total = lum.size, int(lum.sum())
+                bits = lum * n > total  # strict: integer-exact mean compare
+                val = 0
+                for i in np.nonzero(bits)[0]:
+                    val |= 1 << int(i)
+                ws.append(w)
+                hs.append(h)
+                hv.append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "ahash": pd.Series(hv, dtype="int64"),
+                }
+            )
+
+    hashed = media.mapInPandas(
+        ahash, "media_id long, width int, height int, ahash long"
+    )
+    return (
+        hashed.groupBy("width", "height", "ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("min_media"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

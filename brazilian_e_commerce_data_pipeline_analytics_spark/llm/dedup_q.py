@@ -1657,3 +1657,120 @@ def q312_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q315: LSH S-CURVE parameter sweep — the measurement that CHOOSES a
+# MinHash config before a 100 TB dedup rollout (q101 gates the one
+# chosen config; this row produces the table the choice comes from):
+# the SAME k=32 portable signatures banded four ways — (bands, rows) in
+# {(2,16), (4,8), (8,4), (16,2)} — each scored against the exact
+# Jaccard>=0.05 reference pairs per Jaccard decile. The collision
+# probability 1-(1-j^r)^b steepens as r grows: (16,2) is loose (high
+# recall, spurious low-j candidates that multiply exact-verify cost),
+# (2,16) is sharp (near-zero low-j noise, misses mid-j pairs). The
+# measured curve on the actual corpus — not the textbook formula — is
+# the rollout evidence (SCALING.md "MinHash recall study").
+#
+# Scale: ONE shingle explode + ONE signature groupBy feed all four
+# configs (band keys are projections of the same __h0..__h31 columns);
+# candidates stay (band, key)-bucketed per config — never all-pairs;
+# the exact reference relation is computed once and crossed with the
+# 4-row config spine. Oracle: the q101 oracle generator per config,
+# UNION ALL'd with literal config columns.
+# ---------------------------------------------------------------------------
+
+_Q315_SWEEP = (2, 4, 8, 16)
+
+
+def _q315_oracle() -> str:
+    legs = []
+    for b in _Q315_SWEEP:
+        inner = _mh_recall_oracle(3, _Q101_K, b)
+        legs.append(
+            f"SELECT CAST({b} AS INT) AS n_bands, "
+            f"CAST({_Q101_K // b} AS INT) AS rows_per_band, * FROM ({inner})"
+        )
+    return " UNION ALL ".join(legs)
+
+
+_Q315_ORACLE = _q315_oracle()
+
+
+@register(
+    "q315_lsh_scurve_sweep",
+    oracle=_Q315_ORACLE,
+    tags=("dedup", "lsh", "calibration", "llm"),
+)
+def q315_lsh_scurve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # bands arg irrelevant here: we band the shared signatures ourselves
+    sh, both, _ = _portable_minhash_relations(
+        d, "doc_id", "text", n=3, k=_Q101_K, bands=_Q101_BANDS
+    )
+    cands_all = None
+    for b in _Q315_SWEEP:
+        banded = _band_keys(both, "doc_id", _Q101_K, b)
+        cands_b = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .select(F.lit(b).cast("int").alias("n_bands"), "doc_a", "doc_b")
+        )
+        cands_all = cands_b if cands_all is None else cands_all.unionByName(cands_b)
+    cands_all = cands_all.withColumn("__hit", F.lit(1))
+
+    sizes = both.select("doc_id", "n_sh")
+    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__nb"))
+    exact = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_common"))
+        .filter(F.lit(20) * F.col("n_common") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(10 * n_common) div n_union").cast("int").alias("jacc_band"),
+        )
+    )
+    configs = spark.range(len(_Q315_SWEEP)).select(
+        F.element_at(
+            F.array(*[F.lit(b) for b in _Q315_SWEEP]), (F.col("id") + 1).cast("int")
+        )
+        .cast("int")
+        .alias("n_bands")
+    )
+    return (
+        exact.crossJoin(F.broadcast(configs))
+        .join(cands_all, ["n_bands", "doc_a", "doc_b"], "left")
+        .groupBy(
+            "n_bands",
+            (F.lit(_Q101_K) / F.col("n_bands")).cast("int").alias("rows_per_band"),
+            "jacc_band",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
