@@ -199,3 +199,125 @@ def q258_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_part"),
         F.max("node").alias("max_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q317: triangle counting + global clustering coefficient — the third
+# graph operator (q128 PageRank, q258/q82 connected components): how
+# clustered the co-purchase graph is, the structural metric behind
+# community detection and recommendation-quality audits. Edges = the
+# q258-style sparsified co-purchase slice (parts sharing an order),
+# undirected, deduplicated as src < dst.
+#
+# Scale: the naive triangle join explodes on hubs (a degree-d node
+# contributes d^2 wedge candidates). The standard distributed fix
+# (Suri & Vassilvitskii 2011's MR triangle counting) ORIENTS each edge
+# from the lower-(degree, id) endpoint to the higher one — every
+# triangle is counted exactly once at its lowest-ranked vertex, and
+# wedge generation is bounded by sum(d+^2) where d+ <= sqrt(2m), i.e.
+# O(m^1.5) total instead of sum(d^2) on raw degrees. The builder
+# implements the oriented form; the ORACLE replays the simple
+# a<b<c three-way join (same count, no scalability needed in DuckDB)
+# — the equality of the two IS the orientation argument's correctness.
+# n_wedges = sum(d*(d-1)/2) over unoriented degrees (integer exact);
+# clustering coefficient = 3*triangles/wedges, round6.
+# ---------------------------------------------------------------------------
+
+_Q317_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 10 = 0 AND l_orderkey % 3 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e ab
+  JOIN e ac ON ab.src = ac.src AND ab.dst < ac.dst
+  JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri)
+             / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS clustering_coeff
+"""
+
+
+@register(
+    "q317_triangle_count",
+    oracle=_Q317_ORACLE,
+    tags=("graph", "triangles", "clustering"),
+)
+def q317_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") % 10 == 0) & (F.col("l_orderkey") % 3 == 0)
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()  # feeds degrees, orientation, and the closing join
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low-(degree, id) -> high-(degree, id): every
+    # triangle is generated exactly once, wedge fan-out bounded by the
+    # oriented out-degree (<= sqrt(2m)) instead of the raw degree
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("__ds"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("__dd"))
+    ed = e.join(da, "src").join(db, "dst")
+    fwd = (F.col("__ds") < F.col("__dd")) | (
+        (F.col("__ds") == F.col("__dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(fwd, F.col("__ds")).otherwise(F.col("__dd")).alias("__dlo"),
+        F.when(fwd, F.col("__dd")).otherwise(F.col("__ds")).alias("__dhi"),
+    )
+    o1 = oriented.select("lo", F.col("hi").alias("v"), F.col("__dhi").alias("__dv"))
+    o2 = oriented.select("lo", F.col("hi").alias("w"), F.col("__dhi").alias("__dw"))
+    # wedges at the lowest-ranked vertex; (v, w) ordered by the SAME
+    # rank so each wedge is generated once
+    wedges = o1.join(o2, "lo").filter(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("t"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("nw"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        n_wedges.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            F.col("nn").cast("bigint").alias("n_nodes"),
+            F.col("ne").cast("bigint").alias("n_edges"),
+            F.col("nw").cast("bigint").alias("n_wedges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("nw"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

@@ -60,8 +60,11 @@ def encode_wav(media_id: int) -> bytes:
     return hdr + data
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM16 file: chunk walk, not fixed offsets."""
+def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a RIFF/WAVE PCM16 file (chunk walk, not fixed offsets) into
+    (sample_rate, int64 sample array) — the sample-level entry point
+    q316's frame features consume; decode_wav's summary derives from
+    it."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -78,7 +81,11 @@ def decode_wav(payload: bytes) -> dict:
     audio_fmt, channels, rate, _, _, bits = fmt
     if audio_fmt != 1 or channels != 1 or bits != 16:
         raise ValueError("only PCM16 mono supported")
-    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def decode_wav(payload: bytes) -> dict:
+    rate, s = decode_wav_samples(payload)
     return {
         "sample_rate": rate,
         "n_samples": int(s.size),

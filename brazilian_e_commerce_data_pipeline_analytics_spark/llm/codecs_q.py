@@ -343,3 +343,151 @@ def q314_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q316: audio frame-level activity features — the AUDIO analog of
+# q173's video frame sampling and q314's image hashing (per-frame
+# featurization, the shape under every VAD / silence-trim / segment
+# pass in a speech-data pipeline): decode each WAV with the real RIFF
+# parser, cut the PCM into fixed 5 ms frames (40 samples @ 8 kHz),
+# compute integer frame ENERGY (sum of squares — exact, no float RMS),
+# mark a frame active iff energy * n_frames > total_energy (the
+# strict integer mean-compare, q314's rule), and reduce per file:
+# active count, peak frame energy, and the LONGEST ACTIVE RUN via the
+# q312 gaps-and-islands window (what a silence-trimmer would keep).
+#
+# Scale: decode + frame energies are one mapInPandas pass emitting
+# ~n/40 narrow rows per file; thresholding and runs are JVM windows
+# PARTITIONED per media (bounded by clip length); the final rollup is
+# one groupBy. Oracle: the closed-form sample generator replayed per
+# frame in DuckDB (q156/q157's discipline), runs replayed with the
+# same island arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q316_FRAME = 40  # samples per frame: 5 ms at the 8 kHz fixture rate
+
+# energy of frame f for media m: sum over j of ((m*7+(40f+j)*13)%2003-1001)^2
+_Q316_E = (
+    "CAST(list_sum(list_transform(range(40), j -> "
+    "((media_id * 7 + (f * 40 + j) * 13) % 2003 - 1001)"
+    " * ((media_id * 7 + (f * 40 + j) * 13) % 2003 - 1001))) AS BIGINT)"
+)
+
+_Q316_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, (160 + (doc_id % 5) * 80) // 40 AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT media_id, n_frames, unnest(range(n_frames)) AS f FROM m
+),
+en AS (
+  SELECT media_id, n_frames, f, {_Q316_E} AS energy FROM fr
+),
+tot AS (
+  SELECT media_id, SUM(energy) AS total_energy FROM en GROUP BY 1
+),
+act AS (
+  SELECT e.media_id, e.f
+  FROM en e JOIN tot t ON e.media_id = t.media_id
+  WHERE e.energy * e.n_frames > t.total_energy
+),
+isl AS (
+  SELECT media_id, f,
+         f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS grp
+  FROM act
+),
+runs AS (
+  SELECT media_id, MAX(cnt) AS longest_active FROM (
+    SELECT media_id, grp, COUNT(*) AS cnt FROM isl GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT e.media_id,
+       CAST(MAX(e.n_frames) AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN e.energy * e.n_frames > t.total_energy
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       MAX(e.energy) AS max_energy,
+       CAST(COALESCE(MAX(r.longest_active), 0) AS BIGINT) AS longest_active
+FROM en e
+JOIN tot t ON e.media_id = t.media_id
+LEFT JOIN runs r ON e.media_id = r.media_id
+GROUP BY 1
+"""
+
+
+@register(
+    "q316_audio_frame_features",
+    oracle=_Q316_ORACLE,
+    tags=("multimodal", "audio", "codec", "llm"),
+)
+def q316_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from .codecs import decode_wav_samples
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [encode_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+
+    def frame_energies(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fs, es = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav_samples(bytes(p))
+                frames = s.reshape(-1, _Q316_FRAME)
+                e = (frames * frames).sum(axis=1)
+                mids.extend([int(mid)] * len(e))
+                fs.extend(range(len(e)))
+                es.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "f": pd.Series(fs, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    en = media.mapInPandas(frame_energies, "media_id long, f long, energy long")
+    w_media = Window.partitionBy("media_id")
+    en = en.withColumn("n_frames", F.count(F.lit(1)).over(w_media)).withColumn(
+        "total_energy", F.sum("energy").over(w_media)
+    )
+    act = en.filter(F.col("energy") * F.col("n_frames") > F.col("total_energy"))
+    w_ord = Window.partitionBy("media_id").orderBy("f")
+    runs = (
+        act.withColumn("grp", F.col("f") - F.row_number().over(w_ord))
+        .groupBy("media_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("media_id")
+        .agg(F.max("cnt").alias("longest_active"))
+    )
+    base = en.groupBy("media_id").agg(
+        F.max("n_frames").cast("int").alias("n_frames"),
+        F.sum(
+            (F.col("energy") * F.col("n_frames") > F.col("total_energy")).cast("long")
+        ).alias("n_active"),
+        F.max("energy").alias("max_energy"),
+    )
+    return base.join(runs, "media_id", "left").select(
+        "media_id",
+        "n_frames",
+        "n_active",
+        "max_energy",
+        F.coalesce(F.col("longest_active"), F.lit(0)).cast("bigint")
+        .alias("longest_active"),
+    )
