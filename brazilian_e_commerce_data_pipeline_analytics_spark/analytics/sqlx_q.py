@@ -2044,3 +2044,146 @@ def q310_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# q318: aggregate FILTER clause (SQL:2003 T612) — per-aggregate
+# predicates in ONE scan/shuffle, the idiom that replaces N filtered
+# self-joins or a CASE-WHEN pyramid in every KPI rollup: four
+# aggregates over four different row subsets (plain count, value
+# threshold, year slice with exact decimal money, filtered DISTINCT)
+# computed in a single Aggregate. The reference computes each
+# conditional metric as its own filtered DataFrame + join
+# (`spark_jobs/reporting.py:276-304` shape); at 100 TB this row is the
+# one-pass replacement. Oracle = the IDENTICAL SQL text (the q242
+# GROUP BY ALL convention — both engines parse the same standard
+# clause), so the parity claim is about the CLAUSE, not a translation.
+# ---------------------------------------------------------------------------
+
+_Q318_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+         AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS rev_1995,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+            AS BIGINT) AS n_f_custs
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q318_aggregate_filter_clause",
+    oracle=_Q318_SQL,
+    tags=("sql-api", "aggregate", "filter-clause"),
+)
+def q318_aggregate_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_Q318_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q319: percentile_cont WITHIN GROUP — the INTERPOLATING inverse-
+# distribution function, completing q255's family (percentile_disc =
+# pick an existing row; cont = linear interpolation between the two
+# bracketing order statistics). Both engines implement the same R-7
+# interpolation (lo + frac * (hi - lo) at rank p*(n-1)); the operands
+# here are money doubles whose interpolation at .5/.9 lands on exact
+# binary midpoints or row values, and round6 absorbs the last-ulp
+# hazard (the established convention for computed doubles). Scale:
+# exact percentiles sort within each group partition — for fact-scale
+# groups swap to approx_percentile with a gate (q177's calibration,
+# the documented SCALING.md quantile swap).
+# ---------------------------------------------------------------------------
+
+_Q319_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "q319_percentile_cont",
+    oracle=_Q319_ORACLE,
+    tags=("sql-api", "percentile", "within-group"),
+)
+def q319_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320: ANSI day-time INTERVAL arithmetic — the typed-interval surface
+# (Spark 3.2+ DayTimeIntervalType) exercised end to end: timestamp
+# subtraction producing a true INTERVAL column, interval ORDERING
+# (min/max are interval comparisons, not pre-converted integers),
+# interval SCALING (* 2), interval→number conversion (CAST to BIGINT
+# = total seconds for DAY TO SECOND intervals), and field EXTRACTion
+# (extract(DAY FROM ...)). Gotcha probed on this 4.1.2 build: interval
+# / interval division raises DATATYPE_MISMATCH (the divisor must be
+# numeric) — CAST is the sanctioned total-unit conversion. The
+# reference handles date math with raw datediff-style arithmetic; the
+# typed interval is how Spark carries SLA/lag semantics through a plan
+# without unit-confusion bugs. Oracle: DuckDB interval subtraction +
+# epoch() seconds, same min/max/scale algebra.
+# ---------------------------------------------------------------------------
+
+_Q320_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         l.l_shipdate - o.o_orderdate AS delay
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(epoch(MIN(delay)) AS BIGINT) AS min_delay_sec,
+       CAST(epoch(MAX(delay)) AS BIGINT) AS max_delay_sec,
+       CAST(epoch(MAX(delay * 2)) AS BIGINT) AS max_doubled_sec,
+       CAST(date_part('day', MAX(delay)) AS BIGINT) AS max_delay_days
+FROM d
+GROUP BY 1
+"""
+
+
+@register(
+    "q320_interval_arithmetic",
+    oracle=_Q320_ORACLE,
+    tags=("sql-api", "interval", "types"),
+)
+def q320_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT o.o_orderpriority,
+                 l.l_shipdate - o.o_orderdate AS delay
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MIN(delay) AS BIGINT) AS min_delay_sec,
+               CAST(MAX(delay) AS BIGINT) AS max_delay_sec,
+               CAST(MAX(delay * 2) AS BIGINT) AS max_doubled_sec,
+               CAST(extract(DAY FROM MAX(delay)) AS BIGINT)
+                 AS max_delay_days
+        FROM d
+        GROUP BY o_orderpriority
+        """
+    )
