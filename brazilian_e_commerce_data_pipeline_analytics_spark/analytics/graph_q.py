@@ -321,3 +321,135 @@ def q317_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q321: entity resolution (record linkage) — the pipeline that turns
+# q84's fuzzy PAIRS into canonical ENTITIES: block -> match ->
+# transitive closure -> canonical record, the standard dedup shape for
+# catalogs/profiles/vendors. Listings = every part row under a
+# deterministic per-row corruption (p_partkey % 3: char-3 deletion /
+# verbatim / first-char case flip — replayable in SQL, the codecs-
+# fixture discipline), so each true entity surfaces as up to 3 spelling
+# variants hubbed on the verbatim form.
+#
+# Matching: candidate pairs only WITHIN a blocking key (first two
+# lowercased chars — stable under both corruptions), edge iff
+# levenshtein <= 1. The threshold is chosen from measured corpus
+# geometry: distinct true names are pairwise >= 3 apart (probed at all
+# three SFs), variants sit exactly 1 from their origin, so cross-entity
+# edges are impossible (3 - 1 = 2 > 1) — the blocking+threshold choice
+# IS the precision argument. Clustering: the min-label connected-
+# components operator (q82/q258's); singleton variants map to
+# themselves (canonical_docs' rule). Canonical name = min(label);
+# inventory carries variant and listing counts.
+#
+# Scale: pairs are generated per block (never |names|^2 across blocks),
+# the name-level graph is tiny relative to listings (cluster over the
+# DISTINCT spellings, join listings back by name), CC is the
+# O(diameter) propagate variant — ER clusters are stars, diameter 2.
+# The CC operator's convergence probe sums labels, so nodes must be
+# numeric AND sum-safe (60-bit hash ids overflow the probe's BIGINT
+# sum under ANSI): each name's id is its MIN listing_id — small,
+# dense, deterministic. The canonical name is min(name) within each
+# cluster, so the label domain never leaks into the output and the
+# string-label oracle agrees without replaying the ids.
+# ---------------------------------------------------------------------------
+
+_Q321_VARIANT_DUCK = """
+CASE p_partkey % 3
+  WHEN 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+  WHEN 1 THEN p_name
+  ELSE upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+END
+"""
+
+_Q321_ORACLE = f"""
+WITH RECURSIVE
+listings AS (
+  SELECT p_partkey AS listing_id, {_Q321_VARIANT_DUCK} AS name
+  FROM part
+),
+names AS (SELECT DISTINCT name FROM listings),
+pairs AS (
+  SELECT a.name AS src, b.name AS dst
+  FROM names a JOIN names b
+    ON lower(substr(a.name, 1, 2)) = lower(substr(b.name, 1, 2))
+   AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+cc AS (
+  SELECT node, LEAST(node, MIN(reach)) AS label FROM walk GROUP BY node
+),
+labeled AS (
+  SELECT n.name, COALESCE(cc.label, n.name) AS entity
+  FROM names n LEFT JOIN cc ON cc.node = n.name
+)
+SELECT MIN(l.name) AS canonical_name,
+       CAST(COUNT(DISTINCT l.name) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_listings,
+       MIN(li.listing_id) AS min_listing
+FROM labeled l JOIN listings li ON li.name = l.name
+GROUP BY l.entity
+"""
+
+
+@register(
+    "q321_entity_resolution",
+    oracle=_Q321_ORACLE,
+    tags=("graph", "dedup", "entity-resolution", "fuzzy"),
+)
+def q321_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    variant = F.expr(
+        """
+        CASE p_partkey % 3
+          WHEN 0 THEN concat(substring(p_name, 1, 2), substring(p_name, 4))
+          WHEN 1 THEN p_name
+          ELSE concat(upper(substring(p_name, 1, 1)), substring(p_name, 2))
+        END
+        """
+    )
+    listings = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("listing_id"), variant.alias("name")
+    )
+    names = listings.groupBy("name").agg(F.min("listing_id").alias("nid"))
+    a = names.select(F.col("name").alias("name_a"), F.col("nid").alias("nid_a"))
+    b = names.select(F.col("name").alias("name_b"), F.col("nid").alias("nid_b"))
+    edges = (
+        a.join(
+            b,
+            (
+                F.lower(F.substring("name_a", 1, 2))
+                == F.lower(F.substring("name_b", 1, 2))
+            )
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("nid_a", "nid_b")
+    )
+    cc = connected_components(edges, "nid_a", "nid_b")
+    labeled = names.join(cc, names["nid"] == cc["node"], "left").select(
+        "name", F.coalesce(F.col("label"), F.col("nid")).alias("entity")
+    )
+    return (
+        listings.join(labeled, "name")
+        .groupBy("entity")
+        .agg(
+            F.min("name").alias("canonical_name"),
+            F.countDistinct("name").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_listings"),
+            F.min("listing_id").alias("min_listing"),
+        )
+        .drop("entity")
+        .select("canonical_name", "n_variants", "n_listings", "min_listing")
+    )
