@@ -1015,3 +1015,82 @@ def q286_approx_top_k_null_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW inline(a) tk
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q322: PERSISTED sketch rollup — the leg q223 names but doesn't
+# exercise: daily HLL sketches written to PARQUET as a binary column
+# (kilobytes per day), then a SEPARATE scan reads the stored sketches
+# back and unions them into WEEKLY distinct-user estimates — the
+# "sketch lakehouse" pattern where rollups over any window come from
+# stored kilobytes instead of re-scanning the fact table (at 100 TB:
+# a weekly distinct from 7 stored rows vs a week's re-scan; the
+# raw-event scan happens ONCE at ingest; weeks because this fixture
+# spans exactly one calendar month at every SF). The q158/q177/q223
+# calibration rule: sketch binaries are engine-specific, so the
+# estimate itself is not emitted — the value-checked output is the
+# per-week error gate (lgK=12 published bound ±1.6% std, gated 5%),
+# the day fan-out count, and the exact side. Storage round-trip is the
+# point: the gate passing proves the sketch SURVIVED parquet
+# serialization and a fresh scan, not just an in-plan union.
+# ---------------------------------------------------------------------------
+
+_Q322_ORACLE = """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bounds
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "q322_sketch_persistence",
+    oracle=_Q322_ORACLE,
+    tags=("sketch", "approx", "mergeable", "lakehouse"),
+)
+def q322_sketch_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", "sketchstore",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):  # drop stale stores from earlier runs
+        for old in os.listdir(root):
+            if old.startswith(f"daily_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    store = os.path.join(root, f"daily_{sf_tag}_{uuid.uuid4().hex[:8]}")
+    # ingest-time pass: one scan of the fact, one binary sketch per day
+    (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .write.mode("overwrite")
+        .parquet(store)
+    )
+    # rollup pass: reads ONLY the stored kilobytes, never the fact table
+    weekly = (
+        spark.read.parquet(store)
+        .groupBy(F.date_trunc("week", F.col("d")).cast("date").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+        )
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(weekly, "week").select(
+        "week",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("__est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bounds"),
+    )
