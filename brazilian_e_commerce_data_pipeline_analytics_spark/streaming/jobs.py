@@ -2999,3 +2999,209 @@ def q298_state_repartition_rebuild(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(parts_b)
         .select("k", "cnt_original", "cnt_rebuilt", "parts_original", "parts_rebuilt")
     )
+
+
+# ---------------------------------------------------------------------------
+# q323: MULTIPLE-WATERMARK POLICY — the query-level watermark contract
+# when ONE stateful query consumes SEVERAL watermarked inputs (a union
+# or join of streams with different lateness SLAs): each branch keeps
+# its own per-source watermark, and spark.sql.streaming.
+# multipleWatermarkPolicy picks the GLOBAL one — ``min`` (default,
+# safe: nothing is late until the SLOWEST source says so) vs ``max``
+# (aggressive: state bounded by the FASTEST source, slow-source
+# stragglers dropped). At 100 TB this is the knob that decides whether
+# a lagging Kafka partition holds ALL state hostage (min) or gets its
+# tail silently discarded (max) — q323 pins the trade visibly: the
+# same 3-batch two-source fixture run under BOTH policies, with one
+# straggler window that survives min and is dropped by max.
+#
+# Fixture geometry (all constants chosen to avoid <=-vs-< boundary
+# equality, the q119 rule): source A delay 60s, source B delay 600s;
+# batch 0 sets wm_a=600 / wm_b=900 (global min=600, max=900); batch 1
+# deliberately advances NEITHER watermark (so q119's lag-1-vs-lag-2
+# late-filter ambiguity cannot bite — both lags see the batch-0
+# global); batch 2 carries the straggler (window end rel 760: kept
+# under min since 760 > 600, dropped under max since 760 <= 900) and
+# the final clocks (wm_a=3540, wm_b=3000 — every surviving window end
+# <= 1540 closes under both, the 3600-clock windows close under
+# neither). Probed on 4.1.2 (2026-08-16): min emits 6 windows, max 5.
+#
+# Oracle: the q119-style relational simulation generalized to multiple
+# sources — per-source cumulative-max watermarks from the same VALUES
+# rows the fixture writes, a 2-row policy spine, the lag-2 late filter
+# against the POLICY-combined global, final emission end <= final
+# global.
+# ---------------------------------------------------------------------------
+
+_MW_BASE = 1700000000
+_MW_ROWS = (  # (src, batch, event_rel_s, id)
+    ("a", 0, 30, 1), ("a", 0, 30, 2), ("a", 0, 30, 3), ("a", 0, 660, 9),
+    ("a", 1, 650, 50),
+    ("a", 2, 730, 60), ("a", 2, 3600, 99),
+    ("b", 0, 40, 101), ("b", 0, 40, 102), ("b", 0, 1500, 109),
+    ("b", 1, 1210, 150),
+    ("b", 2, 3600, 199),
+)
+_MW_DELAYS = {"a": 60, "b": 600}
+_MW_WIN = 60
+
+_Q323_ORACLE = f"""
+WITH inp(src, b, e, id) AS (
+  VALUES {", ".join(f"('{s}', {b}, {e}, {i})" for s, b, e, i in _MW_ROWS)}
+),
+delays(src, delay) AS (VALUES ('a', {_MW_DELAYS['a']}), ('b', {_MW_DELAYS['b']})),
+pol(policy) AS (VALUES ('min'), ('max')),
+bm AS (
+  SELECT i.src, i.b, MAX(i.e) AS mx FROM inp i GROUP BY 1, 2
+),
+src_wm AS (
+  SELECT bm.src, bm.b,
+         MAX(bm.mx) OVER (PARTITION BY bm.src ORDER BY bm.b
+                          ROWS UNBOUNDED PRECEDING) - d.delay AS wm
+  FROM bm JOIN delays d ON d.src = bm.src
+),
+gwms AS (
+  SELECT p.policy, w.b,
+         CASE WHEN p.policy = 'min' THEN MIN(w.wm) ELSE MAX(w.wm) END AS gwm
+  FROM src_wm w CROSS JOIN pol p GROUP BY 1, 2
+),
+placed AS (
+  SELECT src, b, e, id,
+         (({_MW_BASE} + e) // {_MW_WIN}) * {_MW_WIN} AS ws
+  FROM inp
+),
+kept AS (
+  SELECT pl.*, p.policy FROM placed pl CROSS JOIN pol p
+  LEFT JOIN gwms g ON g.policy = p.policy AND g.b = pl.b - 2
+  WHERE g.b IS NULL OR pl.ws + {_MW_WIN} > {_MW_BASE} + g.gwm
+),
+fin AS (
+  SELECT policy, gwm AS fwm FROM gwms
+  WHERE b = (SELECT MAX(b) FROM inp)
+)
+SELECT k.policy,
+       CAST(k.ws - {_MW_BASE} AS BIGINT) AS win_start_rel,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k.id) AS BIGINT) AS sum_id
+FROM kept k JOIN fin f ON f.policy = k.policy
+WHERE k.ws + {_MW_WIN} <= {_MW_BASE} + f.fwm
+GROUP BY 1, 2
+"""
+
+
+def _ensure_mw_fixture() -> tuple[str, str]:
+    """Write the two per-source batch-file directories once (idempotent;
+    strictly increasing mtimes fix micro-batch order, one file per
+    source per batch under maxFilesPerTrigger=1)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", "mwpolicy_v1",
+    )
+    marker = os.path.join(root, "_complete")
+    dirs = {s: os.path.join(root, s) for s in ("a", "b")}
+    if os.path.exists(marker):
+        return dirs["a"], dirs["b"]
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    for src, d in dirs.items():
+        for bi in range(3):
+            rows = [(e, i) for s, b, e, i in _MW_ROWS if s == src and b == bi]
+            path = os.path.join(d, f"batch_{bi}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "e": pa.array([r[0] for r in rows], pa.int64()),
+                        "id": pa.array([r[1] for r in rows], pa.int64()),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (_MW_BASE + bi, _MW_BASE + bi))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"rows={len(_MW_ROWS)}\n")
+    return dirs["a"], dirs["b"]
+
+
+@register(
+    "q323_multi_watermark_policy",
+    oracle=_Q323_ORACLE,
+    tags=("streaming", "watermark", "policy", "union"),
+)
+def q323_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    a_dir, b_dir = _ensure_mw_fixture()
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "mwpolicy_runs",
+    )
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    run_dir = os.path.join(root, f"run_{uuid.uuid4().hex[:8]}")
+
+    saved = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    results = None
+    try:
+        for policy in ("min", "max"):
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+            sink = os.path.join(run_dir, f"sink_{policy}")
+            ckpt = os.path.join(run_dir, f"ckpt_{policy}")
+            sa = (
+                spark.readStream.schema("e bigint, id bigint")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(a_dir)
+                .select(
+                    F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
+                    "id",
+                )
+                .withWatermark("ts", f"{_MW_DELAYS['a']} seconds")
+            )
+            sb = (
+                spark.readStream.schema("e bigint, id bigint")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(b_dir)
+                .select(
+                    F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
+                    "id",
+                )
+                .withWatermark("ts", f"{_MW_DELAYS['b']} seconds")
+            )
+            agg = (
+                sa.unionByName(sb)
+                .groupBy(F.window("ts", f"{_MW_WIN} seconds").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"), F.sum("id").alias("sum_id"))
+            )
+            q = (
+                agg.select(
+                    (F.unix_timestamp("w.start") - F.lit(_MW_BASE)).alias(
+                        "win_start_rel"
+                    ),
+                    "n_events",
+                    "sum_id",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            part = spark.read.parquet(sink).select(
+                F.lit(policy).alias("policy"),
+                "win_start_rel",
+                "n_events",
+                "sum_id",
+            )
+            results = part if results is None else results.unionByName(part)
+        return results
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)

@@ -409,3 +409,24 @@ def test_q312_span_merge_closed_form(spark, tmp_path):
         assert res[doc]["n_spans"] == 2, res[doc]
         assert res[doc]["max_span"] == 12, res[doc]
         assert res[doc]["dup_tokens"] == 12 + 9, res[doc]
+
+
+def test_q317_triangle_count_closed_form(spark, tmp_path):
+    """q317 on a constructed graph: basket 3 holds parts {10,20,30,40}
+    (a K4: 6 edges, 4 triangles, every degree 3 so wedges = 4*3 = 12,
+    coefficient 3*4/12 = 1.0 before the extra edge) and basket 6 holds
+    {50,60} (one edge, degree-1 endpoints, no wedges). Keys chosen to
+    survive the builder's partkey%10==0 / orderkey%3==0 sparsification."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import all_queries
+
+    rows = [
+        Row(l_orderkey=3, l_partkey=p) for p in (10, 20, 30, 40)
+    ] + [Row(l_orderkey=6, l_partkey=p) for p in (50, 60)]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "lineitem.parquet"))
+    builder = all_queries()["q317_triangle_count"].builder
+    out = builder(spark, str(tmp_path)).collect()[0]
+    assert out["n_nodes"] == 6
+    assert out["n_edges"] == 7  # K4's 6 + the {50,60} edge
+    assert out["n_wedges"] == 12  # K4 only: 4 nodes x C(3,2)
+    assert out["n_triangles"] == 4  # C(4,3)
+    assert out["clustering_coeff"] == 1.0  # 3*4 / 12
