@@ -1013,3 +1013,133 @@ def q229_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(prof("o_totalprice", "nn_tp", "nd_tp", "min_tp", "max_tp"))
         .unionAll(prof("o_orderdate", "nn_od", "nd_od", "min_od", "max_od"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q324: table MAINTENANCE lifecycle — the OPERATIONAL verbs of the
+# versioned store, executed and value-audited in one row: q124 covers
+# create/merge/time-travel and q137 CDC; the remaining production duo
+# is OPTIMIZE (compact a partition's small files into one — the
+# EXECUTION of q120's compaction plan) and VACUUM (retention: drop
+# manifests older than keep_last and every data dir only they
+# reference). Sequence: create (v1, pre-cutover days) -> merge (v2,
+# post-cutover recompute of touched days) -> compact the latest day's
+# partition (v3, layout-only, values untouched) -> vacuum(keep_last=2)
+# (v1's manifest goes; the dirs it alone referenced — the pre-merge
+# copies of days touched by BOTH halves — are deleted).
+#
+# The audit output proves all of it at once: per-event-type aggregates
+# over the post-maintenance latest read must equal the full recompute
+# (compaction and vacuum changed NOTHING readable), the vacuumed-dir
+# count equals the days-with-both-halves count (closed form from the
+# data), and the compacted partition reads back as exactly ONE file.
+# Safety invariant (test-pinned in tests/test_versioned.py): vacuum's
+# deletion set is computed from surviving manifests only, so a reader
+# of a retained version can never lose a file. Scale: compaction
+# rewrites ONE partition, vacuum is metadata + rmdir — neither touches
+# the fact table.
+# ---------------------------------------------------------------------------
+
+_Q324_ORACLE = f"""
+WITH both_halves AS (
+  SELECT CAST(ts AS DATE) AS d FROM events
+  GROUP BY 1
+  HAVING SUM(CASE WHEN ts < TIMESTAMP '{_CUTOVER}' THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN ts >= TIMESTAMP '{_CUTOVER}' THEN 1 ELSE 0 END) > 0
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST((SELECT COUNT(*) FROM both_halves) AS BIGINT) AS vacuum_removed,
+       CAST(1 AS BIGINT) AS compacted_files
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "q324_lakehouse_maintenance",
+    oracle=_Q324_ORACLE,
+    tags=("lakehouse", "compaction", "vacuum", "ops"),
+)
+def q324_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.versioned import (
+        compact_partition,
+        create_table,
+        latest_version,
+        merge_version,
+        read_version,
+        vacuum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "versioned",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"maint_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"maint_{sf_tag}_{uuid.uuid4().hex[:8]}")
+
+    create_table(_daily_gold(ev.filter(F.col("ts") < cut)), table_dir, "d")
+    touched_days = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    updates = _daily_gold(
+        ev.join(
+            F.broadcast(touched_days),
+            ev["ts"].cast("date") == touched_days["d"],
+            "left_semi",
+        )
+    )
+    merge_version(spark, table_dir, updates, key_cols=["d", "event_type"])
+
+    # OPTIMIZE the busiest-by-convention partition (the latest day —
+    # one bounded 1-row collect, the sanctioned driver read)
+    last_day = str(
+        ev.agg(F.max(F.col("ts").cast("date")).alias("m")).collect()[0]["m"]
+    )
+    compact_partition(spark, table_dir, last_day, target_files=1)
+    removed = vacuum(table_dir, keep_last=2)
+
+    # audit: the compacted partition must be exactly ONE parquet file
+    from ..sources.versioned import _read_manifest  # manifest is the API here
+
+    m = _read_manifest(table_dir, latest_version(table_dir))
+    cdir = os.path.join(table_dir, m["parts"][last_day])
+    n_files = len([f for f in os.listdir(cdir) if f.endswith(".parquet")])
+
+    return (
+        read_version(spark, table_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("d").alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+            # stored per-(d, type) totals are exact decimal(18,4) values
+            # surfaced as double; casting back is lossless, so the sum
+            # is order-independent (the dsum discipline)
+            F.sum(F.col("total_value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            "total_value",
+            F.lit(int(removed)).cast("bigint").alias("vacuum_removed"),
+            F.lit(int(n_files)).cast("bigint").alias("compacted_files"),
+        )
+    )
