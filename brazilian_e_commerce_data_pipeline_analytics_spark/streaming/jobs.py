@@ -3151,50 +3151,7 @@ def q323_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = None
     try:
         for policy in ("min", "max"):
-            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
-            sink = os.path.join(run_dir, f"sink_{policy}")
-            ckpt = os.path.join(run_dir, f"ckpt_{policy}")
-            sa = (
-                spark.readStream.schema("e bigint, id bigint")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(a_dir)
-                .select(
-                    F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
-                    "id",
-                )
-                .withWatermark("ts", f"{_MW_DELAYS['a']} seconds")
-            )
-            sb = (
-                spark.readStream.schema("e bigint, id bigint")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(b_dir)
-                .select(
-                    F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
-                    "id",
-                )
-                .withWatermark("ts", f"{_MW_DELAYS['b']} seconds")
-            )
-            agg = (
-                sa.unionByName(sb)
-                .groupBy(F.window("ts", f"{_MW_WIN} seconds").alias("w"))
-                .agg(F.count(F.lit(1)).alias("n_events"), F.sum("id").alias("sum_id"))
-            )
-            q = (
-                agg.select(
-                    (F.unix_timestamp("w.start") - F.lit(_MW_BASE)).alias(
-                        "win_start_rel"
-                    ),
-                    "n_events",
-                    "sum_id",
-                )
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(120)
+            sink, _ = _run_mw_stream(spark, policy, run_dir, a_dir, b_dir)
             part = spark.read.parquet(sink).select(
                 F.lit(policy).alias("policy"),
                 "win_start_rel",
@@ -3205,3 +3162,158 @@ def q323_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return results
     finally:
         spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)
+
+
+def _run_mw_stream(
+    spark: SparkSession, policy: str, run_dir: str, a_dir: str, b_dir: str
+) -> tuple[str, str]:
+    """Run the two-source union window count under ``policy`` into a
+    fresh (sink, checkpoint) pair under run_dir; returns both paths.
+    Shared by q323 (result faces) and q325 (offset-log forensics).
+    Caller restores the policy conf."""
+    import os
+
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+    sink = os.path.join(run_dir, f"sink_{policy}")
+    ckpt = os.path.join(run_dir, f"ckpt_{policy}")
+    sa = (
+        spark.readStream.schema("e bigint, id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(a_dir)
+        .select(
+            F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
+            "id",
+        )
+        .withWatermark("ts", f"{_MW_DELAYS['a']} seconds")
+    )
+    sb = (
+        spark.readStream.schema("e bigint, id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(b_dir)
+        .select(
+            F.timestamp_seconds(F.lit(_MW_BASE) + F.col("e")).alias("ts"),
+            "id",
+        )
+        .withWatermark("ts", f"{_MW_DELAYS['b']} seconds")
+    )
+    agg = (
+        sa.unionByName(sb)
+        .groupBy(F.window("ts", f"{_MW_WIN} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("id").alias("sum_id"))
+    )
+    q = (
+        agg.select(
+            (F.unix_timestamp("w.start") - F.lit(_MW_BASE)).alias("win_start_rel"),
+            "n_events",
+            "sum_id",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sink, ckpt
+
+
+# ---------------------------------------------------------------------------
+# q325: checkpoint OFFSET-LOG forensics — the third leg of checkpoint
+# introspection (q296 = which stateful operators/stores; q292 = what
+# the state held per version; this = what each BATCH planned): the
+# offsets/<b> write-ahead entry records the GLOBAL watermark the batch
+# was planned with (batchWatermarkMs), one source-offset line per
+# input, and the query confs pinned at first run; commits/<b> records
+# completion. This is what an on-call engineer reads when a stream
+# "stopped emitting": did the watermark advance, did the batch commit,
+# which policy is the checkpoint actually pinned to. Probed on 4.1.2
+# (2026-08-16) against the q323 min-policy run: batchWatermarkMs(b) ==
+# the PREVIOUS batch's combined watermark (the q119 lag made concrete
+# in the log: planning reads the wm committed by batch b-1), batch 0
+# plans with 0 ("no watermark", emitted as -1 here), and availableNow
+# appends one final no-data batch that plans with the final watermark
+# and closes the remaining windows.
+#
+# The files are kilobyte JSON metadata, so the driver-side read is the
+# sanctioned metadata collect (manifest-list convention). Oracle: the
+# q323 relational simulation shifted by one batch (planned(b) =
+# global_min(b-1)), with the final no-data batch appended.
+# ---------------------------------------------------------------------------
+
+_Q325_ORACLE = f"""
+WITH inp(src, b, e, id) AS (
+  VALUES {", ".join(f"('{s}', {b}, {e}, {i})" for s, b, e, i in _MW_ROWS)}
+),
+delays(src, delay) AS (VALUES ('a', {_MW_DELAYS['a']}), ('b', {_MW_DELAYS['b']})),
+bm AS (SELECT i.src, i.b, MAX(i.e) AS mx FROM inp i GROUP BY 1, 2),
+src_wm AS (
+  SELECT bm.src, bm.b,
+         MAX(bm.mx) OVER (PARTITION BY bm.src ORDER BY bm.b
+                          ROWS UNBOUNDED PRECEDING) - d.delay AS wm
+  FROM bm JOIN delays d ON d.src = bm.src
+),
+gmin AS (SELECT b, MIN(wm) AS gwm FROM src_wm GROUP BY b),
+batches(batch_id) AS (VALUES (0), (1), (2), (3))
+SELECT CAST(t.batch_id AS BIGINT) AS batch_id,
+       CAST(COALESCE(g.gwm, -1) AS BIGINT) AS planned_wm_rel,
+       CAST(2 AS BIGINT) AS n_sources,
+       TRUE AS committed,
+       'min' AS policy
+FROM batches t LEFT JOIN gmin g ON g.b = t.batch_id - 1
+"""
+
+
+@register(
+    "q325_checkpoint_offset_audit",
+    oracle=_Q325_ORACLE,
+    tags=("streaming", "checkpoint", "ops", "forensics"),
+)
+def q325_checkpoint_offset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import uuid
+
+    a_dir, b_dir = _ensure_mw_fixture()
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "mwaudit_runs",
+    )
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    run_dir = os.path.join(root, f"run_{uuid.uuid4().hex[:8]}")
+
+    saved = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    try:
+        _, ckpt = _run_mw_stream(spark, "min", run_dir, a_dir, b_dir)
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", saved)
+
+    rows = []
+    off_dir = os.path.join(ckpt, "offsets")
+    entries = [n for n in os.listdir(off_dir) if n.isdigit()]  # skip .crc
+    for name in sorted(entries, key=int):
+        with open(os.path.join(off_dir, name), encoding="utf-8") as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        meta = json.loads(lines[1])  # line 0 is the version tag "v1"
+        wm_ms = int(meta["batchWatermarkMs"])
+        rows.append(
+            {
+                "batch_id": int(name),
+                "planned_wm_rel": (wm_ms // 1000 - _MW_BASE) if wm_ms > 0 else -1,
+                "n_sources": len(lines) - 2,  # one offset line per source
+                "committed": os.path.exists(
+                    os.path.join(ckpt, "commits", name)
+                ),
+                "policy": meta["conf"]["spark.sql.streaming.multipleWatermarkPolicy"],
+            }
+        )
+    return spark.createDataFrame(rows).select(
+        F.col("batch_id").cast("bigint"),
+        F.col("planned_wm_rel").cast("bigint"),
+        F.col("n_sources").cast("bigint"),
+        "committed",
+        "policy",
+    )
