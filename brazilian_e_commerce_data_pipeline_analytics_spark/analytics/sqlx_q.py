@@ -2187,3 +2187,47 @@ def q320_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q326: correlated SCALAR subqueries (TPC-H Q17 shape) — the remaining
+# subquery face (q13/q14 semi/anti EXISTS, q222/q302 LATERAL, q112
+# EXISTS-agg): a per-row scalar whose subquery references the outer
+# row, here TWICE — "small-quantity" lineitems are those below half
+# their part's average quantity, stated as two correlated scalars
+# (per-part COUNT and per-part SUM) so the comparison runs in EXACT
+# decimal/integer arithmetic (qty * 2 * cnt < sum ⇔ qty < avg/2 with
+# no double-division boundary — an avg-as-double threshold could flip
+# on summation-order ulps between engines).
+#
+# Catalyst decorrelates both scalars into per-part aggregates joined
+# back (RewriteCorrelatedScalarSubquery): the executed plan carries
+# TWO joins and ZERO per-row subquery executions — pinned in
+# tests/test_plans.py::test_q326_decorrelates_scalar_subqueries. At
+# 100 TB that rewrite is the difference between one aggregate pass
+# over lineitem and |lineitem| point lookups. Oracle = the identical
+# SQL text (the q242/q318 convention — the claim is the standard
+# construct, not a translation).
+# ---------------------------------------------------------------------------
+
+_Q326_SQL = """
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 2 *
+      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,4))) FROM lineitem l3
+         WHERE l3.l_partkey = l.l_partkey)
+GROUP BY 1
+"""
+
+
+@register(
+    "q326_correlated_scalar_subquery",
+    oracle=_Q326_SQL,
+    tags=("sql-api", "subquery", "decorrelation"),
+)
+def q326_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_Q326_SQL)

@@ -1441,3 +1441,14 @@ def test_q311_plan_uses_arrow_eval_and_iterator_contract(spark):
     # 500 docs / 2 tasks / 50-row batches: ~5 batches per single init
     assert inits.value == 2, (inits.value, batches_seen.value)
     assert batches_seen.value >= 2 * inits.value, (inits.value, batches_seen.value)
+
+
+def test_q326_decorrelates_scalar_subqueries(spark):
+    """Both correlated scalar subqueries must decorrelate into per-part
+    aggregate joins — zero per-row subquery executions in the physical
+    plan (the rewrite that turns |lineitem| point lookups into one
+    aggregate pass)."""
+    df = QUERIES["q326_correlated_scalar_subquery"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Subquery" not in plan, plan[:2000]
+    assert plan.count("Join") >= 2, plan[:2000]
