@@ -2231,3 +2231,59 @@ GROUP BY 1
 def q326_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(_Q326_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q327: ANSI overflow + the try_* family — the arithmetic-safety
+# contract this engine runs under (session.py enables ANSI; q251
+# covers try_divide's div-by-zero face; this row pins the OVERFLOW
+# face): BIGINT amounts seeded near Long.MAX so that (a) plain SUM
+# RAISES ARITHMETIC_OVERFLOW (pinned in tests/test_plans.py::
+# test_q327_plain_sum_overflow_raises — silent wraparound is the
+# pre-ANSI behavior this engine refuses), (b) try_sum / per-row
+# try_multiply return NULL instead (the dead-letter-friendly face for
+# pipelines that must not abort on one poisoned partition), and
+# (c) the CORRECT fix — widen to DECIMAL(38,0) BEFORE aggregating —
+# yields the exact 20-digit total, value-matched against DuckDB's
+# HUGEINT sum as a string. At 100 TB the lesson is (c): overflow
+# guards are not a substitute for choosing a wide-enough accumulator
+# up front; try_* exists for the boundary where input is untrusted.
+# ---------------------------------------------------------------------------
+
+_Q327_BIG = 4_000_000_000_000_000_000  # 3 of these overflow signed 64-bit
+
+_Q327_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS try_sum_is_null,
+       CAST(COUNT(*) AS BIGINT) AS n_mult_null,
+       CAST(SUM(CAST({_Q327_BIG} + o_orderkey AS HUGEINT)) AS VARCHAR)
+         AS exact_total
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "q327_ansi_overflow_semantics",
+    oracle=_Q327_ORACLE,
+    tags=("sql-api", "ansi", "overflow", "try-functions"),
+)
+def q327_ansi_overflow_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               try_sum(CAST({_Q327_BIG} AS BIGINT) + o_orderkey) IS NULL
+                 AS try_sum_is_null,
+               CAST(SUM(CASE WHEN try_multiply(
+                      CAST({_Q327_BIG} AS BIGINT) + o_orderkey,
+                      CAST(3 AS BIGINT)) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mult_null,
+               CAST(SUM(CAST(CAST({_Q327_BIG} AS BIGINT) + o_orderkey
+                             AS DECIMAL(38,0))) AS STRING) AS exact_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

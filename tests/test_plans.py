@@ -1452,3 +1452,16 @@ def test_q326_decorrelates_scalar_subqueries(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "Subquery" not in plan, plan[:2000]
     assert plan.count("Join") >= 2, plan[:2000]
+
+
+def test_q327_plain_sum_overflow_raises(spark):
+    """The raise face q327's registered row cannot carry: under ANSI
+    mode a plain BIGINT SUM over the same near-Long.MAX amounts must
+    raise ARITHMETIC_OVERFLOW, never wrap around silently."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.analytics.sqlx_q import _Q327_BIG
+
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet").selectExpr(
+        f"CAST({_Q327_BIG} AS BIGINT) + o_orderkey AS v"
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        df.selectExpr("sum(v)").collect()
