@@ -1021,3 +1021,84 @@ def q306_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_retailprice"), "p_partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q328: SUBJECT ACCESS export (DSAR) — the read dual of q228's
+# right-to-erasure: given a subject set, enumerate every record the
+# lake holds about each subject ACROSS tables, with provenance — the
+# report a data-protection request actually requires before any
+# erasure runs (you delete what you can first enumerate). Subjects =
+# customers with c_custkey % 100 = 7 (a stable keyed slice at every
+# SF); reach = the same propagation edges q228 erases along: the
+# customer row itself, the subject's orders, the lineitems of those
+# orders (two hops — the indirect reach that naive per-table key
+# filters miss), and the subject's events (user_id keyed to custkey).
+#
+# Scale: each leg is ONE semi-join of a fact against the small subject
+# (or subject-order) key set — no cross-table row movement, provenance
+# added as a literal column, one final per-(subject, table) rollup.
+# The lineitem leg reuses the orders leg's key set, so the deepest
+# reach costs one extra semi-join, not a re-walk.
+# ---------------------------------------------------------------------------
+
+_Q328_ORACLE = """
+WITH subjects AS (
+  SELECT c_custkey AS subject_id FROM customer WHERE c_custkey % 100 = 7
+),
+export AS (
+  SELECT s.subject_id, 'customer' AS source_table
+  FROM customer c JOIN subjects s ON c.c_custkey = s.subject_id
+  UNION ALL
+  SELECT s.subject_id, 'orders'
+  FROM orders o JOIN subjects s ON o.o_custkey = s.subject_id
+  UNION ALL
+  SELECT s.subject_id, 'lineitem'
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN subjects s ON o.o_custkey = s.subject_id
+  UNION ALL
+  SELECT s.subject_id, 'events'
+  FROM events e JOIN subjects s ON e.user_id = s.subject_id
+)
+SELECT subject_id, source_table,
+       CAST(COUNT(*) AS BIGINT) AS n_records
+FROM export
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q328_subject_access_export",
+    oracle=_Q328_ORACLE,
+    tags=("governance", "dsar", "provenance", "llm"),
+)
+def q328_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    subjects = customer.filter(F.col("c_custkey") % 100 == 7).select(
+        F.col("c_custkey").alias("subject_id")
+    )
+    c_leg = customer.join(
+        subjects, customer["c_custkey"] == subjects["subject_id"]
+    ).select("subject_id", F.lit("customer").alias("source_table"))
+    o_keys = orders.join(
+        subjects, orders["o_custkey"] == subjects["subject_id"]
+    ).select("subject_id", "o_orderkey")
+    o_leg = o_keys.select("subject_id", F.lit("orders").alias("source_table"))
+    l_leg = lineitem.join(
+        o_keys, lineitem["l_orderkey"] == o_keys["o_orderkey"]
+    ).select("subject_id", F.lit("lineitem").alias("source_table"))
+    e_leg = events.join(
+        subjects, events["user_id"] == subjects["subject_id"]
+    ).select("subject_id", F.lit("events").alias("source_table"))
+    return (
+        c_leg.unionByName(o_leg)
+        .unionByName(l_leg)
+        .unionByName(e_leg)
+        .groupBy("subject_id", "source_table")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
