@@ -354,3 +354,82 @@ def q110_geo_nearest_seller(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(roundsum("min_km", 6) / F.count(F.lit(1)), 6).alias("avg_min_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q329: declarative EXPECTATION suite — the data-quality framework verb
+# (Deequ/dbt-test shape) that generalizes the reference's single
+# hard-coded quality gate (`spark_jobs/transformation.py:87-96`'s
+# review-score filter) and this engine's q09 gate: rules live as DATA
+# (rule_id, target table, boolean SQL expression, severity), the
+# engine compiles each into a one-pass aggregate over its target, and
+# the suite returns a violations report — rows, violations, pass flag
+# per rule. NULL counts as a violation (a rule that cannot evaluate
+# did not pass — the P5 NULL-drop lesson as policy). Two of the seven
+# rules here genuinely fail on this corpus (a price-ceiling warn and a
+# discount-band warn), so the report is non-vacuous in both
+# directions.
+#
+# Scale: each rule is ONE scan-side aggregate over its target (rules
+# against the same table could share a scan via a single multi-agg
+# pass — the q318 FILTER-clause form — kept per-rule here so a rule
+# set spanning N tables stays embarrassingly parallel and a failing
+# rule's scan can be retried alone). The rule CONFIG is bounded by
+# contract (a governance artifact, not data); compiling it driver-side
+# is the sanctioned metadata read. Oracle: each rule replayed as a
+# UNION ALL leg with the same NULL-as-violation arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q329_RULES = (
+    # (rule_id, table, boolean SQL over that table's columns, severity)
+    ("r1_price_positive", "orders", "o_totalprice > 0", "error"),
+    ("r2_price_ceiling", "orders", "o_totalprice < 400000", "warn"),
+    ("r3_qty_band", "lineitem", "l_quantity BETWEEN 1 AND 50", "error"),
+    ("r4_discount_band", "lineitem", "l_discount BETWEEN 0 AND 0.08", "warn"),
+    ("r5_acctbal_present", "customer", "c_acctbal IS NOT NULL", "error"),
+    ("r6_chars_consistent", "documents", "n_chars = length(text)", "error"),
+    ("r7_value_nonneg", "events", "value >= 0", "error"),
+)
+
+_Q329_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{rid}' AS rule_id, '{tbl}' AS target_table, '{sev}' AS severity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN NOT ({expr}) OR ({expr}) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN NOT ({expr}) OR ({expr}) IS NULL
+           THEN 1 ELSE 0 END) = 0 AS passed
+FROM {tbl}
+"""
+    for rid, tbl, expr, sev in _Q329_RULES
+)
+
+
+@register(
+    "q329_expectation_suite",
+    oracle=_Q329_ORACLE,
+    tags=("quality", "governance", "rules", "pipeline"),
+)
+def q329_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    report = None
+    for rid, tbl, expr, sev in _Q329_RULES:
+        t = load_table(spark, sf_dir, tbl)
+        ok = F.expr(expr)
+        viol = F.sum(
+            F.when(~F.coalesce(ok, F.lit(False)), 1).otherwise(0)
+        )
+        leg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            viol.alias("n_violations"),
+        ).select(
+            F.lit(rid).alias("rule_id"),
+            F.lit(tbl).alias("target_table"),
+            F.lit(sev).alias("severity"),
+            "n_rows",
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        report = leg if report is None else report.unionByName(leg)
+    return report
