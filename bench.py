@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per operator family — scan+agg, wide-key agg, dim-join
 # chain, window YoY, top-k, frame window, events window-agg, text stats,
 # shingle-join dedup, MinHash LSH, brute-force + LSH ANN, streaming parity.
+#
+# FREEZE POLICY (VERDICT r10 item 4): the 24-query BENCH_QUERIES list was
+# frozen at round 3 so the headline "value" is comparable across every
+# BENCH_r*.json since; later rounds add queries ONLY to BENCH_EXTENDED
+# (measured separately under "queries_extended", additive, never folded
+# into the headline total). The cross-round TREND number is
+# "value_normalized" (headline total corrected to 32 effective cores via
+# the calibration probes) — raw "value" swings 1.0-2.1x with host load.
 BENCH_QUERIES = (
     "q01_pricing_summary",
     "q02_items_per_order",

@@ -59,3 +59,26 @@ def test_priority_list_matches_registry_exactly():
     missing = sorted(registered - set(names))
     assert not extra, f"priority names not registered: {extra}"
     assert not missing, f"registered queries missing from priority: {missing}"
+
+
+def test_below_here_marker_sits_at_slot_50():
+    """The '-- below here --' comment in registry.py documents where the
+    driver window ends; twice (r9, r10-planning) it drifted from the
+    real boundary and mis-stated which rows were getting evidence
+    (VERDICT r10 item 7). Parse the source and assert exactly
+    ``_WINDOW`` query names precede it."""
+    import inspect
+    import re
+
+    src = inspect.getsource(registry)
+    body = re.search(
+        r"_DRIVER_WINDOW_PRIORITY: tuple\[str, \.\.\.\] = \((.*?)\n\)",
+        src,
+        re.S,
+    ).group(1)
+    before_marker = body.split("below here")[0]
+    names_before = re.findall(r'"(q[^"]+)"', before_marker)
+    assert len(names_before) == _WINDOW, (
+        f"'below here' marker sits after {len(names_before)} names, "
+        f"expected exactly {_WINDOW} — move the marker or the rows"
+    )
