@@ -570,3 +570,89 @@ def q311_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lex").alias("total_lex"),
         F.sum("load").alias("total_char_load"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q331: pandas UDAF as a WINDOW function (WindowInPandas) — the last
+# Python-boundary face the matrix was missing: q108 runs a grouped-agg
+# pandas UDF in GROUP BY position (AggregateInPandas), but the SAME
+# decorator in WINDOW position plans a different physical operator —
+# ArrowWindowPython on Spark 4.x (WindowInPandasExec's Arrow-native
+# successor) — with different batch mechanics (for bounded ROWS
+# frames Spark ships each partition once plus per-row frame bounds, and
+# the worker evaluates the UDAF per frame slice — not one Arrow batch
+# per frame). This is the shape of any custom rolling metric the
+# built-in window aggregates can't express (rolling model score,
+# rolling robust statistic); the exemplar here is a rolling RMS over
+# the last 3 purchase amounts per user.
+#
+# Determinism: amounts become integer cents JVM-side (round(value*100)
+# — exact, value has 2dp), the UDAF's sum-of-squares is exact int64
+# (cents^2 * 3 << 2^53), and the only float ops are one division, one
+# sqrt, and the final shared round(6) — IEEE-identical in both engines.
+# Frame order is total: (ts, event_id) with event_id unique.
+#
+# Scale: one shuffle on user_id; WindowInPandas streams each user's
+# rows through the worker once. The built-in COUNT rides a separate
+# JVM Window over the same spec (mixed-type window functions split
+# into two Window nodes over one sort — pinned in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+_Q331_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT user_id, event_id,
+         CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss,
+         COUNT(*) OVER fr AS n
+  FROM e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rms_cents,
+       CAST(n AS INT) AS frame_n
+FROM w
+"""
+
+
+@register(
+    "q331_pandas_window_udaf",
+    oracle=_Q331_ORACLE,
+    tags=("python", "udf", "window", "arrow"),
+)
+def q331_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    @pandas_udf("double")
+    def rolling_rms(cents: pd.Series) -> float:
+        # exact int64 sum of squares; floats only at divide+sqrt
+        import math
+
+        ss = int((cents.astype("int64") ** 2).sum())
+        return math.sqrt(float(ss) / float(len(cents)))
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(rolling_rms("cents").over(w), 6).alias("rms_cents"),
+        F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
+    )

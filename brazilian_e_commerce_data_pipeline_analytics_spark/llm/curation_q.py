@@ -1102,3 +1102,353 @@ def q328_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("subject_id", "source_table")
         .agg(F.count(F.lit(1)).alias("n_records"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q330: the END-TO-END training-data curation pipeline as ONE lineage —
+# the LLM-corpus counterpart of the reference's bronze→silver→gold chain
+# (Readme.md:34-57 chains ingest→clean→star-schema for commerce data;
+# this row chains the curation stages every corpus release runs):
+#
+#   ingest → exact dedup (q44 rule: keep MIN(doc_id) per md5(text))
+#          → near-dup dedup (MinHash LSH, the q315-sweep-chosen config
+#            k=32/bands=8, portable md5 hashes; candidates exact-verified
+#            at Jaccard >= 0.5 by the integer rule 2*|∩| >= |∪|; the
+#            larger doc_id of every verified pair drops — the
+#            keep-first edge rule; full transitive clustering is q82/
+#            q321's job)
+#          → quality + boilerplate filter (Gopher-style integer rules:
+#            >=20 tokens, >=40% distinct tokens, mean word length in
+#            [3.0, 5.5] via 10*chars vs nt bounds; plus the q140
+#            RefinedWeb line rule at a RELATIVE threshold — a 3-token
+#            line is boilerplate when it appears in >=1% of stage-input
+#            docs AND >=3 docs — drop majority-boiler docs; on this
+#            synthetic corpus the majority rule drops 0 docs, so the
+#            boiler-key inventory is emitted as its own value-checked
+#            row '3_boiler_lines' to keep the line-frequency relation
+#            evidence-bearing)
+#          → mixture rebalance (q122 integer thresholds toward uniform
+#            language mix, portable bucket seed 7 / 10000 buckets)
+#          → interleaved shard assignment (q235 rule: per-lang md5
+#            priority rank % 8).
+#
+# Output = per-stage survivor counts + the final per-(shard, lang)
+# composition, one row set.
+#
+# ONE-LINEAGE CONTRACT (the plan pin in tests/test_plans.py): documents
+# is scanned exactly once. Every stage boundary is materialized with
+# localCheckpoint — the single-process twin of what a 100 TB run does
+# with a parquet write between stages — so no downstream self-join ever
+# re-reads the source, and the final plan contains ZERO parquet scans
+# (only ExistingRDD scans of the checkpointed stage outputs).
+#
+# Scale shape: stage 1 is one hash-partitioned window; stage 2 is the
+# q46p LSH plan (docs×bands candidate rows, exact verify on candidates
+# only — never corpus²); stage 3 is one explode + one line-frequency
+# groupBy + a semi-class join against the (bounded, inventoried) boiler
+# key set; stages 4-5 are q122/q235's broadcast-threshold + per-lang
+# rank passes. The DuckDB oracle replays every stage in one staged CTE.
+# ---------------------------------------------------------------------------
+
+_Q330_K = 32          # q315-sweep-chosen MinHash config (sharpest S-curve)
+_Q330_BANDS = 8
+_Q330_SHINGLE = 3
+_Q330_LINE_LEN = _LINE_LEN   # 3-token lines, q140's constant
+_Q330_ABS_DF = _BOILER_DF    # absolute boiler floor, q140's constant
+_Q330_MIN_TOK = 20
+_Q330_DR10 = 4        # 10*n_distinct >= 4*n_tokens  (>=40% distinct)
+_Q330_ML_LO = 30      # 10*chars >= 30*n_tokens      (mean len >= 3.0)
+_Q330_ML_HI = 55      # 10*chars <= 55*n_tokens      (mean len <= 5.5)
+_Q330_MIX_SEED = 7
+_Q330_BUCKETS = 10_000
+_Q330_SHARDS = 8
+
+
+def _q330_oracle() -> str:
+    from .dedup_q import _MH_P, _mh_consts
+
+    n, k, bands = _Q330_SHINGLE, _Q330_K, _Q330_BANDS
+    rows = k // bands
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(_mh_consts(k))
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    ll = _Q330_LINE_LEN
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents d) q
+  WHERE rn = 1
+),
+toks1 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM s1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM toks1 WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, shingle,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+       FROM sh),
+sigs AS (SELECT doc_id,
+         {mins}
+         FROM ex GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs) q
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+vcommon AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT v.doc_a, v.doc_b FROM vcommon v
+  JOIN sizes sa ON sa.doc_id = v.doc_a
+  JOIN sizes sb ON sb.doc_id = v.doc_b
+  WHERE 2 * v.nc >= sa.n_sh + sb.n_sh - v.nc
+),
+s2 AS (SELECT s1.* FROM s1 WHERE NOT EXISTS
+         (SELECT 1 FROM verified v WHERE v.doc_b = s1.doc_id)),
+toks2 AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM s2),
+meas AS (SELECT doc_id, lang, len(t) AS nt, len(list_distinct(t)) AS nd,
+                CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS ch
+         FROM toks2),
+ls AS (SELECT doc_id, unnest(list_transform(range((len(t) + {ll - 1}) // {ll}),
+         i -> array_to_string(list_slice(t, i * {ll} + 1, i * {ll} + {ll}), ' ')))
+         AS line
+       FROM toks2 WHERE len(t) > 0),
+nin AS (SELECT COUNT(DISTINCT doc_id) AS n_in FROM ls),
+freq AS (SELECT md5(line) AS k, COUNT(DISTINCT doc_id) AS df FROM ls GROUP BY 1),
+bkeys AS (SELECT k FROM freq, nin
+          WHERE 100 * df >= n_in AND df >= {_Q330_ABS_DF}),
+per AS (SELECT ls.doc_id, COUNT(*) AS nl,
+               COUNT(*) FILTER (WHERE bkeys.k IS NOT NULL) AS nb
+        FROM ls LEFT JOIN bkeys ON md5(ls.line) = bkeys.k
+        GROUP BY 1),
+s3 AS (
+  SELECT m.doc_id, m.lang
+  FROM meas m LEFT JOIN per p ON p.doc_id = m.doc_id
+  WHERE m.nt >= {_Q330_MIN_TOK}
+    AND 10 * m.nd >= {_Q330_DR10} * m.nt
+    AND 10 * m.ch >= {_Q330_ML_LO} * m.nt AND 10 * m.ch <= {_Q330_ML_HI} * m.nt
+    AND NOT (2 * COALESCE(p.nb, 0) > COALESCE(p.nl, 0))
+),
+per_lang AS (SELECT lang, COUNT(*) AS n_docs FROM s3 GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM per_lang),
+thresh AS (SELECT lang,
+                  LEAST({_Q330_BUCKETS},
+                        CAST(total * {_Q330_BUCKETS} // (n_langs * n_docs) AS BIGINT))
+                    AS keep_thresh
+           FROM per_lang, tot),
+s4 AS (SELECT s3.doc_id, s3.lang FROM s3 JOIN thresh USING (lang)
+       WHERE CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q330_MIX_SEED}'), 1, 15))
+             AS BIGINT) % {_Q330_BUCKETS} < keep_thresh),
+shards AS (SELECT lang,
+                  CAST((row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shard'), doc_id)
+                        - 1) % {_Q330_SHARDS} AS INT) AS shard
+           FROM s4)
+SELECT CAST('0_ingest' AS VARCHAR) AS stage, CAST(-1 AS INT) AS shard,
+       CAST('ALL' AS VARCHAR) AS lang,
+       (SELECT COUNT(*) FROM documents) AS n_docs
+UNION ALL SELECT '1_exact_dedup', -1, 'ALL', (SELECT COUNT(*) FROM s1)
+UNION ALL SELECT '2_near_dedup', -1, 'ALL', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT '3_boiler_lines', -1, 'ALL', (SELECT COUNT(*) FROM bkeys)
+UNION ALL SELECT '3_quality', -1, 'ALL', (SELECT COUNT(*) FROM s3)
+UNION ALL SELECT '4_mixture', -1, 'ALL', (SELECT COUNT(*) FROM s4)
+UNION ALL
+SELECT '5_shard', shard, lang, COUNT(*) FROM shards GROUP BY 2, 3
+"""
+
+
+_Q330_ORACLE = _q330_oracle()
+
+
+def _q330_stage_row(df: DataFrame, stage: str) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+        F.lit(stage).alias("stage"),
+        F.lit(-1).cast("int").alias("shard"),
+        F.lit("ALL").alias("lang"),
+        "n_docs",
+    )
+
+
+@register(
+    "q330_curation_pipeline",
+    oracle=_Q330_ORACLE,
+    tags=("dedup", "curation", "mixture", "pipeline", "llm"),
+)
+def q330_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+    from .dedup_q import _portable_minhash_relations
+
+    # Stage 0: ingest. localCheckpoint = the stage-boundary materialize
+    # (a 100 TB run writes parquet here); documents is scanned ONCE.
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint()
+    )
+
+    # Stage 1: exact dedup — keep MIN(doc_id) per content hash (q44).
+    w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+
+    # Stage 2: MinHash-LSH near-dup at the q315-chosen (k=32, bands=8).
+    # Candidates exact-verified (candidate pairs ONLY — the production
+    # shape; q101 measures full recall separately), keep-first rule.
+    sh, both, cands = _portable_minhash_relations(
+        s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+    )
+    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    vcommon = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = both.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("__na"))
+    sb = both.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("__nb"))
+    dropped = (
+        vcommon.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(2) * F.col("nc") >= F.col("__na") + F.col("__nb") - F.col("nc")
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    sh.unpersist()  # s2 is materialized; the shingle cache is done
+
+    # Stage 3: Gopher-style quality rules + the q140 line rule at a
+    # relative threshold (>=1% of stage-input docs AND >=3 docs).
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    meas = s2.select("doc_id", "lang", toks.alias("t")).select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("nt"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.aggregate(
+            F.transform("t", F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("ch"),
+    )
+    ll = _Q330_LINE_LEN
+    n_lines = F.floor((F.size("t") + ll - 1) / ll).cast("int")
+    ls = (
+        s2.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice("t", i * ll + 1, ll), " "),
+                )
+            ).alias("line"),
+        )
+        .select("doc_id", F.md5("line").alias("k"))
+    )
+    n_in = ls.agg(F.countDistinct("doc_id").alias("n_in"))
+    freq = ls.groupBy("k").agg(F.countDistinct("doc_id").alias("df"))
+    bkeys = freq.crossJoin(F.broadcast(n_in)).filter(
+        (F.lit(100) * F.col("df") >= F.col("n_in"))
+        & (F.col("df") >= _Q330_ABS_DF)
+    )
+    per = (
+        ls.join(bkeys.select("k", F.lit(1).alias("__b")), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("nb"),
+        )
+    )
+    s3 = (
+        meas.join(per, "doc_id", "left")
+        .filter(
+            (F.col("nt") >= _Q330_MIN_TOK)
+            & (F.lit(10) * F.col("nd") >= F.lit(_Q330_DR10) * F.col("nt"))
+            & (F.lit(10) * F.col("ch") >= F.lit(_Q330_ML_LO) * F.col("nt"))
+            & (F.lit(10) * F.col("ch") <= F.lit(_Q330_ML_HI) * F.col("nt"))
+            & ~(
+                F.lit(2) * F.coalesce(F.col("nb"), F.lit(0))
+                > F.coalesce(F.col("nl"), F.lit(0))
+            )
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint()
+    )
+    boiler_inventory = _q330_stage_row(bkeys, "3_boiler_lines")
+
+    # Stage 4: mixture rebalance toward uniform language mix (q122).
+    per_lang = s3.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    thresh = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(_Q330_BUCKETS).cast("bigint"),
+            F.expr(f"(total * {_Q330_BUCKETS}) div (n_langs * n_docs)"),
+        ).alias("keep_thresh"),
+    )
+    s4 = (
+        s3.join(F.broadcast(thresh), "lang")
+        .filter(
+            portable_bucket("doc_id", _Q330_MIX_SEED, _Q330_BUCKETS)
+            < F.col("keep_thresh")
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint()
+    )
+
+    # Stage 5: interleaved shard assignment (q235 rule).
+    w5 = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), "doc_id"
+    )
+    comp = (
+        s4.select(
+            "lang",
+            ((F.row_number().over(w5) - 1) % _Q330_SHARDS).cast("int").alias("shard"),
+        )
+        .groupBy("shard", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.lit("5_shard").alias("stage"), "shard", "lang", "n_docs")
+    )
+
+    return (
+        _q330_stage_row(base, "0_ingest")
+        .unionByName(_q330_stage_row(s1, "1_exact_dedup"))
+        .unionByName(_q330_stage_row(s2, "2_near_dedup"))
+        .unionByName(boiler_inventory)
+        .unionByName(_q330_stage_row(s3, "3_quality"))
+        .unionByName(_q330_stage_row(s4, "4_mixture"))
+        .unionByName(comp)
+    )

@@ -1987,7 +1987,12 @@ def q278_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time
 
         expected = spark.read.parquet(table_path(sf_dir, "orders")).count()
-        for _ in range(100):
+        # 30s ceiling (was 10s): q297's r9 flake showed this box can
+        # starve background threads ~20s under concurrent replay load;
+        # the loop still exits on the first drained check, so the
+        # higher ceiling costs nothing on a quiet host and the
+        # RuntimeError below stays the loud-failure path.
+        for _ in range(300):
             if sum(n for n, _, _ in collected) >= expected:
                 break
             time.sleep(0.1)
@@ -2453,6 +2458,26 @@ def q288_dedup_within_wm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+# MAINTENANCE-RACE AUDIT (VERDICT r10 item 5): of the statestore-matrix
+# builders, only q297 needed the commit-log-gate + one-retry hardening,
+# because snapshotStartBatchId is the ONLY read that requires an
+# artifact produced by the ASYNCHRONOUS maintenance thread (the
+# <v>.zip under RocksDB+changelog). Every other builder in this family
+# reads artifacts written SYNCHRONOUSLY inside the batch commit that
+# awaitTermination() (availableNow) waits for, so they cannot race:
+#   - q290: RocksDB with changelog checkpointing OFF uploads the full
+#     .zip snapshot inside commit() itself (that synchronous upload is
+#     the cost changelog checkpointing exists to remove) — the zip the
+#     companion test asserts is present the moment the query ends;
+#   - q291: readChangeFeed consumes only changelog files, written at
+#     commit; maintenance snapshots are an optimization it never needs;
+#   - q292: the HDFS provider writes <v>.delta at commit; a batchId
+#     read reconstructs from deltas alone (maintenance .snapshot files
+#     only shorten the replay);
+#   - q298: statestore 'latest' + state-metadata reads — metadata is
+#     written at query start/commit, and 'latest' resolves from
+#     committed versions only.
 
 
 def _run_mod_count_stream(
@@ -3317,3 +3342,142 @@ def q325_checkpoint_offset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "committed",
         "policy",
     )
+
+
+# ---------------------------------------------------------------------------
+# q332: applyInPandasWithState EVENT-TIME TIMEOUT — the state-eviction
+# face q55 leaves unexercised (its sessionizer runs NoTimeout and closes
+# sessions only when a LATER event for the same key arrives; a key that
+# goes silent forever holds state forever and never emits). With
+# GroupStateTimeout.EventTimeTimeout the function is re-invoked with
+# ``state.hasTimedOut`` (and no rows) once the query watermark passes
+# the key's registered timeout timestamp — the mechanism that bounds
+# state for abandoned keys at 100 TB-stream scale and the only way an
+# applyInPandasWithState pipeline emits "session closed by inactivity".
+#
+# Deterministic fixture (no wall clock anywhere): batch_0 delivers ids
+# 0..99 as keys k=id%7 with ets=BASE+id; batches 1..2 deliver only a
+# CLOCK key (k=99) whose high ets advances the watermark. Each data key
+# registers timeout = its max ets + 30s (<= BASE+129). Watermark after
+# batch 1 (clock ets BASE+500, delay 10s) = BASE+490 > every timeout,
+# so batch 2's processing fires hasTimedOut for all 7 data keys — each
+# emits (k, n_events, 'timeout') and removes its state. The clock key
+# itself re-registers a timeout the stream ends before reaching, so it
+# never emits: the result is EXACTLY the 7 closed-by-inactivity rows,
+# closed-form replayable (n = |{id < 100 : id%7 = k}|).
+#
+# Timing contract pinned here, not assumed: timeouts fire when the
+# PREVIOUS batch's watermark exceeds the registered timestamp, so the
+# fixture needs batch 2 to exist at all — with only batches 0..1 the
+# watermark that clears the timeouts is computed as batch 1 ENDS and
+# no later batch runs the eviction. (Same one-batch lag as q119/q325.)
+# ---------------------------------------------------------------------------
+
+_Q332_ORACLE = """
+WITH ids AS (SELECT range AS id FROM range(100))
+SELECT id % 7 AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
+       'timeout' AS closed_by
+FROM ids
+GROUP BY 1
+"""
+
+_ETT_BASE = 1700000000
+_ETT_GAP_S = 30
+_ETT_CLOCK_KEY = 99
+
+
+def _ensure_event_timeout_fixture() -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "stream", "event_timeout_v1",
+    )
+    done = os.path.join(base, "_FIXTURE_OK")
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    batches = [
+        [(i % 7, _ETT_BASE + i) for i in range(100)],
+        [(_ETT_CLOCK_KEY, _ETT_BASE + 500)],
+        [(_ETT_CLOCK_KEY, _ETT_BASE + 1000)],
+    ]
+    for b, rows in enumerate(batches):
+        path = os.path.join(base, f"batch_{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ets": pa.array([r[1] for r in rows], type=pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (_ETT_BASE + b, _ETT_BASE + b))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@register(
+    "q332_state_event_time_timeout",
+    oracle=_Q332_ORACLE,
+    tags=("streaming", "state", "timeout", "python"),
+)
+def q332_state_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _ensure_event_timeout_fixture()
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", LongType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            n, _mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"k": [k], "n_events": [n], "closed_by": ["timeout"]}
+            )
+            return
+        events = pd.concat(list(pdf_iter))
+        n_new = int(len(events))
+        mx_new = int(events["ets"].max())
+        if state.exists:
+            n_old, mx_old = state.get
+            n_new += int(n_old)
+            mx_new = max(mx_new, int(mx_old))
+        state.update((n_new, mx_new))
+        # inactivity deadline: last seen event time + gap, in epoch ms
+        state.setTimeoutTimestamp((mx_new + _ETT_GAP_S) * 1000)
+        return
+        yield  # pragma: no cover — generator form required by the API
+
+    st = (
+        spark.readStream.schema("k bigint, ets bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("k", "ets", F.timestamp_seconds("ets").alias("ets_ts"))
+        .withWatermark("ets_ts", "10 seconds")
+    )
+    out = st.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_stream_to_memory(spark, out, output_mode="append")

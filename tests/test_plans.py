@@ -1465,3 +1465,48 @@ def test_q327_plain_sum_overflow_raises(spark):
     )
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
         df.selectExpr("sum(v)").collect()
+
+
+def test_q330_pipeline_is_one_lineage(spark):
+    """q330's contract (VERDICT r10 item 2): the curation chain reads
+    ``documents`` exactly ONCE. Every stage boundary is localCheckpoint-
+    materialized (the single-process twin of a parquet write between
+    stages), so the FINAL plan must contain zero parquet file scans —
+    only ExistingRDD scans of checkpointed stage outputs — i.e. no
+    stage re-derives from the source."""
+    df = QUERIES["q330_curation_pipeline"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, "a stage re-scans the source table"
+    assert "ExistingRDD" in plan, "stage boundaries are not materialized"
+    # and the chain shrinks monotonically: each stage row <= the prior
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in df.collect()
+        if r["stage"] != "5_shard" and r["stage"] != "3_boiler_lines"
+    }
+    order = ["0_ingest", "1_exact_dedup", "2_near_dedup", "3_quality", "4_mixture"]
+    counts = [rows[s] for s in order]
+    assert counts == sorted(counts, reverse=True) and counts[-1] > 0
+    # shard composition totals the stage-4 survivor count
+    shard_total = sum(
+        r["n_docs"] for r in df.collect() if r["stage"] == "5_shard"
+    )
+    assert shard_total == rows["4_mixture"]
+
+
+def test_q331_plans_window_in_pandas(spark):
+    """q331's point is the PHYSICAL operator: the same grouped-agg
+    pandas UDF that plans AggregateInPandas in GROUP BY position must
+    plan the pandas-window node in window position (Spark 4.x names it
+    ArrowWindowPython, WindowInPandasExec's Arrow-native successor),
+    and the built-in COUNT over the same spec stays in a separate JVM
+    Window node — mixed-type window functions split into two nodes
+    that share ONE exchange and ONE sort (also asserted: a second sort
+    would mean the window specs diverged)."""
+    df = QUERIES["q331_pandas_window_udaf"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ArrowWindowPython" in plan
+    assert "Window" in plan.replace("ArrowWindowPython", "")  # JVM count node
+    # formatted plans list each node twice (tree line + detail block)
+    assert plan.count("Exchange") == 2
+    assert plan.count("Sort") == 2

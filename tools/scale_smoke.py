@@ -1,0 +1,111 @@
+"""sf1.0 scale smoke (VERDICT r10 item 3): time the most expensive
+registered queries one decade above the driver's largest shipped SF and
+assert the scale-up stays inside budget.
+
+Usage:
+    python tools/gen_sf.py            # once: builds .tmp/sf1.0 (~150 MB)
+    python tools/scale_smoke.py       # times QUERIES at sf0.1 then sf1.0
+
+Budget: each query's sf1.0 wall-clock must be <= BUDGET_X x its sf0.1
+wall-clock measured in the SAME process (default 15x for a 10x data
+step, the VERDICT r10 allowance for shuffle/spill superlinearity plus
+host noise; one decade of superlinearity beyond that is an O(n^2)
+cliff, which is exactly what this smoke exists to catch). Exit code 1
+on any blown budget so the round checklist can gate on it.
+
+The query list = the 10 most expensive rows of BENCH_r10.json's
+per-query table + q330 (the composition row, dedup-heavy and new).
+Timing is min-of-REPS full executions with cache clears between runs
+(bench.py's methodology); sf0.1 runs first so both scales see the same
+warmed JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+QUERIES = (
+    "q01_pricing_summary",
+    "q02_items_per_order",
+    "q20_monthly_revenue_yoy",
+    "q45_ngram_jaccard_pairs",
+    "q46p_minhash_lsh_portable",
+    "q141_bpe_merges",
+    "q143_semdedup",
+    "q197_tokenizer_fertility",
+    "q198_idf_weighted_minhash",
+    "q245_stream_gold_yoy",
+    "q330_curation_pipeline",
+)
+
+BUDGET_X = 15.0
+REPS = 2
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = os.path.join(_ROOT, ".tmp", "sf1.0")
+
+
+def _time_query(spark, builder, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(REPS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    if not os.path.isdir(SF_BIG):
+        sys.exit(f"{SF_BIG} missing — run `python tools/gen_sf.py` first")
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.registry import spark_queries
+    from brazilian_e_commerce_data_pipeline_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="bedpa-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
+
+    rows, blown = [], []
+    for name in QUERIES:
+        t_small = _time_query(spark, qs[name], SF_SMALL)
+        t_big = _time_query(spark, qs[name], SF_BIG)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        ok = ratio <= BUDGET_X
+        rows.append((name, t_small, t_big, ratio, ok))
+        if not ok:
+            blown.append(name)
+        print(
+            f"{name:32s} sf0.1 {t_small:7.2f}s  sf1.0 {t_big:7.2f}s  "
+            f"x{ratio:5.1f}  {'ok' if ok else 'OVER BUDGET'}",
+            flush=True,
+        )
+
+    print("\n| query | sf0.1 s | sf1.0 s | ratio | <=15x |")
+    print("|---|---|---|---|---|")
+    for name, ts, tb, r, ok in rows:
+        print(f"| {name} | {ts:.2f} | {tb:.2f} | {r:.1f}x | {'yes' if ok else 'NO'} |")
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_scale_smoke",
+                "budget_x": BUDGET_X,
+                "blown": blown,
+                "queries": {n: {"sf0.1": round(ts, 3), "sf1.0": round(tb, 3)}
+                            for n, ts, tb, _, _ in rows},
+            }
+        )
+    )
+    if blown:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
