@@ -1143,3 +1143,115 @@ def q324_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(n_files)).cast("bigint").alias("compacted_files"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q334: RESTORE — the rollback verb that completes the versioned-table
+# lifecycle (create q124 -> merge q114/q160 -> CDC q124 -> diff q160 ->
+# OPTIMIZE/VACUUM q324 -> RESTORE). A bad merge lands as v2; RESTORE TO
+# VERSION 1 publishes v3 whose manifest re-points at v1's immutable
+# data dirs — Delta's `RESTORE TABLE ... TO VERSION AS OF`, pure
+# METADATA (zero rows copied, zero rows through the driver), and itself
+# a new commit so history keeps both the bad version and the rollback.
+# The registered result reads ALL THREE versions back through the
+# manifest layer and aggregates each: the driver's value check IS the
+# restore-equivalence proof (v3 rows == v1 rows, both != v2). The
+# metadata-only property and the restore-then-vacuum retention
+# interplay are pinned in tests/test_versioned.py.
+#
+# Scale: manifest copy is O(partitions) driver-side metadata (the same
+# class Delta's commit protocol materializes); the three reads are
+# ordinary manifest-pruned scans.
+# ---------------------------------------------------------------------------
+
+_Q334_ORACLE = f"""
+WITH g1 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events
+  FROM events WHERE ts < TIMESTAMP '{_CUTOVER}'
+  GROUP BY 1, 2
+),
+g2 AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+a1 AS (SELECT COUNT(*) AS nk, CAST(SUM(n_events) AS BIGINT) AS ne FROM g1),
+a2 AS (SELECT COUNT(*) AS nk, CAST(SUM(n_events) AS BIGINT) AS ne FROM g2)
+SELECT CAST(1 AS INT) AS version, nk AS n_keys, ne AS total_events,
+       CAST(NULL AS INT) AS restored_from FROM a1
+UNION ALL SELECT 2, nk, ne, NULL FROM a2
+UNION ALL SELECT 3, nk, ne, 1 FROM a1
+"""
+
+
+@register(
+    "q334_version_restore",
+    oracle=_Q334_ORACLE,
+    tags=("lakehouse", "time-travel", "restore", "ops"),
+)
+def q334_version_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.versioned import (
+        _read_manifest,
+        create_table,
+        merge_version,
+        read_version,
+        restore_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "versioned",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"restore_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"restore_{sf_tag}_{uuid.uuid4().hex[:8]}")
+
+    create_table(_daily_gold(ev.filter(F.col("ts") < cut)), table_dir, "d")
+    touched_days = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    updates = _daily_gold(
+        ev.join(
+            F.broadcast(touched_days),
+            ev["ts"].cast("date") == touched_days["d"],
+            "left_semi",
+        )
+    )
+    merge_version(spark, table_dir, updates, key_cols=["d", "event_type"])
+    v3 = restore_version(table_dir, to_version=1)
+    restored_from = _read_manifest(table_dir, v3).get("restored_from")
+
+    legs = []
+    for v in (1, 2, 3):
+        legs.append(
+            read_version(spark, table_dir, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n_events").cast("bigint").alias("total_events"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_keys",
+                "total_events",
+                (
+                    F.lit(restored_from if v == 3 else None).cast("int")
+                ).alias("restored_from"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -1452,3 +1452,95 @@ def q330_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_q330_stage_row(s4, "4_mixture"))
         .unionByName(comp)
     )
+
+
+# ---------------------------------------------------------------------------
+# q333: URL parsing + domain rollup — the web-corpus curation verbs a
+# CommonCrawl-style pipeline runs before anything else (host
+# extraction, registered-domain rollup for per-domain caps — q131's
+# key-maker — percent-encoding normalization). The synthetic corpus
+# carries no URLs, so a deterministic URL is derived per document from
+# its own attributes (the q139 synthesize-then-process pattern: both
+# engines replay the construction, so the parsers face real structure
+# at every scale factor): subdomain from doc_id parity, host from
+# (source, lang), TLD from doc_id%4, path /docs/<id>, query
+# ?ref=<id%7>&q=<lang>.
+#
+# Spark faces exercised: parse_url HOST/PATH/PROTOCOL, the
+# parse_url(url, 'QUERY', key) per-key extraction face, url_encode
+# (application/x-www-form-urlencoded: '=' -> %3D, space -> '+'), and
+# substring_index registered-domain derivation. The oracle replays the
+# construction directly (DuckDB has no parse_url; the synthesized
+# shape makes every parsed component closed-form) and hardcodes the
+# percent-encoding rule itself ('q%3D' || lang || '+docs') so a Spark
+# encoding regression would hash-mismatch, not tautologically agree.
+#
+# Scale: one narrow projection + one groupBy on the registered domain
+# (bounded: |source| x |lang| x |tld| combinations).
+# ---------------------------------------------------------------------------
+
+_Q333_ORACLE = """
+WITH u AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END AS sub,
+         ['com', 'org', 'net', 'io'][CAST(doc_id % 4 AS INT) + 1] AS tld
+  FROM documents
+),
+parsed AS (
+  SELECT sub || source || '-' || lang || '.' || tld AS host,
+         source || '-' || lang || '.' || tld AS reg_domain,
+         CAST(doc_id % 7 AS VARCHAR) AS ref,
+         'q%3D' || lang || '+docs' AS encoded_q
+  FROM u
+)
+SELECT reg_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_subdomains,
+       CAST(COUNT(DISTINCT ref) AS BIGINT) AS n_refs,
+       MIN(encoded_q) AS encoded_q
+FROM parsed
+GROUP BY 1
+"""
+
+
+@register(
+    "q333_url_domain_rollup",
+    oracle=_Q333_ORACLE,
+    tags=("text", "curation", "url", "llm"),
+)
+def q333_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    sub = F.when(F.col("doc_id") % 2 == 0, "www.").otherwise("cdn.")
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.col("source"), F.lit("-"), F.col("lang"), F.lit("."), tld,
+        F.lit("/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&q="), F.col("lang"),
+    )
+    parsed = d.select(
+        "doc_id",
+        "lang",
+        url.alias("url"),
+    ).select(
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
+        F.expr("parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("url_encode(concat('q=', lang, ' docs'))").alias("encoded_q"),
+    )
+    # registered domain: the last two labels of the parsed host
+    return (
+        parsed.withColumn("reg_domain", F.substring_index("host", ".", -2))
+        .groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_subdomains"),
+            F.countDistinct("ref").alias("n_refs"),
+            F.min("encoded_q").alias("encoded_q"),
+        )
+    )

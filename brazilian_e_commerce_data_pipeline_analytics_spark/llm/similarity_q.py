@@ -725,14 +725,43 @@ def q142_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.99
-_SEMDEDUP_CELLS = 16
+# Cell count SCALES with the corpus (r11 fix, found by tools/
+# scale_smoke.py): with a FIXED k the per-cell population grows with N
+# and the self-join does sum(cell^2) ~ N^2/k work — the sf1.0 smoke
+# measured 33.6x wall for a 10x data step (3.5s -> 116s). k = max(16,
+# N // 128) caps cell population, making pair work ~128*N (linear;
+# measured at sf1.0: sum(cell^2) fell 30M -> 3.1M pairs). At the
+# driver gate scales nothing changes (N=2000 at sf0.01 -> k=16,
+# exactly the old constant); the oracle derives the SAME k from
+# COUNT(*) OVER () so every scale stays value-exact.
+#
+# HONEST RESIDUAL (measured, 2026-08-16): sf1.0 wall is still ~134s,
+# because the bottleneck MOVES to the N*k codebook assignment (76s
+# centroid build + 137s assignment in the profile), which runs as
+# interpreted higher-order array folds — the price of keeping every
+# cosine fold-order-stable so the DuckDB oracle replays it bit-for-
+# bit. Balancing k only lands on ~N^1.5*d interpreted ops (~90s at
+# this N) — no k wins. The 100 TB path is the same plan with the
+# assignment's dot products in a vectorized Arrow UDF (BLAS-class
+# constant, ~100x on this step); that variant trades away value-exact
+# oracle parity (numpy's pairwise summation reorders the fold), which
+# is the one thing this registered row exists to prove, so the row
+# keeps the fold-exact form and tools/scale_smoke.py carries a
+# documented budget override instead.
+_SEMDEDUP_CELLS = 16          # floor (and the pre-r11 fixed value)
+_SEMDEDUP_PER_CELL = 128      # target cell population
 
 _Q143_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 seeds AS (
-  SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}
+  SELECT vec_id AS cell, v AS cv FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM e
+  ) WHERE rn <= GREATEST({_SEMDEDUP_CELLS}, n // {_SEMDEDUP_PER_CELL})
 ),
 a1 AS (
   SELECT vec_id, v, cell FROM (
@@ -789,7 +818,11 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     aug = e.unionByName(planted)
-    cents = ivf_centroids(raw, n_cells=_SEMDEDUP_CELLS, dims=_IVF_DIMS)
+    # metadata-sized driver read (1 scalar): sizes the codebook the same
+    # way the oracle's COUNT(*) OVER () does
+    n_vecs = raw.count()
+    n_cells = max(_SEMDEDUP_CELLS, n_vecs // _SEMDEDUP_PER_CELL)
+    cents = ivf_centroids(raw, n_cells=n_cells, dims=_IVF_DIMS)
     # cache: the self-join consumes the assignment twice, and without it
     # each side replays the centroid computation AND the broadcast
     # assignment (measured 9.5s -> ~5s at sf0.1). The registry wrapper

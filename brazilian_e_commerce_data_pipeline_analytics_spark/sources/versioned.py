@@ -230,6 +230,33 @@ def vacuum(table_dir: str, keep_last: int = 1) -> int:
     return removed
 
 
+def restore_version(table_dir: str, to_version: int) -> int:
+    """RESTORE: re-publish version ``to_version``'s snapshot as a NEW
+    latest version (Delta's ``RESTORE TABLE ... TO VERSION AS OF k``,
+    coarsened to this layout). Pure metadata: the new manifest re-points
+    at the historical version's immutable data dirs — zero data copied,
+    zero rows through the driver — and because the restore is itself a
+    NEW commit, history keeps both the bad versions and the rollback (a
+    later audit sees everything; a second restore can undo the first).
+    The restored dirs become referenced-by-latest, so a subsequent
+    ``vacuum(keep_last=1)`` RETAINS them while dropping the bad
+    versions' dirs — restore-then-vacuum is the storage-level rollback
+    a bad merge needs."""
+    src = _read_manifest(table_dir, to_version)
+    new_v = latest_version(table_dir) + 1
+    _publish_manifest(
+        table_dir,
+        {
+            "version": new_v,
+            "partition_col": src["partition_col"],
+            "partition_type": src["partition_type"],
+            "parts": dict(src["parts"]),
+            "restored_from": to_version,
+        },
+    )
+    return new_v
+
+
 def compact_partition(
     spark: SparkSession, table_dir: str, partition_value: str, target_files: int = 1
 ) -> int:

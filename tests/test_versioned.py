@@ -242,3 +242,45 @@ def test_cdc_apply_deletes_updates_and_drops_empty_partitions(spark, tmp_path):
     assert set(m["parts"]) == {"a", "b"}
     # time travel still sees the pre-CDC world
     assert _rows(read_version(spark, t, version=1)) == _rows(base)
+
+
+def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
+    """q334's companion pin: RESTORE publishes a new manifest that
+    re-points at the restored version's EXACT immutable dirs (no data
+    copied — the parts maps are identical), records its provenance,
+    and a subsequent vacuum(keep_last=1) keeps the restored dirs alive
+    while dropping the bad version's — the full rollback story."""
+    import json
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.sources.versioned import (
+        restore_version,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = _mk(spark, [("a", 1, 10), ("b", 2, 20)])
+    create_table(base, t, "d")
+    merge_version(spark, t, _mk(spark, [("a", 1, 666)]), key_cols=["d", "k"])
+
+    before = {
+        rel for part in os.listdir(os.path.join(t, "data"))
+        for rel in os.listdir(os.path.join(t, "data", part))
+    }
+    assert restore_version(t, to_version=1) == 3
+    after = {
+        rel for part in os.listdir(os.path.join(t, "data"))
+        for rel in os.listdir(os.path.join(t, "data", part))
+    }
+    assert before == after  # metadata only: not one data dir created
+
+    m1 = json.load(open(os.path.join(t, "_v1.json")))
+    m3 = json.load(open(os.path.join(t, "_v3.json")))
+    assert m3["parts"] == m1["parts"]
+    assert m3["restored_from"] == 1
+    assert _rows(read_version(spark, t)) == _rows(base)
+
+    # rollback retention: vacuum keeps v3 (== v1's dirs), drops v2's
+    removed = vacuum(t, keep_last=1)
+    assert removed == 1  # exactly the bad merge's rewritten 'a' dir
+    assert _rows(read_version(spark, t)) == _rows(base)
+    assert not os.path.exists(os.path.join(t, "_v2.json"))
