@@ -91,6 +91,10 @@ BENCH_EXTENDED = (
     # and the broadcast-eval decontamination pass
     "q264_mapinarrow_doc_bytes",
     "q274_semantic_decontamination",
+    # round-11 addition: the end-to-end curation composition — the one
+    # query whose cost is the SUM of the dedup/quality/mixture/shard
+    # stages chained through localCheckpoint stage boundaries
+    "q330_curation_pipeline",
 )
 
 

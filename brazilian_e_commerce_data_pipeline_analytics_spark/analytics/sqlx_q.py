@@ -2287,3 +2287,247 @@ def q327_ansi_overflow_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q336: INSERT ... BY NAME — the schema-evolution-safe ingestion verb
+# (Spark 3.5+, SPARK-42750) completing the q301 DEFAULT-columns story:
+# positional INSERT silently transposes values when an upstream SELECT
+# reorders its projection; BY NAME matches on column NAME instead, and
+# columns the feed omits fall back to their DEFAULTs — together these
+# are what lets a long-lived intake table absorb producer refactors
+# without a coordinated deploy. Three faces in one row: a feed whose
+# projection order is deliberately SHUFFLED vs the table (BY NAME must
+# un-transpose it), a feed missing two columns (DEFAULT + NULL fill),
+# and the q301-style positional feed as the control group.
+# ---------------------------------------------------------------------------
+
+_Q336_ORACLE = """
+WITH f1 AS (
+  SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,4)) AS price,
+         'shuffled' AS origin
+  FROM part WHERE p_partkey % 3 = 0
+),
+f2 AS (
+  SELECT p_partkey, p_brand, CAST(NULL AS DECIMAL(18,4)) AS price,
+         'bulk' AS origin
+  FROM part WHERE p_partkey % 3 = 1
+),
+f3 AS (
+  SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,4)) AS price,
+         'positional' AS origin
+  FROM part WHERE p_partkey % 3 = 2
+),
+allf AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+SELECT origin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(price) AS BIGINT) AS n_priced,
+       CAST(SUM(price) AS DOUBLE) AS total_price,
+       MIN(p_brand) AS min_brand
+FROM allf
+GROUP BY origin
+"""
+
+
+@register(
+    "q336_insert_by_name",
+    oracle=_Q336_ORACLE,
+    tags=("sql", "ddl", "evolution"),
+)
+def q336_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    register_views(spark, sf_dir, names=("part",))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "sql", f"byname_tbl_{sf_tag}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)  # fresh, deterministic content
+    spark.sql("DROP TABLE IF EXISTS q336_intake")
+    spark.sql(
+        f"""
+        CREATE TABLE q336_intake (
+          p_partkey BIGINT,
+          p_brand STRING,
+          price DECIMAL(18,4),
+          origin STRING DEFAULT 'bulk'
+        ) USING PARQUET LOCATION '{loc}'
+        """
+    )
+    # face 1: producer reordered its projection — BY NAME un-transposes
+    spark.sql(
+        """
+        INSERT INTO q336_intake BY NAME
+        SELECT 'shuffled' AS origin,
+               CAST(p_retailprice AS DECIMAL(18,4)) AS price,
+               p_partkey, p_brand
+        FROM part WHERE p_partkey % 3 = 0
+        """
+    )
+    # face 2: feed omits price (-> NULL) and origin (-> DEFAULT 'bulk')
+    spark.sql(
+        """
+        INSERT INTO q336_intake BY NAME
+        SELECT p_brand, p_partkey FROM part WHERE p_partkey % 3 = 1
+        """
+    )
+    # face 3 (control): ordinary positional insert
+    spark.sql(
+        """
+        INSERT INTO q336_intake
+        SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,4)),
+               'positional'
+        FROM part WHERE p_partkey % 3 = 2
+        """
+    )
+    return spark.sql(
+        """
+        SELECT origin,
+               COUNT(*) AS n_rows,
+               COUNT(price) AS n_priced,
+               CAST(SUM(price) AS DOUBLE) AS total_price,
+               MIN(p_brand) AS min_brand
+        FROM q336_intake
+        GROUP BY origin
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q337: median() + deterministic mode() — the two direct aggregates
+# Spark 3.4/4.0 added for what previously took percentile() gymnastics
+# (q27/q319 cover the percentile family; q221 the weighted custom
+# form). mode() is NONDETERMINISTIC on ties by default — exactly the
+# first()/dropDuplicates class this repo bans — so this row pins the
+# deterministic=true face (probed 4.1.2: ties resolve to the LOWEST
+# value among the most frequent) and the oracle replays that tie rule
+# explicitly with a count-then-rank subquery rather than trusting
+# DuckDB's own mode() (whose tie behavior is first-seen, i.e. also
+# nondeterministic across engines). median() is interpolated (R-7,
+# same as percentile(0.5)) in both engines; round(6) shared.
+# ---------------------------------------------------------------------------
+
+_Q337_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(user_id % 5 AS BIGINT) AS bucket, value
+  FROM events
+),
+freq AS (
+  SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+),
+modes AS (
+  SELECT event_type, bucket AS mode_bucket FROM (
+    SELECT event_type, bucket,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, bucket) AS rn
+    FROM freq
+  ) WHERE rn = 1
+),
+med AS (
+  SELECT event_type, round(median(value), 6) AS median_value,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM b GROUP BY 1
+)
+SELECT med.event_type, med.n_events, med.median_value, modes.mode_bucket
+FROM med JOIN modes USING (event_type)
+"""
+
+
+@register(
+    "q337_median_mode",
+    oracle=_Q337_ORACLE,
+    tags=("aggregate", "sql"),
+)
+def q337_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               round(median(value), 6) AS median_value,
+               mode(user_id % 5, true) AS mode_bucket
+        FROM events
+        GROUP BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q340: OFFSET pagination vs KEYSET pagination — both faces of "give
+# me page 3", with the equivalence PROVED in the result. LIMIT/OFFSET
+# (Spark 3.4+) is the API-pagination shape everyone writes first; at
+# scale it is scan-and-discard — the sort must still produce the
+# skipped 100 rows, and page N costs O(N*page) (Spark plans it as
+# GlobalLimitAndOffset over the sort). Keyset (a.k.a. seek) pagination
+# carries the last row of the previous page as a boundary and turns
+# the skip into a PREDICATE — pushable, index/zorder-friendly
+# (q145/q147's layouts make it a file-skip), constant cost per page.
+# The row emits page 3 via KEYSET, with a flag column proving it
+# byte-equals the OFFSET form (exceptAll both directions == empty,
+# computed in-plan; no driver compare).
+#
+# Total order (o_totalprice DESC, o_orderkey ASC) — the unique-key
+# tiebreaker is what makes BOTH forms deterministic AND is a keyset
+# REQUIREMENT (a boundary on a non-unique sort key alone would drop or
+# duplicate ties across the page break).
+# ---------------------------------------------------------------------------
+
+_Q340_PAGE = 50
+
+_Q340_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, TRUE AS keyset_matches_offset
+FROM ranked
+WHERE rn > 2 * {_Q340_PAGE} AND rn <= 3 * {_Q340_PAGE}
+"""
+
+
+@register(
+    "q340_keyset_pagination",
+    oracle=_Q340_ORACLE,
+    tags=("sql", "pagination", "topk"),
+)
+def q340_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    page = _Q340_PAGE
+    offset_page = spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {page} OFFSET {2 * page}
+        """
+    )
+    # keyset boundary: the LAST row of page 2
+    boundary = spark.sql(
+        f"""
+        SELECT o_totalprice AS bp, o_orderkey AS bk FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1 OFFSET {2 * page - 1}
+        """
+    )
+    keyset_page = (
+        spark.table("orders")
+        .crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("o_totalprice") < F.col("bp"))
+            | (
+                (F.col("o_totalprice") == F.col("bp"))
+                & (F.col("o_orderkey") > F.col("bk"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(page)
+    )
+    # in-plan equivalence proof: multiset-equal in both directions
+    diff = keyset_page.exceptAll(offset_page).unionAll(
+        offset_page.exceptAll(keyset_page)
+    )
+    flag = diff.agg((F.count(F.lit(1)) == 0).alias("keyset_matches_offset"))
+    return keyset_page.crossJoin(F.broadcast(flag))

@@ -656,3 +656,73 @@ def q331_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rolling_rms("cents").over(w), 6).alias("rms_cents"),
         F.count(F.lit(1)).over(w).cast("int").alias("frame_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q335: BARRIER-mode mapInPandas — the gang-scheduling face of the
+# Python boundary (mapInPandas(..., barrier=True), SPARK-42896). In
+# ordinary scheduling Spark launches tasks as slots free up; a
+# data-parallel TRAINING step (each worker computes a local partial,
+# then all-reduces over a side channel) deadlocks under that policy —
+# worker 0's allreduce waits forever for worker 7 that hasn't been
+# scheduled. barrier=True launches ALL tasks of the stage together or
+# not at all (and restarts the whole stage on any task failure — the
+# fate-sharing training frameworks assume). The exemplar is the
+# local-statistics step of synchronized data-parallel training: shard
+# by group key, each gang member computes its shard's batch stats in
+# one pandas pass.
+#
+# Determinism: rows are hash-repartitioned BY THE GROUP COLUMN, so
+# every group lands wholly in one task and the per-group stats are
+# partitioning-independent (int64-exact count/sum) — the result is
+# identical with or without the barrier; what the barrier changes is
+# scheduling, which the plan pin (the trailing barrier flag on the
+# MapInPandas node) makes visible. Oracle: plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+_Q335_SHARDS = 8
+
+_Q335_ORACLE = f"""
+SELECT doc_id % {_Q335_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "q335_barrier_shard_stats",
+    oracle=_Q335_ORACLE,
+    tags=("python", "barrier", "arrow", "training"),
+)
+def q335_barrier_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % _Q335_SHARDS).alias("shard"),
+            "n_chars",
+        )
+        .repartition(_Q335_SHARDS, "shard")
+    )
+
+    def shard_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one gang member per shard partition: local batch statistics
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        out = (
+            pdf.groupby("shard", sort=True)
+            .agg(n_docs=("shard", "size"), total_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        yield out
+
+    return d.mapInPandas(
+        shard_stats,
+        "shard bigint, n_docs bigint, total_chars bigint",
+        barrier=True,
+    )

@@ -612,3 +612,68 @@ def q308_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q339: XPath expression family — the UNTYPED XML extraction face,
+# complementing q307's typed one (from_xml needs a schema up front;
+# xpath_*() pulls values straight out of markup, which is how ad-hoc
+# extraction over scraped/legacy XML actually starts before anyone
+# writes a schema). Faces: xpath() (node-list -> array), xpath_long
+# with an XPath AGGREGATE ('sum(/ps/p)') — the aggregation happens
+# inside the XPath engine, per row — and xpath_string with a
+# positional predicate ('/ps/p[1]').
+#
+# The XML is aggregated per brand from part rows (listagg ordered by
+# p_partkey, so the document's element ORDER is deterministic — the
+# [1] predicate then has a defined answer). DuckDB has no XPath; the
+# oracle replays each extraction from the same relational facts
+# (count, integer sum, value-at-min-partkey), so a Spark extraction
+# bug mismatches instead of tautologically agreeing — the q333/q139
+# synthesize-then-process pattern.
+#
+# Scale: one groupBy(brand) with an ordered listagg, then per-row
+# xpath over kilobyte documents — embarrassingly parallel; nothing
+# corpus-sized ever concatenates.
+# ---------------------------------------------------------------------------
+
+_Q339_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS INT) AS n_parts_x,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size_x,
+       CAST(arg_min(p_size, p_partkey) AS VARCHAR) AS first_size_x
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register(
+    "q339_xpath_extraction",
+    oracle=_Q339_ORACLE,
+    tags=("xml", "xpath", "sql"),
+)
+def q339_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    docs = p.groupBy("p_brand").agg(
+        F.concat(
+            F.lit("<ps>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p_partkey", "p_size"))
+                    ),
+                    lambda s: F.concat(
+                        F.lit("<p>"), s["p_size"].cast("string"), F.lit("</p>")
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</ps>"),
+        ).alias("xml")
+    )
+    return docs.select(
+        "p_brand",
+        F.size(F.expr("xpath(xml, '/ps/p/text()')")).alias("n_parts_x"),
+        F.expr("xpath_long(xml, 'sum(/ps/p)')").alias("sum_size_x"),
+        F.expr("xpath_string(xml, '/ps/p[1]')").alias("first_size_x"),
+    )

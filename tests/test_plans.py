@@ -1510,3 +1510,21 @@ def test_q331_plans_window_in_pandas(spark):
     # formatted plans list each node twice (tree line + detail block)
     assert plan.count("Exchange") == 2
     assert plan.count("Sort") == 2
+
+
+def test_q335_map_in_pandas_is_barrier(spark):
+    """q335's point is SCHEDULING: the MapInPandas node must carry the
+    barrier flag (its final argument renders as `true` in the plan) so
+    the stage gang-schedules — and the input must be hash-partitioned
+    by the shard key (one Exchange), which is what makes the per-shard
+    stats partitioning-independent."""
+    df = QUERIES["q335_barrier_shard_stats"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # the barrier flag is the MapInPandas node's final argument; in
+    # formatted mode it renders on the node's own "Arguments:" line
+    mp = [
+        ln for ln in plan.splitlines()
+        if ln.startswith("Arguments:") and "shard_stats" in ln
+    ]
+    assert mp and mp[0].rstrip().endswith("true"), mp
+    assert "hashpartitioning(shard" in plan
