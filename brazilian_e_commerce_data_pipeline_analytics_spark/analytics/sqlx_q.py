@@ -2531,3 +2531,116 @@ def q340_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flag = diff.agg((F.count(F.lit(1)) == 0).alias("keyset_matches_offset"))
     return keyset_page.crossJoin(F.broadcast(flag))
+
+
+# ---------------------------------------------------------------------------
+# q341: INSERT OVERWRITE partition semantics, static vs dynamic — the
+# reprocessing verb's two contracts on one partitioned table, and the
+# one conf (spark.sql.sources.partitionOverwriteMode) whose default
+# silently decides whether a backfill truncates the table:
+#   * DYNAMIC mode, no partition spec: only partitions PRESENT IN THE
+#     FEED are replaced (the q245 gold-rebuild contract — reprocess
+#     two event types, the other three survive untouched);
+#   * STATIC mode with an explicit PARTITION (k='v') spec: exactly
+#     that partition is replaced regardless of mode — the targeted
+#     repair verb.
+# The final table is three writes layered (seed -> dynamic reprocess
+# of click/view -> static repair of error), each tagged with its
+# provenance, so the per-partition tag in the result PROVES which
+# write owns which partition. Oracle: the layering replayed
+# closed-form from events.
+#
+# Scale: partition-wise overwrite is the whole point — each write
+# rewrites only its partitions' files; the survivors' files are never
+# touched (same file-level economics as versioned.py's COW manifests,
+# here via the native hive-layout writer).
+# ---------------------------------------------------------------------------
+
+_Q341_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+final AS (
+  SELECT event_type, d, n,
+         CASE WHEN event_type IN ('click', 'view') THEN 'dynamic_reprocess'
+              WHEN event_type = 'error' THEN 'static_repair'
+              ELSE 'seed' END AS written_by
+  FROM daily
+)
+SELECT event_type, written_by,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM final
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q341_overwrite_partition_modes",
+    oracle=_Q341_ORACLE,
+    tags=("sql", "ddl", "partition", "ops"),
+)
+def q341_overwrite_partition_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    register_views(spark, sf_dir, names=("events",))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp", "sql", f"overwrite_tbl_{sf_tag}",
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS q341_daily")
+    spark.sql(
+        f"""
+        CREATE TABLE q341_daily (d DATE, n BIGINT, written_by STRING)
+        USING PARQUET PARTITIONED BY (event_type STRING)
+        LOCATION '{loc}'
+        """
+    )
+    daily = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n,
+               '{tag}' AS written_by, event_type
+        FROM events {where}
+        GROUP BY event_type, 1
+    """
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(mode_key)
+    try:
+        # write 1 (seed): dynamic is irrelevant — table is empty
+        spark.sql(
+            f"INSERT OVERWRITE q341_daily "
+            + daily.format(tag="seed", where="")
+        )
+        # write 2: DYNAMIC, no partition spec — only click/view replaced
+        spark.conf.set(mode_key, "dynamic")
+        spark.sql(
+            f"INSERT OVERWRITE q341_daily "
+            + daily.format(
+                tag="dynamic_reprocess",
+                where="WHERE event_type IN ('click', 'view')",
+            )
+        )
+        # write 3: STATIC + explicit spec — exactly the error partition
+        spark.conf.set(mode_key, "static")
+        spark.sql(
+            "INSERT OVERWRITE q341_daily PARTITION (event_type = 'error') "
+            + """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n,
+                   'static_repair' AS written_by
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+            """
+        )
+    finally:
+        spark.conf.set(mode_key, saved)
+    return spark.sql(
+        """
+        SELECT event_type, written_by,
+               COUNT(*) AS n_days, SUM(n) AS n_events
+        FROM q341_daily
+        GROUP BY event_type, written_by
+        """
+    )
