@@ -95,6 +95,13 @@ BENCH_EXTENDED = (
     # query whose cost is the SUM of the dedup/quality/mixture/shard
     # stages chained through localCheckpoint stage boundaries
     "q330_curation_pipeline",
+    # round-12 additions: the vectorized SemDeDup companion (q143's
+    # 100 TB path — watch the q143:q342 ratio as the vectorization
+    # dividend), the df-capped Jaccard config, and the incremental
+    # curation composition (q330's batch-vs-history shape)
+    "q342_semdedup_vectorized",
+    "q343_ngram_jaccard_capped",
+    "q344_incremental_curation",
 )
 
 

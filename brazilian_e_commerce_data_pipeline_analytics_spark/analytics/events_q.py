@@ -1172,3 +1172,77 @@ def q304_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q346: the map TRANSFORM family — transform_keys + map_zip_with, the
+# two map higher-order functions q225/q263's entries-manipulation rows
+# left uncovered (TODO r11 scouted item). The production shape is
+# feature-map algebra: two per-entity maps built independently
+# (event_type -> count, event_type -> integer cents total), POSITIONALLY
+# merged by key with map_zip_with (struct values; both maps come from
+# the same rows so the keysets match and no NULL branch fires),
+# namespaced with transform_keys ('evt_' prefix — the collision guard
+# when maps from different producers union into one feature column),
+# then exploded back to rows for the rollup. Everything stays JVM-side
+# map algebra (no UDF); the oracle replays the SEMANTICS relationally —
+# DuckDB has no map_zip_with, so a plain GROUP BY over the same keys
+# proves the map route loses/invents nothing.
+#
+# Scale: one groupBy(user bucket) with map-typed aggregates, one
+# narrow map transform, one explode — same economics as q225.
+# ---------------------------------------------------------------------------
+
+_Q346_BUCKETS = 25
+
+_Q346_ORACLE = f"""
+SELECT user_id % {_Q346_BUCKETS} AS bucket,
+       'evt_' || event_type AS feature,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q346_map_transform_family",
+    oracle=_Q346_ORACLE,
+    tags=("map", "functions", "events"),
+)
+def q346_map_transform_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _Q346_BUCKETS).alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_type = e.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    maps = per_type.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m_count"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m_cents"),
+    )
+    merged = maps.select(
+        "bucket",
+        F.transform_keys(
+            F.map_zip_with(
+                "m_count",
+                "m_cents",
+                lambda _k, n, c: F.struct(n.alias("n"), c.alias("c")),
+            ),
+            lambda k, _v: F.concat(F.lit("evt_"), k),
+        ).alias("m"),
+    )
+    ex = merged.select("bucket", F.explode("m").alias("feature", "v"))
+    return ex.select(
+        "bucket",
+        "feature",
+        F.col("v.n").cast("bigint").alias("n_events"),
+        F.col("v.c").cast("bigint").alias("total_cents"),
+    )

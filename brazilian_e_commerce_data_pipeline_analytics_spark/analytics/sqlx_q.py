@@ -2644,3 +2644,98 @@ def q341_overwrite_partition_modes(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY event_type, written_by
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q345: try_cast vs ANSI CAST — the untrusted-string-ingest contrast
+# row (TODO r11 scouted item; completes the try_* family: q251 covers
+# try_divide's div-by-zero face, q327 try_sum/try_multiply's overflow
+# face, this row the PARSE face). The engine runs ANSI mode, where
+# CAST('N/A' AS BIGINT) RAISES CAST_INVALID_INPUT (pinned in
+# tests/test_plans.py::test_q345_ansi_cast_raises — silently returning
+# NULL is the pre-ANSI behavior this engine refuses); ingest of dirty
+# third-party feeds therefore goes through try_cast (NULL on malformed)
+# plus try_to_number for the currency-formatted face ('$'-prefixed,
+# format '$999999999999' — Spark parses it, and the oracle replays the
+# RULE itself: strip '$' then TRY_CAST, so a Spark format-semantics
+# regression would hash-mismatch rather than tautologically agree).
+#
+# Dirty strings are synthesized deterministically from o_orderkey %% 7
+# (q139's synthesize-then-process pattern: both engines replay the
+# construction so the parsers face real malformed input at every SF):
+# 0 -> 'N/A' (unparseable), 1 -> '$<custkey>' (currency), 2 ->
+# '<custkey>x' (trailing junk), else clean digits. INTEGER source
+# values only — float-to-string formatting is engine-specific, integer
+# formatting is not.
+#
+# Scale: one narrow projection + one bounded groupBy; try_* are plain
+# codegen expressions (no UDF, no exception-driven control flow — the
+# null path is branch-level, which is why try_cast beats a Python
+# parse-and-catch by orders of magnitude at corpus scale).
+# ---------------------------------------------------------------------------
+
+_Q345_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority,
+         CASE CAST(o_orderkey % 7 AS INT)
+           WHEN 0 THEN 'N/A'
+           WHEN 1 THEN '$' || CAST(o_custkey AS VARCHAR)
+           WHEN 2 THEN CAST(o_custkey AS VARCHAR) || 'x'
+           ELSE CAST(o_custkey AS VARCHAR)
+         END AS s
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderpriority,
+         TRY_CAST(s AS BIGINT) AS direct,
+         CASE WHEN s LIKE '$%' THEN TRY_CAST(substr(s, 2) AS BIGINT) END
+           AS currency
+  FROM src
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(direct) AS BIGINT) AS n_direct,
+       CAST(COUNT(currency) AS BIGINT) AS n_currency,
+       CAST(COUNT(*) - COUNT(COALESCE(direct, currency)) AS BIGINT)
+         AS n_rejected,
+       CAST(SUM(COALESCE(direct, currency)) AS BIGINT) AS sum_parsed
+FROM parsed
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q345_try_cast_contrast",
+    oracle=_Q345_ORACLE,
+    tags=("sql", "ansi", "ingest"),
+)
+def q345_try_cast_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH src AS (
+          SELECT o_orderpriority,
+                 CASE CAST(o_orderkey % 7 AS INT)
+                   WHEN 0 THEN 'N/A'
+                   WHEN 1 THEN concat('$', CAST(o_custkey AS STRING))
+                   WHEN 2 THEN concat(CAST(o_custkey AS STRING), 'x')
+                   ELSE CAST(o_custkey AS STRING)
+                 END AS s
+          FROM orders
+        ),
+        parsed AS (
+          SELECT o_orderpriority,
+                 try_cast(s AS BIGINT) AS direct,
+                 CAST(try_to_number(s, '$999999999999') AS BIGINT) AS currency
+          FROM src
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               COUNT(direct) AS n_direct,
+               COUNT(currency) AS n_currency,
+               COUNT(*) - COUNT(COALESCE(direct, currency)) AS n_rejected,
+               SUM(COALESCE(direct, currency)) AS sum_parsed
+        FROM parsed
+        GROUP BY o_orderpriority
+        """
+    )

@@ -35,6 +35,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from ..catalog import load_table
 from ..registry import register
+from ..session import default_parallelism
 
 _Q107_ORACLE = """
 WITH ex AS (
@@ -721,8 +722,15 @@ def q335_barrier_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["total_chars"] = out["total_chars"].astype("int64")
         yield out
 
+    # Barrier stages need all _Q335_SHARDS tasks to launch TOGETHER, so
+    # a session with fewer slots (SPARK_GRAFT_CPUS < 8 overrides the
+    # local[32] default) would hard-fail at scheduling time (ADVICE
+    # r11). The values are partitioning-independent (see the
+    # determinism note above), so under-slotted sessions run the same
+    # plan unbarriered; the plan pin runs on the 32-slot default and
+    # keeps the barrier flag proven.
     return d.mapInPandas(
         shard_stats,
         "shard bigint, n_docs bigint, total_chars bigint",
-        barrier=True,
+        barrier=default_parallelism() >= _Q335_SHARDS,
     )

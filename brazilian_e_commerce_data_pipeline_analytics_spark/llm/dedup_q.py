@@ -64,6 +64,82 @@ def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q343: the df-CAPPED shared-shingle config — q45's production knob
+# (``max_df``) as its own driver-signed row (VERDICT r11 item 3). The
+# exact path's cost is sum over shingles of (df choose 2), quadratic in
+# the hottest shingle's document frequency; the cap drops shingles with
+# df > MAX_DF from PAIR GENERATION ONLY (per-doc sizes still count
+# them), so the reported intersection is a lower bound — pairs can be
+# missed (a pair whose entire overlap is hot shingles) or under-scored,
+# never over-scored. That conservative direction is what makes the cap
+# deployable: a dropped candidate is a recall cost, priced the same way
+# as LSH's (q101's calibration shape), while precision is untouched.
+#
+# The physical plan CHANGES with the cap (dedup.py chooses it): instead
+# of the exploded self-join, shingles aggregate to sorted doc-id lists
+# and pairs come from array expressions — safe ONLY because the cap
+# bounds the per-row pair array at (MAX_DF choose 2). The cap value 5
+# is sized to this synthetic corpus (df max: 7 at sf0.01, 25 at sf0.1,
+# ~250 at sf1.0) so the semantics are exercised at the driver gate
+# scale; production corpora use larger absolute caps — the economics
+# depend only on capping the quadratic term, not on the constant.
+# ---------------------------------------------------------------------------
+
+_Q343_MAX_DF = 5
+
+_Q343_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         )) AS shingles
+  FROM toks
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1
+),
+cold AS (
+  SELECT shingle FROM ex GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {_Q343_MAX_DF}
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN ex b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a,
+       doc_b,
+       n_common,
+       sa.n_sh + sb.n_sh - n_common AS n_union,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+"""
+
+
+@register(
+    "q343_ngram_jaccard_capped", oracle=_Q343_ORACLE, tags=("dedup", "llm")
+)
+def q343_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return shingle_pairs_exact(
+        d, "doc_id", "text", n=3, threshold=0.05, max_df=_Q343_MAX_DF
+    )
+
+
+# ---------------------------------------------------------------------------
 # q68: SimHash with a VALUE-level oracle. q47's production SimHash hashes
 # tokens with xxhash64 (JVM-only), so it gets a rows-only check; this
 # twin derives 60-bit token values from an md5 prefix — replayable in

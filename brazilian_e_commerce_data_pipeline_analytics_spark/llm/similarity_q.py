@@ -741,13 +741,16 @@ _SEMDEDUP_TAU = 0.99
 # interpreted higher-order array folds — the price of keeping every
 # cosine fold-order-stable so the DuckDB oracle replays it bit-for-
 # bit. Balancing k only lands on ~N^1.5*d interpreted ops (~90s at
-# this N) — no k wins. The 100 TB path is the same plan with the
-# assignment's dot products in a vectorized Arrow UDF (BLAS-class
-# constant, ~100x on this step); that variant trades away value-exact
-# oracle parity (numpy's pairwise summation reorders the fold), which
-# is the one thing this registered row exists to prove, so the row
-# keeps the fold-exact form and tools/scale_smoke.py carries a
-# documented budget override instead.
+# this N) — no k wins. The 100 TB path — the assignment's dot
+# products vectorized in an Arrow UDF (BLAS-class constant, ~100x on
+# this step) — is REGISTERED as q342_semdedup_vectorized below (r12):
+# integer quantization makes the numpy arithmetic exact and
+# order-free, so the companion keeps full oracle parity too. THIS row
+# deliberately retains the float fold-exact form — it is the proof
+# that the un-quantized float cosine replays bit-for-bit across
+# engines, which q48/q75/q202 and the rest of the float-cosine family
+# rest on — and tools/scale_smoke.py carries a documented budget
+# override scoped to this row only.
 _SEMDEDUP_CELLS = 16          # floor (and the pre-r11 fixed value)
 _SEMDEDUP_PER_CELL = 128      # target cell population
 
@@ -867,6 +870,205 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s") >= _SEMDEDUP_TAU)
     )
     return pairs.groupBy("vec_id", "cell").agg(
+        F.min("ia").alias("keeper_id"), F.min_by("s", "ia").alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q342: SemDeDup, VECTORIZED — the 100 TB path that q143's HONEST
+# RESIDUAL block names (the N*k codebook assignment and the within-cell
+# pairwise compare as BLAS-class batch arithmetic instead of
+# interpreted per-row array folds), registered as its own row. VERDICT
+# r11 proposed gating it with a >=99.x% drop-decision agreement oracle
+# because "numpy's pairwise summation reorders the fold"; this row does
+# BETTER — full value-exact oracle parity — by sidestepping float fold
+# order entirely with q187's integer-quantization discipline:
+#
+#   * vectors quantize to int64 (floor(v * 1e6)) — the same float64
+#     multiply + floor in numpy, Spark, and DuckDB, so the grid is
+#     engine-identical;
+#   * cell assignment is nearest-SEED by squared-L2 on the integer
+#     grid (k-means iteration 0; the Lloyd refinement is q187's
+#     oracle-proven job and orthogonal to the assignment economics
+#     this row exists to prove). Integer matmul is EXACT and
+#     order-free, so one (batch x k) matmul per Arrow batch replaces
+#     q143's per-row interpreted cosine folds with identical results;
+#     argmin ties break to the lowest cell in both engines;
+#   * the within-cell compare is one (c x c) integer Gram matrix per
+#     cell; the similarity is dot_q / (sqrt(|a|^2) * sqrt(|b|^2)) where
+#     every input is an exact integer < 2^53 and every op (cast, sqrt,
+#     multiply, divide — in THIS order, pinned on both sides) is a
+#     single correctly-rounded IEEE step — bit-identical with no fold
+#     to reorder. The UDF pre-filters on the RAW similarity at
+#     tau - 1e-6 (any pair whose round-6 value can reach tau survives
+#     the pre-filter by construction), and the authoritative round-6
+#     threshold is applied JVM-side exactly as the oracle applies it.
+#
+# Same corpus, same planted twins, same tau, same keep-first output
+# contract as q143 — the two rows differ ONLY in execution strategy,
+# which is the point: q143 keeps the fold-exact form (the oracle-parity
+# proof for float cosine), q342 is the shape a 1000-executor run ships.
+#
+# Scale shape: the codebook is k = max(16, N/128) rows collected to the
+# driver and broadcast (metadata-sized here; a production run trains a
+# FIXED serving codebook once, so k does not grow with the corpus —
+# the collect is the codebook-residency contract, same class as q141's
+# BPE merge table). Assignment is one narrow Arrow pass, no shuffle;
+# the pairwise stage shuffles once on the cell key and does
+# sum(cell^2) work bounded by the k scaling — never corpus^2.
+# ---------------------------------------------------------------------------
+
+_Q342_SCALE = 1_000_000  # quantization grid: floor(v * 1e6)
+
+_Q342_QUANT = f"list_transform(v, x -> CAST(floor(x * {_Q342_SCALE}.0) AS BIGINT))"
+
+_Q342_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range({_IVF_DIMS}), i ->
+           round(v[i + 1] + 0.005 * ((i % 3) - 1), 6))
+  FROM e WHERE vec_id % 10 = 0
+),
+q AS (SELECT vec_id, {_Q342_QUANT} AS qv FROM aug),
+seeds AS (
+  SELECT rn - 1 AS cell, qv AS sq FROM (
+    SELECT {_Q342_QUANT} AS qv,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM e
+  ) WHERE rn <= GREATEST({_SEMDEDUP_CELLS}, n // {_SEMDEDUP_PER_CELL})
+),
+asg AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, s.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_reduce(list_transform(list_zip(q.qv, s.sq),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                        (a, b) -> a + b) ASC,
+                      s.cell ASC) AS rn
+    FROM q CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+n2 AS (
+  SELECT vec_id, cell, qv,
+         list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
+  FROM asg
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS ia,
+         round(CAST(list_reduce(list_transform(list_zip(a.qv, b.qv),
+                      p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
+               / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))),
+               6) AS s
+  FROM n2 a JOIN n2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cell, MIN(ia) AS keeper_id, arg_min(s, ia) AS score
+FROM pairs
+WHERE s >= {_SEMDEDUP_TAU}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q342_semdedup_vectorized",
+    oracle=_Q342_ORACLE,
+    tags=("similarity", "dedup", "llm", "python", "arrow"),
+)
+def q342_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.round(x + 0.005 * ((i % 3) - 1), 6)
+        ).alias("v"),
+    )
+    aug = e.unionByName(planted)
+
+    # Codebook residency: k = max(16, N/128) rows to the driver (a
+    # TakeOrdered of the first-k seeds), quantized once, broadcast to
+    # every assignment task. Metadata-sized by the k scaling; a
+    # production deployment trains a FIXED codebook, so this never
+    # grows with the corpus.
+    n_vecs = raw.count()
+    k = max(_SEMDEDUP_CELLS, n_vecs // _SEMDEDUP_PER_CELL)
+    seed_rows = e.orderBy("vec_id").limit(k).collect()
+    seed_mat = np.floor(
+        np.array([r["v"] for r in seed_rows], dtype=np.float64) * _Q342_SCALE
+    ).astype(np.int64)
+    seed_n2 = (seed_mat * seed_mat).sum(axis=1)  # (k,) int64, exact
+    bc = spark.sparkContext.broadcast((seed_mat, seed_n2))
+
+    def assign(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        s_mat, s_n2 = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["v"].to_numpy())  # (b, d) float64
+            qv = np.floor(v * _Q342_SCALE).astype(np.int64)
+            # d(q, s) = |q|^2 - 2 q.s + |s|^2 — one integer matmul for
+            # the whole batch; int64 arithmetic is exact (|dot| <=
+            # d * (2e6)^2 = 2.6e14 << 2^63), so every distance equals
+            # the oracle's per-element fold bit-for-bit.
+            gram = qv @ s_mat.T  # (b, k) int64
+            dist = (qv * qv).sum(axis=1, keepdims=True) - 2 * gram + s_n2[None, :]
+            cell = dist.argmin(axis=1)  # first min = lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype(np.int64),
+                    "qv": list(qv),
+                }
+            )
+
+    asg = aug.mapInPandas(
+        assign, "vec_id bigint, cell bigint, qv array<bigint>"
+    )
+
+    def cell_pairs(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # pair orientation needs ids ascending
+        ids = ids[order]
+        qv = np.stack(pdf["qv"].to_numpy())[order].astype(np.int64)
+        gram = qv @ qv.T  # (c, c) int64, exact
+        nn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+        # EXACT-IEEE pinning (matches the oracle op for op): int-> float
+        # casts are exact below 2^53; sqrt / multiply / divide are each
+        # one correctly-rounded step; the op ORDER is dot / (na * nb).
+        s = gram.astype(np.float64) / (nn[:, None] * nn[None, :])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        # raw-value pre-filter with a 1e-6 guard band: every pair whose
+        # ROUND-6 value can reach tau has raw >= tau - 0.5e-6 and
+        # survives; the authoritative rounded threshold is JVM-side.
+        keep = s[ii, jj] >= _SEMDEDUP_TAU - 1e-6
+        return pd.DataFrame(
+            {
+                "vec_id": ids[jj[keep]],
+                "cell": pdf["cell"].iloc[0] * np.ones(int(keep.sum()), np.int64),
+                "ia": ids[ii[keep]],
+                "s_raw": s[ii, jj][keep],
+            }
+        )
+
+    pairs = asg.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_id bigint, cell bigint, ia bigint, s_raw double"
+    )
+    scored = pairs.select(
+        "vec_id", "cell", "ia", F.round("s_raw", 6).alias("s")
+    ).filter(F.col("s") >= _SEMDEDUP_TAU)
+    return scored.groupBy("vec_id", "cell").agg(
         F.min("ia").alias("keeper_id"), F.min_by("s", "ia").alias("score")
     )
 

@@ -241,9 +241,30 @@ def restore_version(table_dir: str, to_version: int) -> int:
     The restored dirs become referenced-by-latest, so a subsequent
     ``vacuum(keep_last=1)`` RETAINS them while dropping the bad
     versions' dirs — restore-then-vacuum is the storage-level rollback
-    a bad merge needs."""
+    a bad merge needs.
+
+    ``to_version`` is validated up front (ADVICE r11): a vacuumed or
+    never-existing version raises ``ValueError`` listing the versions
+    that are still restorable, instead of a raw ``FileNotFoundError``
+    from the manifest open; restoring to the CURRENT latest is a no-op
+    (returns the latest version unchanged) rather than publishing a
+    redundant commit."""
+    current = latest_version(table_dir)
+    if to_version == current:
+        return current
+    if not os.path.exists(_manifest_path(table_dir, to_version)):
+        available = sorted(
+            int(name[2:-5])
+            for name in os.listdir(table_dir)
+            if name.startswith("_v") and name.endswith(".json")
+        )
+        raise ValueError(
+            f"cannot RESTORE {table_dir} to version {to_version}: manifest "
+            f"missing (vacuumed or never written); restorable versions: "
+            f"{available}"
+        )
     src = _read_manifest(table_dir, to_version)
-    new_v = latest_version(table_dir) + 1
+    new_v = current + 1
     _publish_manifest(
         table_dir,
         {

@@ -1528,3 +1528,50 @@ def test_q335_map_in_pandas_is_barrier(spark):
     ]
     assert mp and mp[0].rstrip().endswith("true"), mp
     assert "hashpartitioning(shard" in plan
+
+
+def test_q342_is_vectorized_and_joinless_assignment(spark):
+    """q342's contract: the SemDeDup assignment runs as ONE Arrow
+    mapInPandas pass (the vectorized integer matmul) and the
+    within-cell compare as ONE grouped applyInPandas — the plan must
+    contain both Python-boundary nodes and must NOT contain q143's
+    broadcast crossJoin codebook shape (no nested-loop / cartesian
+    join anywhere: the corpus never joins the codebook, it maps over
+    it)."""
+    df = QUERIES["q342_semdedup_vectorized"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one shuffle brings cells together, one aggregates keepers; the
+    # assignment itself adds none
+    assert "hashpartitioning(cell" in plan
+
+
+def test_q343_capped_path_is_grouped_not_selfjoin(spark):
+    """The df-capped config switches the physical plan (dedup.py): pair
+    generation comes from per-shingle doc-list aggregation + array
+    expressions, NOT the exploded self-join — so the plan must show the
+    shingle groupBy and no shingle-equality join."""
+    df = QUERIES["q343_ngram_jaccard_capped"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "sort_array" in plan  # the per-shingle doc-list aggregate
+    # pairs explode from arrays; the only joins left are the two
+    # size-lookup joins on doc ids — no join KEYED on the shingle hash
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.lstrip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines, "size-lookup joins missing entirely"
+    assert not any("shingle" in ln for ln in key_lines), key_lines
+
+
+def test_q345_ansi_cast_raises(spark):
+    """The raise face q345's registered row cannot carry: under ANSI
+    mode a plain CAST of malformed input must raise CAST_INVALID_INPUT
+    (returning NULL silently is the pre-ANSI behavior the engine
+    refuses; try_cast is the sanctioned NULL path)."""
+    df = spark.range(1).selectExpr("'N/A' AS s")
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        df.selectExpr("CAST(s AS BIGINT)").collect()

@@ -42,6 +42,13 @@ QUERIES = (
     "q198_idf_weighted_minhash",
     "q245_stream_gold_yoy",
     "q330_curation_pipeline",
+    # round-12 additions: the vectorized SemDeDup companion (the
+    # registered 100 TB path — must hold the DEFAULT budget with no
+    # override), the df-capped Jaccard config (sum(df^2) at sf1.0:
+    # 251M uncapped -> 20.6k capped), and the incremental composition
+    "q342_semdedup_vectorized",
+    "q343_ngram_jaccard_capped",
+    "q344_incremental_curation",
 )
 
 BUDGET_X = 15.0
@@ -54,7 +61,11 @@ BUDGET_OVERRIDES = {
     # interpreted fold-exact arithmetic — the oracle-parity tax; see
     # the HONEST RESIDUAL block at llm/similarity_q.py::q143. Measured
     # 39x at sf1.0 (3.4s -> 134s); alarm above 50x (a regression on
-    # top of the documented residual).
+    # top of the documented residual). SCOPE (r12): this override
+    # covers the FOLD-EXACT row only — its vectorized companion
+    # q342_semdedup_vectorized (the registered 100 TB path, same
+    # semantics, integer-exact arithmetic) runs under the default
+    # budget with no override.
     "q143_semdedup": 50.0,
 }
 REPS = 2
@@ -117,8 +128,19 @@ def main() -> None:
                 "metric": "sf1_scale_smoke",
                 "budget_x": BUDGET_X,
                 "blown": blown,
-                "queries": {n: {"sf0.1": round(ts, 3), "sf1.0": round(tb, 3)}
-                            for n, ts, tb, _, _ in rows},
+                # per-query effective budget + measured ratio (ADVICE
+                # r11): a ratio that passed under a BUDGET_OVERRIDES
+                # entry is visible as such in the machine-readable
+                # record, not just in this file's source.
+                "queries": {
+                    n: {
+                        "sf0.1": round(ts, 3),
+                        "sf1.0": round(tb, 3),
+                        "ratio": round(r, 2),
+                        "budget_x": BUDGET_OVERRIDES.get(n, BUDGET_X),
+                    }
+                    for n, ts, tb, r, _ in rows
+                },
             }
         )
     )
