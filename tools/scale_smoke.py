@@ -67,6 +67,19 @@ BUDGET_OVERRIDES = {
     # semantics, integer-exact arithmetic) runs under the default
     # budget with no override.
     "q143_semdedup": 50.0,
+    # The exact shared-shingle path's pair work is sum over shingles of
+    # df^2 — quadratic in the hottest shingle's document frequency, and
+    # the sf1.0 corpus's hot band alone carries ~250M of it (see
+    # llm/dedup.py::shingle_pairs_exact's max_df note). Measured
+    # 13.6x (r11), 11.4x and 15.3x (two r12 runs — the spread is
+    # sf0.1-denominator noise) — straddling the 15x line. The
+    # PRODUCTION mitigation is the df cap, registered as
+    # q343_ngram_jaccard_capped (4.3x/4.5x across the same two runs,
+    # sum(df^2) 251M -> 20.6k); this row deliberately keeps the
+    # uncapped exact form as the completeness baseline the cap's
+    # lower-bound semantics are judged against. Alarm above 20x (a
+    # regression on top of the documented shape).
+    "q45_ngram_jaccard_pairs": 20.0,
 }
 REPS = 2
 
