@@ -1927,3 +1927,159 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_q330_stage_row(b_s4, "4_mixture"))
         .unionByName(comp)
     )
+
+
+# ---------------------------------------------------------------------------
+# q348: FROZEN boiler-key epochs — the release-epoch contract q344's
+# header documents as the production answer to corpus-relative rules
+# under incremental curation, now exercised as its own row. The q140/
+# q330 boilerplate rule thresholds line frequency AGAINST THE CORPUS
+# (>= 1% of docs AND >= 3 docs), so naively re-running it per batch
+# flips decisions on already-published shards. The epoch contract: the
+# key set is computed ONCE from the history epoch (here: history
+# exact-dedup survivors, q344's split), FROZEN, and every incoming
+# batch is filtered against that frozen set — new batches never move
+# the threshold until the next release epoch re-freezes it.
+#
+# Output: per-lang batch rollup (docs, docs hitting >= 1 frozen boiler
+# line, total boiler-line hits, majority-rule drops — genuinely 0 on
+# this corpus, same as q330's, value-checked as 0 in both engines —
+# and survivors), with the epoch's key-inventory size carried as a
+# constant column so the frozen state itself is value-checked.
+#
+# Scale shape: the frozen key set is epoch state (metadata-sized —
+# 20 keys at sf0.01; bounded by the >= 1%-of-epoch-docs threshold
+# itself: at most 100 such keys per epoch is the EXPECTED order), read
+# via a broadcast join against the batch's exploded lines; the batch
+# side is one explode + one per-doc groupBy + one per-lang rollup —
+# |batch|-linear, nothing touches history again.
+# ---------------------------------------------------------------------------
+
+_Q348_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || ':{_Q344_SPLIT_SEED}'), 1, 15)) AS BIGINT) % 10000
+           < {_Q344_HIST_CUT} AS is_hist
+  FROM documents
+),
+hs1 AS (
+  SELECT doc_id, text FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base b WHERE is_hist) q
+  WHERE rn = 1
+),
+hls AS (SELECT doc_id, unnest(list_transform(range((len(t) + {_LINE_LEN - 1}) // {_LINE_LEN}),
+          i -> array_to_string(list_slice(t, i * {_LINE_LEN} + 1,
+                                          i * {_LINE_LEN} + {_LINE_LEN}), ' ')))
+          AS line
+        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM hs1)
+        WHERE len(t) > 0),
+nin AS (SELECT COUNT(DISTINCT doc_id) AS n_in FROM hls),
+freq AS (SELECT md5(line) AS k, COUNT(DISTINCT doc_id) AS df FROM hls GROUP BY 1),
+bkeys AS (SELECT k FROM freq, nin
+          WHERE 100 * df >= n_in AND df >= {_BOILER_DF}),
+nkeys AS (SELECT COUNT(*) AS n_epoch_keys FROM bkeys),
+bls AS (SELECT doc_id, lang, unnest(list_transform(range((len(t) + {_LINE_LEN - 1}) // {_LINE_LEN}),
+          i -> array_to_string(list_slice(t, i * {_LINE_LEN} + 1,
+                                          i * {_LINE_LEN} + {_LINE_LEN}), ' ')))
+          AS line
+        FROM (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t
+              FROM base WHERE NOT is_hist)
+        WHERE len(t) > 0),
+per AS (SELECT doc_id, lang, COUNT(*) AS nl,
+               COUNT(*) FILTER (WHERE bkeys.k IS NOT NULL) AS nb
+        FROM bls LEFT JOIN bkeys ON md5(bls.line) = bkeys.k
+        GROUP BY 1, 2)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_boiler_lines,
+       CAST(SUM(CASE WHEN 2 * nb > nl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN 2 * nb > nl THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_kept,
+       (SELECT n_epoch_keys FROM nkeys) AS n_epoch_keys
+FROM per
+GROUP BY lang
+"""
+
+
+@register(
+    "q348_boiler_epoch_freeze",
+    oracle=_Q348_ORACLE,
+    tags=("curation", "boilerplate", "incremental", "llm"),
+)
+def q348_boiler_epoch_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    is_hist = portable_bucket("doc_id", _Q344_SPLIT_SEED) < _Q344_HIST_CUT
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    ll = _LINE_LEN
+    n_lines = F.floor((F.size("t") + ll - 1) / ll).cast("int")
+
+    def lines(df: DataFrame, *extra: str) -> DataFrame:
+        return (
+            df.select(*extra, "doc_id", toks.alias("t"))
+            .filter(F.size("t") > 0)
+            .select(
+                *extra,
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_lines - 1),
+                        lambda i: F.array_join(F.slice("t", i * ll + 1, ll), " "),
+                    )
+                ).alias("line"),
+            )
+            .select(*extra, "doc_id", F.md5("line").alias("k"))
+        )
+
+    # EPOCH STATE (computed once per release from the history epoch):
+    # exact-dedup survivors -> line frequency -> frozen key set.
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    hist_s1 = (
+        base.filter(is_hist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    hls = lines(hist_s1)
+    n_in = hls.agg(F.countDistinct("doc_id").alias("n_in"))
+    bkeys = (
+        hls.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_in))
+        .filter(
+            (F.lit(100) * F.col("df") >= F.col("n_in"))
+            & (F.col("df") >= _BOILER_DF)
+        )
+        .select("k")
+    )
+    n_keys = bkeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_epoch_keys"))
+
+    # BATCH PASS against the frozen keys: broadcast semi-class join.
+    per = (
+        lines(base.filter(~is_hist), "lang")
+        .join(F.broadcast(bkeys.withColumn("__b", F.lit(1))), "k", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("nb"),
+        )
+    )
+    dropped = F.when(F.lit(2) * F.col("nb") > F.col("nl"), 1).otherwise(0)
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("nb") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit_docs"),
+            F.sum("nb").cast("bigint").alias("n_boiler_lines"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum(F.lit(1) - dropped).cast("bigint").alias("n_kept"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+    )

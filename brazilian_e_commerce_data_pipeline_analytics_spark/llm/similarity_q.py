@@ -1885,3 +1885,153 @@ def q313_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit.cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q347: vectorized brute-force kNN with per-block top-k pushdown — q57
+# minus BOTH of its documented taxes, while keeping q57's distribution
+# shape (corpus blocked once, bounded query set replicated per block
+# IN-PLAN; nothing through the driver):
+#
+#   1. the fold-parity tax: q57 scores with row-wise cumulative sums
+#      to reproduce the JVM left-to-right fold (its own comment calls
+#      out that np.dot's pairwise/SIMD order would break oracle
+#      parity). Here q342's integer-quantization discipline makes the
+#      TRUE matmul exact: both sides quantize to int64 on the same
+#      grid, one (block x queries) integer Gram per cogroup, and the
+#      score dot/(nc*nq) is a pinned sequence of single
+#      correctly-rounded IEEE ops on exact-integer inputs;
+#   2. the all-pairs emit: q57 ships every (candidate, query) score
+#      back through Arrow and ranks globally. Here each cogroup emits
+#      only its guard-banded LOCAL top-k per query — every candidate
+#      whose raw score >= (k-th block raw) - 1e-6. PROOF of exactness:
+#      a dropped candidate has >= k block-mates with raw > its raw +
+#      1e-6; rounding moves any value by <= 0.5e-6, so those mates'
+#      ROUNDED scores strictly exceed the dropped candidate's — it can
+#      never enter the global rounded top-k, under any tie-break. The
+#      JVM window then ranks the union of block top-ks by the
+#      authoritative (round-6 score DESC, neighbor_id ASC) rule.
+#
+# This is the serving shape at corpus scale: Python-bound traffic per
+# block falls from |block| x |queries| rows to ~k x |queries|, and the
+# global shuffle ranks blocks x queries x ~k rows instead of
+# N x |queries|.
+# ---------------------------------------------------------------------------
+
+_Q347_K = 5
+
+_Q347_QUANT = (
+    f"list_transform(v, x -> CAST(floor(x * {_Q342_SCALE}.0) AS BIGINT))"
+)
+_Q347_DOT = (
+    "list_reduce(list_transform(list_zip(c.qc, q.qq), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+_Q347_N2 = "list_reduce(list_transform({col}, x -> x * x), (a, b) -> a + b)"
+
+_Q347_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, {_Q347_QUANT} AS qq
+  FROM e WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {QSET_CAP}
+),
+c AS (SELECT vec_id AS neighbor_id, {_Q347_QUANT} AS qc FROM e),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CAST({_Q347_DOT} AS DOUBLE)
+               / (sqrt(CAST({_Q347_N2.format(col='c.qc')} AS DOUBLE))
+                  * sqrt(CAST({_Q347_N2.format(col='q.qq')} AS DOUBLE))),
+               6) AS score
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_Q347_K}
+"""
+
+
+@register(
+    "q347_knn_vectorized_topk",
+    oracle=_Q347_ORACLE,
+    tags=("similarity", "pandas-udf", "arrow", "llm"),
+)
+def q347_knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("block"),
+    )
+    qrep = bounded_set(e).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("q_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
+    )
+
+    def score(cand_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "s_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if cand_pdf.empty or q_pdf.empty:
+            return empty
+        qm = np.floor(
+            np.stack(q_pdf["q_v"].to_numpy()) * _Q342_SCALE
+        ).astype(np.int64)
+        cm = np.floor(
+            np.stack(cand_pdf["v"].to_numpy()) * _Q342_SCALE
+        ).astype(np.int64)
+        ids_q = q_pdf["query_id"].to_numpy()
+        ids_c = cand_pdf["vec_id"].to_numpy()
+        gram = cm @ qm.T  # (b, q) int64 — exact, order-free
+        qn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        cn = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+        s = gram.astype(np.float64) / (cn[:, None] * qn[None, :])
+        s[ids_c[:, None] == ids_q[None, :]] = -np.inf  # self-pairs out
+        frames = []
+        for j in range(len(ids_q)):
+            col = s[:, j]
+            if len(col) > _Q347_K:
+                kth = np.partition(col, -_Q347_K)[-_Q347_K]
+                keep = col >= kth - 1e-6  # the rounding guard band
+            else:
+                keep = col > -np.inf
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids_q[j],
+                        "neighbor_id": ids_c[keep],
+                        "s_raw": col[keep],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    local_topk = cand.groupBy("block").cogroup(qrep.groupBy("block")).applyInPandas(
+        score, "query_id bigint, neighbor_id bigint, s_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local_topk.select(
+            "query_id", "neighbor_id", F.round("s_raw", 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q347_K)
+    )

@@ -1584,3 +1584,26 @@ def test_q345_ansi_cast_raises(spark):
     df = spark.range(1).selectExpr("'N/A' AS s")
     with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         df.selectExpr("CAST(s AS BIGINT)").collect()
+
+
+def test_q347_cogrouped_and_no_pair_shuffle(spark):
+    """q347's contract: scoring reaches Python through ONE cogrouped
+    applyInPandas (corpus blocked, queries replicated in-plan — no
+    driver pass, no crossJoin pair materialization), and the global
+    rank windows over the guard-banded local top-k union, not N x Q
+    pair rows."""
+    df = QUERIES["q347_knn_vectorized_topk"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q348_frozen_keys_join_is_broadcast(spark):
+    """q348's epoch state (the frozen boiler-key set) is metadata-sized
+    by the >=1%-threshold's own math, so the batch-side filter must be
+    a broadcast join — the batch's exploded lines never shuffle for
+    the key lookup."""
+    df = QUERIES["q348_boiler_epoch_freeze"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
