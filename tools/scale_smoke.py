@@ -49,6 +49,8 @@ QUERIES = (
     "q342_semdedup_vectorized",
     "q343_ngram_jaccard_capped",
     "q344_incremental_curation",
+    "q347_knn_vectorized_topk",
+    "q348_boiler_epoch_freeze",
 )
 
 BUDGET_X = 15.0
