@@ -1607,3 +1607,16 @@ def test_q348_frozen_keys_join_is_broadcast(spark):
     df = QUERIES["q348_boiler_epoch_freeze"].builder(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_q344_incremental_is_one_lineage(spark):
+    """q344 inherits q330's one-lineage contract: documents is scanned
+    exactly once (the checkpointed base feeds both the history-state
+    build and the batch run), every stage boundary is localCheckpoint-
+    materialized, so the final plan has ZERO parquet scans — and no
+    quadratic join shape anywhere in the incremental path."""
+    df = QUERIES["q344_incremental_curation"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, "a stage re-scans the source table"
+    assert "ExistingRDD" in plan, "stage boundaries are not materialized"
+    assert "CartesianProduct" not in plan
