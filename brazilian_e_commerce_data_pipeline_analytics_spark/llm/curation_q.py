@@ -1859,9 +1859,14 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id spaces are disjoint across the split, so the union stays
     # duplicate-free after per-branch distinct
     cands = c_bh.unionByName(c_bb).distinct()
-    old_sh = sh_h.unionByName(sh_b)
-    old_sz = both_h.select("doc_id", "n_sh").unionByName(
-        both_b.select("doc_id", "n_sh")
+    # the UNIONs are new relations that do not inherit their children's
+    # merge hints, and both are corpus-sized — re-pin (r12
+    # static-broadcast discipline, see _portable_minhash_relations)
+    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    old_sz = (
+        both_h.select("doc_id", "n_sh")
+        .unionByName(both_b.select("doc_id", "n_sh"))
+        .hint("merge")
     )
     b_drops = _verify_drops(cands, sh_b, old_sh, both_b, old_sz)
     b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()

@@ -421,8 +421,21 @@ def _portable_minhash_relations(
         )
     )
     # cached: sh feeds the signature build and BOTH sides of the exact
-    # reference join — uncached, the tokenize+shingle explode runs 3x
-    sh = sh.cache()
+    # reference join — uncached, the tokenize+shingle explode runs 3x.
+    # MERGE hint (r12, found by the sf10 two-decade smoke): this
+    # relation is CORPUS-SIZED (one row per doc-shingle), but the
+    # static planner underestimates it — Generate/explode does not
+    # inflate its child's size estimate, and an unmaterialized cache
+    # reports the child's stats — so at sf10 the verify joins were
+    # planned as BroadcastHashJoins with the 50M-row shingle relation
+    # as the BUILD SIDE, and the driver died building the broadcast
+    # table ("Not enough memory to build and broadcast"). A statically
+    # planned broadcast cannot be undone by AQE at runtime. The hint
+    # pins every join against this relation to sort-merge — the
+    # always-safe large-large strategy a 1000-executor run wants here;
+    # measured cost at sf0.1: none beyond noise (the verify joins
+    # shuffle candidate-sized inputs either way).
+    sh = sh.hint("merge").cache()
     ex = sh.withColumn(
         "__v", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     )
@@ -431,8 +444,14 @@ def _portable_minhash_relations(
         for s, (a, b) in enumerate(_mh_consts(k))
     ]
     # per-doc sizes ride the signature groupBy (the q46 fused-sizes
-    # rule): one aggregation pass over the exploded relation, not two
-    both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs)
+    # rule): one aggregation pass over the exploded relation, not two.
+    # Same MERGE pin as sh (r12): this relation is DOC-cardinality and
+    # inherits the explode's underestimate through the aggregate, so
+    # the static planner broadcast it at sf10 (worked at 12MB, fatal
+    # at 1000x) — and a static broadcast never reaches AQE's runtime
+    # re-check. Size lookups become sort-merge joins; at corpus scale
+    # that is the only safe default for a per-doc relation.
+    both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs).hint("merge")
     banded = _band_keys(both, id_col, k, bands)
     cands = (
         banded.alias("x")
@@ -1283,7 +1302,11 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         # 4 consumers (df count, expansion, both exact-verify sides) —
-        # uncached the tokenize+shingle explode would run 4x
+        # uncached the tokenize+shingle explode would run 4x. MERGE pin
+        # (r12): corpus-sized explode output — see
+        # _portable_minhash_relations for the static-broadcast OOM this
+        # prevents at the second scale decade.
+        .hint("merge")
         .cache()
     )
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1291,7 +1314,11 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle",
         F.when(F.col("df") == 1, 3).when(F.col("df") <= 3, 2).otherwise(1).alias("w"),
     )
-    shw = sh.join(wt, "shingle")  # (doc_id, shingle, w)
+    # (doc_id, shingle, w) — the join RESULT is a new relation that does
+    # not inherit sh's hint, and it is corpus-sized: re-pin (r12, the
+    # residual BroadcastHashJoin the sf10 smoke found after the first
+    # round of hints)
+    shw = sh.join(wt, "shingle").hint("merge")
     expanded = shw.select(
         "doc_id",
         "shingle",
@@ -1328,7 +1355,8 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shw.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    # doc-cardinality weighted sizes: same r12 static-broadcast pin
+    sizes = shw.groupBy("doc_id").agg(F.sum("w").alias("tw")).hint("merge")
     ea = shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
     eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

@@ -100,8 +100,21 @@ def _time_query(spark, builder, sf_dir: str) -> float:
 
 
 def main() -> None:
-    if not os.path.isdir(SF_BIG):
-        sys.exit(f"{SF_BIG} missing — run `python tools/gen_sf.py` first")
+    # Defaults time sf0.1 -> sf1.0 over QUERIES; --small/--big/--queries
+    # retarget the same harness at any adjacent pair of scales (r12: a
+    # second decade, .tmp/sf1.0 -> .tmp/sf10, over the scale-safe rows).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--small", default=SF_SMALL)
+    ap.add_argument("--big", default=SF_BIG)
+    ap.add_argument("--queries", default=",".join(QUERIES),
+                    help="comma-separated registered query names")
+    ap.add_argument("--heap", default="8g")
+    args = ap.parse_args()
+    names = tuple(n for n in args.queries.split(",") if n)
+    if not os.path.isdir(args.big):
+        sys.exit(f"{args.big} missing — run `python tools/gen_sf.py` first")
 
     from brazilian_e_commerce_data_pipeline_analytics_spark.registry import spark_queries
     from brazilian_e_commerce_data_pipeline_analytics_spark.session import get_spark
@@ -111,16 +124,16 @@ def main() -> None:
     # in local mode kills executors too. 8g is still <7% of the box.
     spark = get_spark(
         app_name="bedpa-scale-smoke",
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={"spark.driver.memory": args.heap},
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
 
     rows, blown = [], []
-    for name in QUERIES:
-        t_small = _time_query(spark, qs[name], SF_SMALL)
-        t_big = _time_query(spark, qs[name], SF_BIG)
+    for name in names:
+        t_small = _time_query(spark, qs[name], args.small)
+        t_big = _time_query(spark, qs[name], args.big)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         budget = BUDGET_OVERRIDES.get(name, BUDGET_X)
         ok = ratio <= budget
@@ -141,6 +154,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "sf1_scale_smoke",
+                "small": args.small,
+                "big": args.big,
                 "budget_x": BUDGET_X,
                 "blown": blown,
                 # per-query effective budget + measured ratio (ADVICE
