@@ -1614,6 +1614,116 @@ _Q344_SPLIT_SEED = 5      # q133's split
 _Q344_HIST_CUT = 8000     # bucket < 8000 -> history (~80%)
 
 
+def _verify_drops_j05(
+    cands: DataFrame, new_sh, old_sh, new_sz, old_sz
+) -> DataFrame:
+    """Exact-verify (later_id, earlier_id) candidates at J >= 0.5;
+    return the distinct later_ids to drop. Shared by the incremental
+    chain rows (q344/q349/q350)."""
+    ea = new_sh.select(F.col("doc_id").alias("later_id"), "shingle")
+    eb = old_sh.select(F.col("doc_id").alias("earlier_id"), "shingle")
+    nc = (
+        cands.join(ea, "later_id")
+        .join(eb, ["earlier_id", "shingle"])
+        .groupBy("later_id", "earlier_id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = new_sz.select(F.col("doc_id").alias("later_id"), F.col("n_sh").alias("__na"))
+    sb = old_sz.select(
+        F.col("doc_id").alias("earlier_id"), F.col("n_sh").alias("__nb")
+    )
+    return (
+        nc.join(sa, "later_id")
+        .join(sb, "earlier_id")
+        .filter(F.lit(2) * F.col("nc") >= F.col("__na") + F.col("__nb") - F.col("nc"))
+        .select(F.col("later_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _q330_gopher(df: DataFrame) -> DataFrame:
+    """The q330 per-doc Gopher integer rules -> (doc_id, lang)
+    survivors. Shared by the incremental chain rows (q344/q349/q350)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    meas = df.select("doc_id", "lang", toks.alias("t")).select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("nt"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.aggregate(
+            F.transform("t", F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("ch"),
+    )
+    return meas.filter(
+        (F.col("nt") >= _Q330_MIN_TOK)
+        & (F.lit(10) * F.col("nd") >= F.lit(_Q330_DR10) * F.col("nt"))
+        & (F.lit(10) * F.col("ch") >= F.lit(_Q330_ML_LO) * F.col("nt"))
+        & (F.lit(10) * F.col("ch") <= F.lit(_Q330_ML_HI) * F.col("nt"))
+    ).select("doc_id", "lang")
+
+
+def _doc_lines(df: DataFrame, *extra: str) -> DataFrame:
+    """q140's 3-token line construction over ``text`` ->
+    (*extra, doc_id, k = md5(line)). Shared by the frozen-epoch rows
+    (q348/q350)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    ll = _LINE_LEN
+    n_lines = F.floor((F.size("t") + ll - 1) / ll).cast("int")
+    return (
+        df.select(*extra, "doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            *extra,
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice("t", i * ll + 1, ll), " "),
+                )
+            ).alias("line"),
+        )
+        .select(*extra, "doc_id", F.md5("line").alias("k"))
+    )
+
+
+def _frozen_boiler_keys(df_text: DataFrame) -> DataFrame:
+    """Epoch key FREEZE: the q140/q330 corpus-relative boilerplate rule
+    (line in >= 1% of docs AND >= _BOILER_DF docs) evaluated once over
+    the epoch corpus ``df_text``; returns the frozen key set (``k``).
+    Metadata-sized output — bounded by the 1%-of-epoch-docs threshold
+    itself (at most ~100 qualifying lines per epoch is the expected
+    order)."""
+    hls = _doc_lines(df_text)
+    n_in = hls.agg(F.countDistinct("doc_id").alias("n_in"))
+    return (
+        hls.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_in))
+        .filter(
+            (F.lit(100) * F.col("df") >= F.col("n_in"))
+            & (F.col("df") >= _BOILER_DF)
+        )
+        .select("k")
+    )
+
+
+def _frozen_boiler_drops(df_text: DataFrame, bkeys: DataFrame) -> DataFrame:
+    """Majority-rule boiler drops against a FROZEN key set: doc_ids of
+    ``df_text`` whose boiler lines outnumber their other lines. The
+    frozen keys ship as a broadcast join against the exploded lines —
+    |df|-linear, no corpus-relative state recomputation."""
+    per = (
+        _doc_lines(df_text)
+        .join(F.broadcast(bkeys.withColumn("__b", F.lit(1))), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("nb"),
+        )
+    )
+    return per.filter(F.lit(2) * F.col("nb") > F.col("nl")).select("doc_id")
+
+
 def _q344_oracle() -> str:
     from .dedup_q import _MH_P, _mh_consts
 
@@ -1772,56 +1882,15 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
     )
 
-    def _verify_drops(cands: DataFrame, new_sh, old_sh, new_sz, old_sz) -> DataFrame:
-        """Exact-verify (later_id, earlier_id) candidates at J >= 0.5;
-        return the distinct later_ids to drop."""
-        ea = new_sh.select(F.col("doc_id").alias("later_id"), "shingle")
-        eb = old_sh.select(F.col("doc_id").alias("earlier_id"), "shingle")
-        nc = (
-            cands.join(ea, "later_id")
-            .join(eb, ["earlier_id", "shingle"])
-            .groupBy("later_id", "earlier_id")
-            .agg(F.count(F.lit(1)).alias("nc"))
-        )
-        sa = new_sz.select(F.col("doc_id").alias("later_id"), F.col("n_sh").alias("__na"))
-        sb = old_sz.select(F.col("doc_id").alias("earlier_id"), F.col("n_sh").alias("__nb"))
-        return (
-            nc.join(sa, "later_id")
-            .join(sb, "earlier_id")
-            .filter(
-                F.lit(2) * F.col("nc") >= F.col("__na") + F.col("__nb") - F.col("nc")
-            )
-            .select(F.col("later_id").alias("doc_id"))
-            .distinct()
-        )
-
     # history-internal near-dup (cands_h is a<b oriented already)
-    hist_drops = _verify_drops(
+    hist_drops = _verify_drops_j05(
         cands_h.select(F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")),
         sh_h, sh_h, both_h, both_h,
     )
     hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti")
 
-    def _gopher(df: DataFrame) -> DataFrame:
-        toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-        meas = df.select("doc_id", "lang", toks.alias("t")).select(
-            "doc_id",
-            "lang",
-            F.size("t").alias("nt"),
-            F.size(F.array_distinct("t")).alias("nd"),
-            F.aggregate(
-                F.transform("t", F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
-            ).alias("ch"),
-        )
-        return meas.filter(
-            (F.col("nt") >= _Q330_MIN_TOK)
-            & (F.lit(10) * F.col("nd") >= F.lit(_Q330_DR10) * F.col("nt"))
-            & (F.lit(10) * F.col("ch") >= F.lit(_Q330_ML_LO) * F.col("nt"))
-            & (F.lit(10) * F.col("ch") <= F.lit(_Q330_ML_HI) * F.col("nt"))
-        ).select("doc_id", "lang")
-
     # the mergeable mixture state: per-lang quality-survivor counts
-    hist_lang = _gopher(hist_s2).groupBy("lang").agg(
+    hist_lang = _q330_gopher(hist_s2).groupBy("lang").agg(
         F.count(F.lit(1)).alias("__n_hist")
     )
 
@@ -1868,14 +1937,19 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(both_b.select("doc_id", "n_sh"))
         .hint("merge")
     )
-    b_drops = _verify_drops(cands, sh_b, old_sh, both_b, old_sz)
+    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
     b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
-    sh_h.unpersist()
+    # sh_b's last consumer (b_drops) materialized in the checkpoint job
+    # above; sh_h must STAY cached — the history near-dup state
+    # (hist_drops -> hist_s2 -> hist_lang -> thresh) is only evaluated
+    # when b_s4's localCheckpoint job runs below, and uncached that job
+    # would recompute the history tokenize+shingle explode 3x (the
+    # multi-consumer cost _portable_minhash_relations caches against).
     sh_b.unpersist()
 
     # 3. quality (per-doc Gopher rules — see the header for why the
     # corpus-relative boilerplate rule is frozen per release epoch)
-    b_s3 = _gopher(b_s2).localCheckpoint()
+    b_s3 = _q330_gopher(b_s2).localCheckpoint()
 
     # 4. mixture thresholds from the MERGED per-lang state
     b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
@@ -1908,6 +1982,11 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .localCheckpoint()
     )
+    # thresh (and with it the whole history near-dup lineage over sh_h)
+    # materialized in the checkpoint job above — safe to release now
+    # (ADVICE r12: unpersisting right after b_s2 silently paid a ~3-4x
+    # history-shingle recompute inside b_s4's job).
+    sh_h.unpersist()
 
     # 5. append-only shard assignment over the batch's survivors
     w5 = Window.partitionBy("lang").orderBy(
@@ -2020,26 +2099,6 @@ def q348_boiler_epoch_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     is_hist = portable_bucket("doc_id", _Q344_SPLIT_SEED) < _Q344_HIST_CUT
-    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-    ll = _LINE_LEN
-    n_lines = F.floor((F.size("t") + ll - 1) / ll).cast("int")
-
-    def lines(df: DataFrame, *extra: str) -> DataFrame:
-        return (
-            df.select(*extra, "doc_id", toks.alias("t"))
-            .filter(F.size("t") > 0)
-            .select(
-                *extra,
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), n_lines - 1),
-                        lambda i: F.array_join(F.slice("t", i * ll + 1, ll), " "),
-                    )
-                ).alias("line"),
-            )
-            .select(*extra, "doc_id", F.md5("line").alias("k"))
-        )
 
     # EPOCH STATE (computed once per release from the history epoch):
     # exact-dedup survivors -> line frequency -> frozen key set.
@@ -2050,23 +2109,12 @@ def q348_boiler_epoch_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    hls = lines(hist_s1)
-    n_in = hls.agg(F.countDistinct("doc_id").alias("n_in"))
-    bkeys = (
-        hls.groupBy("k")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(n_in))
-        .filter(
-            (F.lit(100) * F.col("df") >= F.col("n_in"))
-            & (F.col("df") >= _BOILER_DF)
-        )
-        .select("k")
-    )
+    bkeys = _frozen_boiler_keys(hist_s1)
     n_keys = bkeys.agg(F.count(F.lit(1)).cast("bigint").alias("n_epoch_keys"))
 
     # BATCH PASS against the frozen keys: broadcast semi-class join.
     per = (
-        lines(base.filter(~is_hist), "lang")
+        _doc_lines(base.filter(~is_hist), "lang")
         .join(F.broadcast(bkeys.withColumn("__b", F.lit(1))), "k", "left")
         .groupBy("doc_id", "lang")
         .agg(
@@ -2087,4 +2135,699 @@ def q348_boiler_epoch_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - dropped).cast("bigint").alias("n_kept"),
         )
         .crossJoin(F.broadcast(n_keys))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q350: the FULL incremental chain with the FROZEN boiler filter INLINE
+# (VERDICT r12 item 3) — the composition of q344 and q348 that closes
+# the last asterisk on the incremental == full-recompute claim. q344
+# deliberately left the corpus-relative boilerplate rule out of its
+# incremental stage 3 (re-thresholding under merged line frequencies
+# would flip already-published history shards); q348 proved the
+# production answer — freeze the key set per release epoch — as a
+# standalone contract. This row runs the whole chain with the frozen
+# filter in its stage-3 position:
+#
+#   epoch state (the prior publish run): history exact-dedup survivors,
+#     hash index, band-key index (q344's), history near-dup survivors,
+#     and — NEW — the boiler-key set FROZEN from those near-dup
+#     survivors (q330's key source, so the history epoch's own publish
+#     decisions are exactly a full q330 run over history); the
+#     mergeable mixture state now counts per-lang survivors of
+#     quality AND the frozen-boiler majority rule.
+#   incremental batch run: q344's stages 1-2 unchanged; stage 3 =
+#     Gopher rules + majority-rule drop against the FROZEN keys via
+#     broadcast join (q348's batch pass, |batch|-linear); stages 4-5
+#     (merged-state mixture, append-only shards) unchanged.
+#
+# THE ORACLE IS THE FULL RECOMPUTE over the union with the SAME
+# epoch-frozen key set (keys derived from the union run's history-side
+# near-dup survivors — provably the same set, since a history doc's
+# near-dup fate never depends on later batch docs), restricted to the
+# batch's rows. Green means: every batch decision — dedup, near-dup,
+# quality INCLUDING the frozen boiler rule, mixture — is exactly what
+# a from-scratch run over history+batch under the frozen epoch would
+# have decided. The frozen key inventory itself is value-checked as
+# its own stage row ('3_boiler_keys').
+#
+# Scale shape: q344's (history read via hash/band-key equi-joins,
+# nothing quadratic in |history|) plus q348's (frozen keys are
+# metadata-sized epoch state, broadcast against the batch's exploded
+# lines). Reference anchor: the reference recomputes its whole corpus
+# every 30 minutes (Dag/E-commerce_dag.py:88); this row is the
+# incremental replacement with ALL q330 stages active.
+# ---------------------------------------------------------------------------
+
+
+def _q350_oracle() -> str:
+    from .dedup_q import _MH_P, _mh_consts
+
+    n, k, bands = _Q330_SHINGLE, _Q330_K, _Q330_BANDS
+    rows = k // bands
+    ll = _LINE_LEN
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(_mh_consts(k))
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || ':{_Q344_SPLIT_SEED}'), 1, 15)) AS BIGINT) % 10000
+           < {_Q344_HIST_CUT} AS is_hist
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, lang, text, is_hist FROM (
+    SELECT b.*, row_number() OVER (
+      PARTITION BY md5(text)
+      ORDER BY CASE WHEN is_hist THEN 0 ELSE 1 END, doc_id) AS rn
+    FROM base b) q
+  WHERE rn = 1
+),
+toks1 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM s1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM toks1 WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, shingle,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+       FROM sh),
+sigs AS (SELECT doc_id,
+         {mins}
+         FROM ex GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs) q
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS later_id, y.doc_id AS earlier_id
+  FROM banded x
+  JOIN s1 sx ON sx.doc_id = x.doc_id
+  JOIN banded y ON x.band = y.band AND x.key = y.key
+  JOIN s1 sy ON sy.doc_id = y.doc_id
+  WHERE (sy.is_hist AND NOT sx.is_hist)
+     OR (sy.is_hist = sx.is_hist AND sy.doc_id < sx.doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+vcommon AS (
+  SELECT c.later_id, c.earlier_id, COUNT(*) AS nc
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.later_id
+  JOIN sh b ON b.doc_id = c.earlier_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT v.later_id FROM vcommon v
+  JOIN sizes sa ON sa.doc_id = v.later_id
+  JOIN sizes sb ON sb.doc_id = v.earlier_id
+  WHERE 2 * v.nc >= sa.n_sh + sb.n_sh - v.nc
+),
+s2 AS (SELECT s1.* FROM s1 WHERE NOT EXISTS
+         (SELECT 1 FROM verified v WHERE v.later_id = s1.doc_id)),
+toks2 AS (SELECT doc_id, lang, is_hist,
+                 regexp_extract_all(text, '\\S+') AS t FROM s2),
+hls AS (SELECT doc_id, unnest(list_transform(range((len(t) + {ll - 1}) // {ll}),
+          i -> array_to_string(list_slice(t, i * {ll} + 1,
+                                          i * {ll} + {ll}), ' ')))
+          AS line
+        FROM toks2 WHERE is_hist AND len(t) > 0),
+nin AS (SELECT COUNT(DISTINCT doc_id) AS n_in FROM hls),
+freq AS (SELECT md5(line) AS k, COUNT(DISTINCT doc_id) AS df FROM hls GROUP BY 1),
+bkeys AS (SELECT k FROM freq, nin
+          WHERE 100 * df >= n_in AND df >= {_BOILER_DF}),
+ls2 AS (SELECT doc_id, unnest(list_transform(range((len(t) + {ll - 1}) // {ll}),
+          i -> array_to_string(list_slice(t, i * {ll} + 1,
+                                          i * {ll} + {ll}), ' ')))
+          AS line
+        FROM toks2 WHERE len(t) > 0),
+per AS (SELECT ls2.doc_id, COUNT(*) AS nl,
+               COUNT(*) FILTER (WHERE bkeys.k IS NOT NULL) AS nb
+        FROM ls2 LEFT JOIN bkeys ON md5(ls2.line) = bkeys.k
+        GROUP BY 1),
+meas AS (SELECT doc_id, lang, is_hist, len(t) AS nt,
+                len(list_distinct(t)) AS nd,
+                CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS ch
+         FROM toks2),
+s3 AS (
+  SELECT m.doc_id, m.lang, m.is_hist FROM meas m
+  LEFT JOIN per p ON p.doc_id = m.doc_id
+  WHERE m.nt >= {_Q330_MIN_TOK}
+    AND 10 * m.nd >= {_Q330_DR10} * m.nt
+    AND 10 * m.ch >= {_Q330_ML_LO} * m.nt AND 10 * m.ch <= {_Q330_ML_HI} * m.nt
+    AND NOT (2 * COALESCE(p.nb, 0) > COALESCE(p.nl, 0))
+),
+per_lang AS (SELECT lang, COUNT(*) AS n_docs FROM s3 GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM per_lang),
+thresh AS (SELECT lang,
+                  LEAST({_Q330_BUCKETS},
+                        CAST(total * {_Q330_BUCKETS} // (n_langs * n_docs) AS BIGINT))
+                    AS keep_thresh
+           FROM per_lang, tot),
+s4 AS (SELECT s3.doc_id, s3.lang, s3.is_hist
+       FROM s3 JOIN thresh USING (lang)
+       WHERE CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q330_MIX_SEED}'), 1, 15))
+             AS BIGINT) % {_Q330_BUCKETS} < keep_thresh),
+shards AS (SELECT lang,
+                  CAST((row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shard'), doc_id)
+                        - 1) % {_Q330_SHARDS} AS INT) AS shard
+           FROM s4 WHERE NOT is_hist)
+SELECT CAST('0_history' AS VARCHAR) AS stage, CAST(-1 AS INT) AS shard,
+       CAST('ALL' AS VARCHAR) AS lang,
+       (SELECT COUNT(*) FROM base WHERE is_hist) AS n_docs
+UNION ALL SELECT '0_batch', -1, 'ALL',
+       (SELECT COUNT(*) FROM base WHERE NOT is_hist)
+UNION ALL SELECT '1_exact_dedup', -1, 'ALL',
+       (SELECT COUNT(*) FROM s1 WHERE NOT is_hist)
+UNION ALL SELECT '2_near_dedup', -1, 'ALL',
+       (SELECT COUNT(*) FROM s2 WHERE NOT is_hist)
+UNION ALL SELECT '3_boiler_keys', -1, 'ALL', (SELECT COUNT(*) FROM bkeys)
+UNION ALL SELECT '3_quality', -1, 'ALL',
+       (SELECT COUNT(*) FROM s3 WHERE NOT is_hist)
+UNION ALL SELECT '4_mixture', -1, 'ALL',
+       (SELECT COUNT(*) FROM s4 WHERE NOT is_hist)
+UNION ALL
+SELECT '5_shard', shard, lang, COUNT(*) FROM shards GROUP BY 2, 3
+"""
+
+
+_Q350_ORACLE = _q350_oracle()
+
+
+@register(
+    "q350_incremental_frozen_chain",
+    oracle=_Q350_ORACLE,
+    tags=("curation", "incremental", "boilerplate", "llm"),
+)
+def q350_incremental_frozen_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import portable_bucket
+    from .dedup_q import _band_keys, _portable_minhash_relations
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint()
+    )
+    is_hist = portable_bucket("doc_id", _Q344_SPLIT_SEED) < _Q344_HIST_CUT
+    hist = base.filter(is_hist)
+    batch = base.filter(~is_hist)
+
+    # ---- history state (q344's, plus the FROZEN boiler keys)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    hist_s1 = (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    hash_idx = hist_s1.select(F.md5("text").alias("__h"))
+    sh_h, both_h, cands_h = _portable_minhash_relations(
+        hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+    )
+    hist_drops = _verify_drops_j05(
+        cands_h.select(
+            F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")
+        ),
+        sh_h, sh_h, both_h, both_h,
+    )
+    # checkpointed (unlike q344, which re-derives from hist_s1): the
+    # frozen-epoch state below (boiler keys + mixture state) reads the
+    # history near-dup survivors from multiple jobs.
+    hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti").localCheckpoint()
+
+    # the FROZEN epoch key set (q330's key source: near-dup survivors)
+    # — metadata-sized, materialized eagerly so no later job replays
+    # the history line explode
+    bkeys = _frozen_boiler_keys(hist_s2).localCheckpoint()
+    # mergeable mixture state: per-lang survivors of quality AND the
+    # frozen-boiler majority rule (both epoch-stable decisions)
+    hist_q = _q330_gopher(hist_s2).join(
+        _frozen_boiler_drops(hist_s2, bkeys), "doc_id", "left_anti"
+    )
+    hist_lang = hist_q.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
+
+    # ---- incremental batch run
+    # 1. exact dedup: within-batch keep-first + history hash-index anti-join
+    b_s1 = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(hash_idx, F.md5("text") == F.col("__h"), "left_anti")
+        .localCheckpoint()
+    )
+
+    # 2. near-dup: batch bands x history index + batch x batch (lower id)
+    sh_b, both_b, _ = _portable_minhash_relations(
+        b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+    )
+    banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
+    banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
+    c_bh = (
+        banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+        .join(
+            banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("later_id", "earlier_id")
+    )
+    bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+    bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
+    c_bb = (
+        bb_a.join(bb_b, ["band", "key"])
+        .filter(F.col("earlier_id") < F.col("later_id"))
+        .select("later_id", "earlier_id")
+    )
+    cands = c_bh.unionByName(c_bb).distinct()
+    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    old_sz = (
+        both_h.select("doc_id", "n_sh")
+        .unionByName(both_b.select("doc_id", "n_sh"))
+        .hint("merge")
+    )
+    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
+    b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
+    # both cached shingle relations are done here: hist_s2/bkeys are
+    # checkpointed (no history lineage re-read, the ADVICE-r12 class),
+    # and old_sh/old_sz materialized in b_s2's checkpoint job above.
+    sh_h.unpersist()
+    sh_b.unpersist()
+
+    # 3. quality: Gopher rules + the FROZEN boiler filter INLINE
+    b_s3 = (
+        _q330_gopher(b_s2)
+        .join(_frozen_boiler_drops(b_s2, bkeys), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+
+    # 4. mixture thresholds from the MERGED per-lang state
+    b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
+    merged = hist_lang.join(b_lang, "lang", "full_outer").select(
+        "lang",
+        (
+            F.coalesce(F.col("__n_hist"), F.lit(0))
+            + F.coalesce(F.col("__n_batch"), F.lit(0))
+        ).alias("n_docs"),
+    )
+    tot = merged.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    thresh = merged.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(_Q330_BUCKETS).cast("bigint"),
+            F.expr(f"(total * {_Q330_BUCKETS}) div (n_langs * n_docs)"),
+        ).alias("keep_thresh"),
+    )
+    b_s4 = (
+        b_s3.join(F.broadcast(thresh), "lang")
+        .filter(
+            portable_bucket("doc_id", _Q330_MIX_SEED, _Q330_BUCKETS)
+            < F.col("keep_thresh")
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint()
+    )
+
+    # 5. append-only shard assignment over the batch's survivors
+    w5 = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), "doc_id"
+    )
+    comp = (
+        b_s4.select(
+            "lang",
+            ((F.row_number().over(w5) - 1) % _Q330_SHARDS).cast("int").alias("shard"),
+        )
+        .groupBy("shard", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.lit("5_shard").alias("stage"), "shard", "lang", "n_docs")
+    )
+
+    return (
+        _q330_stage_row(hist, "0_history")
+        .unionByName(_q330_stage_row(batch, "0_batch"))
+        .unionByName(_q330_stage_row(b_s1, "1_exact_dedup"))
+        .unionByName(_q330_stage_row(b_s2, "2_near_dedup"))
+        .unionByName(_q330_stage_row(bkeys, "3_boiler_keys"))
+        .unionByName(_q330_stage_row(b_s3, "3_quality"))
+        .unionByName(_q330_stage_row(b_s4, "4_mixture"))
+        .unionByName(comp)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349: a training-data RELEASE is a VERSIONED TABLE (VERDICT r12 item
+# 2) — the missing join between the curation chain (q330/q344) and the
+# lakehouse lifecycle (sources/versioned.py). The composition's shard
+# assignment is not a report, it is the artifact a training run reads;
+# this row publishes it as a COW-manifest versioned table, one MERGE
+# per release epoch, and proves the contents by reading the table BACK
+# through time travel:
+#
+#   epoch 1 (the prior publish run): the full boilerless chain over the
+#     HISTORY split (q344's premise made concrete) — exact dedup ->
+#     near-dup -> Gopher quality -> mixture under history-only
+#     per-lang counts -> per-doc shard assignment — written with
+#     create_table(partition_col='lang') as version 1;
+#   epoch 2 (the incremental publish): q344's batch chain (stages 1-4
+#     against the history state, mixture under MERGED counts) ->
+#     per-doc shards ranked among the batch's survivors (append-only,
+#     q235 rule) — merge_version(key=doc_id) as version 2. Epoch
+#     doc_ids are disjoint, so the MERGE is a pure insert: version 1's
+#     rows are carried binary-identical (untouched partitions keep
+#     their immutable dirs; q334's RESTORE and q16x's CDC/diff apply
+#     to this table unchanged).
+#
+# Output: per-(version, lang, shard) doc counts READ FROM THE TABLE —
+# version 1 via read_version(v=1) time travel AFTER version 2 was
+# committed, version 2 via the latest snapshot. The ORACLE recomputes
+# both epochs' shard relations from the raw corpus, so a green row
+# proves release(v1) == the history chain's shard relation, and
+# release(v2) == v1 + exactly the q344 batch shard relation — i.e. the
+# published manifest IS the q344 composition, with history rows frozen
+# across epochs.
+#
+# Scale shape: everything upstream is q344's (nothing quadratic in
+# |history|); the release write is one partitioned parquet write per
+# epoch + a metadata-sized manifest swap; the MERGE's driver work is
+# the touched-partition value list only. Reference anchor: replaces
+# the reference's full-overwrite publish (ingestion.py:31-38,
+# if_exists='replace') with an immutable, time-travelable release log.
+# ---------------------------------------------------------------------------
+
+
+def _q349_oracle() -> str:
+    from .dedup_q import _MH_P, _mh_consts
+
+    n, k, bands = _Q330_SHINGLE, _Q330_K, _Q330_BANDS
+    rows = k // bands
+    mins = ",\n         ".join(
+        f"MIN((v % {_MH_P} * {a} + {b}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(_mh_consts(k))
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bq,
+            " || ',' || ".join(
+                f"CAST(h{bq * rows + i} AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for bq in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+              || ':{_Q344_SPLIT_SEED}'), 1, 15)) AS BIGINT) % 10000
+           < {_Q344_HIST_CUT} AS is_hist
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, lang, text, is_hist FROM (
+    SELECT b.*, row_number() OVER (
+      PARTITION BY md5(text)
+      ORDER BY CASE WHEN is_hist THEN 0 ELSE 1 END, doc_id) AS rn
+    FROM base b) q
+  WHERE rn = 1
+),
+toks1 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM s1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM toks1 WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, shingle,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS v
+       FROM sh),
+sigs AS (SELECT doc_id,
+         {mins}
+         FROM ex GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bk['band'] AS band, bk['key'] AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS bk FROM sigs) q
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS later_id, y.doc_id AS earlier_id
+  FROM banded x
+  JOIN s1 sx ON sx.doc_id = x.doc_id
+  JOIN banded y ON x.band = y.band AND x.key = y.key
+  JOIN s1 sy ON sy.doc_id = y.doc_id
+  WHERE (sy.is_hist AND NOT sx.is_hist)
+     OR (sy.is_hist = sx.is_hist AND sy.doc_id < sx.doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+vcommon AS (
+  SELECT c.later_id, c.earlier_id, COUNT(*) AS nc
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.later_id
+  JOIN sh b ON b.doc_id = c.earlier_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT v.later_id FROM vcommon v
+  JOIN sizes sa ON sa.doc_id = v.later_id
+  JOIN sizes sb ON sb.doc_id = v.earlier_id
+  WHERE 2 * v.nc >= sa.n_sh + sb.n_sh - v.nc
+),
+s2 AS (SELECT s1.* FROM s1 WHERE NOT EXISTS
+         (SELECT 1 FROM verified v WHERE v.later_id = s1.doc_id)),
+meas AS (SELECT doc_id, lang, is_hist, len(t) AS nt,
+                len(list_distinct(t)) AS nd,
+                CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS ch
+         FROM (SELECT doc_id, lang, is_hist,
+                      regexp_extract_all(text, '\\S+') AS t FROM s2)),
+s3 AS (
+  SELECT doc_id, lang, is_hist FROM meas
+  WHERE nt >= {_Q330_MIN_TOK}
+    AND 10 * nd >= {_Q330_DR10} * nt
+    AND 10 * ch >= {_Q330_ML_LO} * nt AND 10 * ch <= {_Q330_ML_HI} * nt
+),
+-- epoch 1: mixture + shards under HISTORY-ONLY counts
+plh AS (SELECT lang, COUNT(*) AS n_docs FROM s3 WHERE is_hist GROUP BY lang),
+toth AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM plh),
+threshh AS (SELECT lang,
+                   LEAST({_Q330_BUCKETS},
+                         CAST(total * {_Q330_BUCKETS} // (n_langs * n_docs) AS BIGINT))
+                     AS keep_thresh
+            FROM plh, toth),
+hs4 AS (SELECT s3.doc_id, s3.lang FROM s3 JOIN threshh USING (lang)
+        WHERE is_hist AND CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q330_MIX_SEED}'), 1, 15))
+              AS BIGINT) % {_Q330_BUCKETS} < keep_thresh),
+hshards AS (SELECT lang,
+                   CAST((row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shard'), doc_id)
+                         - 1) % {_Q330_SHARDS} AS INT) AS shard
+            FROM hs4),
+-- epoch 2: q344's batch mixture + shards under MERGED counts
+per_lang AS (SELECT lang, COUNT(*) AS n_docs FROM s3 GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM per_lang),
+thresh AS (SELECT lang,
+                  LEAST({_Q330_BUCKETS},
+                        CAST(total * {_Q330_BUCKETS} // (n_langs * n_docs) AS BIGINT))
+                    AS keep_thresh
+           FROM per_lang, tot),
+bs4 AS (SELECT s3.doc_id, s3.lang FROM s3 JOIN thresh USING (lang)
+        WHERE NOT is_hist AND CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':{_Q330_MIX_SEED}'), 1, 15))
+              AS BIGINT) % {_Q330_BUCKETS} < keep_thresh),
+bshards AS (SELECT lang,
+                   CAST((row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shard'), doc_id)
+                         - 1) % {_Q330_SHARDS} AS INT) AS shard
+            FROM bs4)
+SELECT CAST(1 AS INT) AS version, lang, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hshards GROUP BY 2, 3
+UNION ALL
+SELECT CAST(2 AS INT), lang, shard, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT lang, shard FROM hshards
+      UNION ALL SELECT lang, shard FROM bshards)
+GROUP BY 2, 3
+"""
+
+
+_Q349_ORACLE = _q349_oracle()
+
+
+@register(
+    "q349_release_manifest",
+    oracle=_Q349_ORACLE,
+    tags=("curation", "lakehouse", "versioned", "llm"),
+)
+def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.sampling import portable_bucket
+    from ..sources.versioned import create_table, merge_version, read_version
+    from .dedup_q import _band_keys, _portable_minhash_relations
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint()
+    )
+    is_hist = portable_bucket("doc_id", _Q344_SPLIT_SEED) < _Q344_HIST_CUT
+    hist = base.filter(is_hist)
+    batch = base.filter(~is_hist)
+
+    # ---- epoch-1 chain over the history split (boilerless, q344's)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    hist_s1 = (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    hash_idx = hist_s1.select(F.md5("text").alias("__h"))
+    sh_h, both_h, cands_h = _portable_minhash_relations(
+        hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+    )
+    hist_drops = _verify_drops_j05(
+        cands_h.select(
+            F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")
+        ),
+        sh_h, sh_h, both_h, both_h,
+    )
+    # checkpointed: the epoch-1 publish AND the epoch-2 mixture state
+    # both read the history near-dup survivors
+    hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti").localCheckpoint()
+    hist_s3 = _q330_gopher(hist_s2)
+    hist_lang = hist_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
+
+    w5 = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), "doc_id"
+    )
+
+    def _mixture_and_shards(s3: DataFrame, counts: DataFrame) -> DataFrame:
+        """q344's stages 4-5: thresholds from ``counts``, then per-doc
+        shard ranks among ``s3``'s own survivors -> (doc_id, lang, shard)."""
+        tot = counts.agg(
+            F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+        )
+        thresh = counts.crossJoin(F.broadcast(tot)).select(
+            "lang",
+            F.least(
+                F.lit(_Q330_BUCKETS).cast("bigint"),
+                F.expr(f"(total * {_Q330_BUCKETS}) div (n_langs * n_docs)"),
+            ).alias("keep_thresh"),
+        )
+        s4 = s3.join(F.broadcast(thresh), "lang").filter(
+            portable_bucket("doc_id", _Q330_MIX_SEED, _Q330_BUCKETS)
+            < F.col("keep_thresh")
+        )
+        return s4.select(
+            "doc_id",
+            "lang",
+            ((F.row_number().over(w5) - 1) % _Q330_SHARDS).cast("int").alias("shard"),
+        )
+
+    h_release = _mixture_and_shards(
+        hist_s3, hist_lang.select("lang", F.col("__n_hist").alias("n_docs"))
+    )
+
+    # ---- the release table: version 1 = the history epoch
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "versioned",
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.isdir(root):
+        for old in os.listdir(root):
+            if old.startswith(f"release_{sf_tag}_"):
+                shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    table_dir = os.path.join(root, f"release_{sf_tag}_{uuid.uuid4().hex[:8]}")
+    create_table(h_release, table_dir, "lang")
+
+    # ---- epoch-2 chain: q344's incremental batch run
+    b_s1 = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(hash_idx, F.md5("text") == F.col("__h"), "left_anti")
+        .localCheckpoint()
+    )
+    sh_b, both_b, _ = _portable_minhash_relations(
+        b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+    )
+    banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
+    banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
+    c_bh = (
+        banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+        .join(
+            banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("later_id", "earlier_id")
+    )
+    bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+    bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
+    c_bb = (
+        bb_a.join(bb_b, ["band", "key"])
+        .filter(F.col("earlier_id") < F.col("later_id"))
+        .select("later_id", "earlier_id")
+    )
+    cands = c_bh.unionByName(c_bb).distinct()
+    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    old_sz = (
+        both_h.select("doc_id", "n_sh")
+        .unionByName(both_b.select("doc_id", "n_sh"))
+        .hint("merge")
+    )
+    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
+    b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
+    # hist_s2 is checkpointed and h_release is already WRITTEN (the
+    # create_table above materialized it); old_sh/old_sz materialized
+    # in b_s2's checkpoint job — both caches are done (ADVICE-r12 rule)
+    sh_h.unpersist()
+    sh_b.unpersist()
+
+    b_s3 = _q330_gopher(b_s2)
+    b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
+    merged = hist_lang.join(b_lang, "lang", "full_outer").select(
+        "lang",
+        (
+            F.coalesce(F.col("__n_hist"), F.lit(0))
+            + F.coalesce(F.col("__n_batch"), F.lit(0))
+        ).alias("n_docs"),
+    )
+    b_release = _mixture_and_shards(b_s3, merged)
+
+    # ---- version 2 = MERGE the batch epoch (disjoint keys -> insert)
+    merge_version(spark, table_dir, b_release, key_cols=["doc_id"])
+
+    # ---- prove the releases by reading the TABLE back (time travel)
+    def _rollup(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("lang", "shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .select(
+                F.lit(version).cast("int").alias("version"),
+                "lang",
+                "shard",
+                "n_docs",
+            )
+        )
+
+    return _rollup(read_version(spark, table_dir, version=1), 1).unionByName(
+        _rollup(read_version(spark, table_dir), 2)
     )

@@ -20,9 +20,25 @@ from ..operators.graph import canonical_docs
 from ..registry import register
 from .dedup import shingle_pairs_exact
 
-_Q45_ORACLE = """
+# Bounded evaluation slice (VERDICT r12 item 5b): q45 is the exact
+# all-pairs COMPLETENESS BASELINE that the capped/banded production
+# rows (q343, q46p) are judged against — its cost is sum over shingles
+# of df^2, quadratic in the hottest shingle's document frequency, which
+# no knob inside the uncapped-exact semantics can bound. The fixture
+# therefore bounds the CORPUS instead: the slice doc_id < 5000 covers
+# the ENTIRE documents table at every driver/bench scale (max doc_id is
+# 499 at sf0.01 and 4999 at sf0.1), so gate results and the frozen
+# headline timing are bit-identical to the uncapped form; it binds only
+# at the synthetic smoke scales (sf1.0+: 50k+ docs), where the exact
+# baseline is evaluated over this fixed 5000-doc slice while the
+# production rows run uncapped on the full corpus. A pushed-down id
+# filter, not a sort/limit — zero plan cost where it doesn't bind.
+_Q45_EVAL_CAP = 5000
+
+_Q45_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+  WHERE doc_id < {_Q45_EVAL_CAP}
 ),
 sh AS (
   SELECT doc_id,
@@ -59,7 +75,11 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 
 @register("q45_ngram_jaccard_pairs", oracle=_Q45_ORACLE, tags=("dedup", "llm"))
 def q45_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # evaluation-slice bound — a no-op at every driver/bench scale; see
+    # the _Q45_EVAL_CAP note above
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q45_EVAL_CAP
+    )
     return shingle_pairs_exact(d, "doc_id", "text", n=3, threshold=0.05)
 
 

@@ -749,14 +749,30 @@ _SEMDEDUP_TAU = 0.99
 # deliberately retains the float fold-exact form — it is the proof
 # that the un-quantized float cosine replays bit-for-bit across
 # engines, which q48/q75/q202 and the rest of the float-cosine family
-# rest on — and tools/scale_smoke.py carries a documented budget
-# override scoped to this row only.
+# rest on — and since r13 it runs over a bounded evaluation slice
+# (_Q143_EVAL_CAP below) instead of carrying a scale-smoke budget
+# override.
 _SEMDEDUP_CELLS = 16          # floor (and the pre-r11 fixed value)
 _SEMDEDUP_PER_CELL = 128      # target cell population
+
+# Bounded evaluation slice (VERDICT r12 item 5b): this row's remaining
+# job is the bit-exact float-cosine PROOF (see HONEST RESIDUAL above);
+# its interpreted fold arithmetic is a per-vector constant no plan
+# change can remove. The fixture therefore bounds the corpus: the slice
+# vec_id < 2000 covers the ENTIRE embeddings table at every driver/
+# bench scale (max vec_id is 499 at sf0.01 and 1999 at sf0.1), so gate
+# results and the BENCH_EXTENDED timing are bit-identical to the
+# uncapped form; it binds only at the synthetic smoke scales (sf1.0+:
+# 20k+ vectors), where the fold-exact proof runs over this fixed
+# 2000-vector slice while the vectorized production row q342 runs
+# uncapped on the full corpus. With the slice in place the
+# scale-smoke budget override this row used to carry is DELETED.
+_Q143_EVAL_CAP = 2000
 
 _Q143_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_Q143_EVAL_CAP}
 ),
 seeds AS (
   SELECT vec_id AS cell, v AS cv FROM (
@@ -812,7 +828,11 @@ FROM pairs GROUP BY 1, 2
 def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _best_cell, _codebook_row, cosine, ivf_centroids
 
-    raw = load_table(spark, sf_dir, "embeddings")
+    # evaluation-slice bound — a no-op at every driver/bench scale; see
+    # the _Q143_EVAL_CAP note above
+    raw = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _Q143_EVAL_CAP
+    )
     e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
     planted = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -1050,8 +1070,11 @@ def q342_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = gram.astype(np.float64) / (nn[:, None] * nn[None, :])
         ii, jj = np.triu_indices(len(ids), k=1)
         # raw-value pre-filter with a 1e-6 guard band: every pair whose
-        # ROUND-6 value can reach tau has raw >= tau - 0.5e-6 and
-        # survives; the authoritative rounded threshold is JVM-side.
+        # ROUND-6 value can reach tau has raw >= tau - 0.5e-6; the code
+        # keeps raw >= tau - 1e-6 DELIBERATELY — the extra 0.5e-6 is
+        # float-evaluation headroom for the threshold expression itself
+        # (do not "tighten" to 0.5e-6). The authoritative rounded
+        # threshold is JVM-side.
         keep = s[ii, jj] >= _SEMDEDUP_TAU - 1e-6
         return pd.DataFrame(
             {

@@ -1620,3 +1620,44 @@ def test_q344_incremental_is_one_lineage(spark):
     assert "Scan parquet" not in plan, "a stage re-scans the source table"
     assert "ExistingRDD" in plan, "stage boundaries are not materialized"
     assert "CartesianProduct" not in plan
+
+
+def test_q350_frozen_chain_inherits_the_incremental_contract(spark):
+    """q350 (q344 + the frozen boiler filter inline) keeps q344's
+    lineage contract: zero parquet re-scans in the final plan (every
+    stage boundary localCheckpoint-materialized, including the frozen
+    key set), and no quadratic join shape anywhere."""
+    df = QUERIES["q350_incremental_frozen_chain"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Scan parquet" not in plan, "a stage re-scans the source table"
+    assert "ExistingRDD" in plan, "stage boundaries are not materialized"
+    assert "CartesianProduct" not in plan
+
+
+def test_q350_frozen_boiler_filter_is_broadcast(spark):
+    """The frozen-epoch boiler filter (shared by q348/q350) must ship
+    the metadata-sized key set as a broadcast join against the exploded
+    lines — a batch document pass never shuffles for the key lookup."""
+    from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import load_table
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm.curation_q import (
+        _frozen_boiler_drops,
+        _frozen_boiler_keys,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+    drops = _frozen_boiler_drops(d, _frozen_boiler_keys(d))
+    plan = formatted_plan(drops)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q349_release_rollup_reads_only_the_published_table(spark):
+    """q349's returned plan must read the PUBLISHED release table (the
+    versioned COW manifest), not re-derive from the corpus: the whole
+    curation chain was materialized at publish time, so the final plan's
+    parquet scans are release files only and no documents scan (or any
+    Python stage) survives into the read path."""
+    df = QUERIES["q349_release_manifest"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Scan parquet" in plan  # the release table's partition files
+    assert "documents.parquet" not in plan, "read path re-derives the corpus"
+    assert ".tmp" in plan and "release_" in plan

@@ -51,38 +51,23 @@ QUERIES = (
     "q344_incremental_curation",
     "q347_knn_vectorized_topk",
     "q348_boiler_epoch_freeze",
+    # round-13 additions: the versioned-release composition and the
+    # incremental chain with the frozen boiler inline
+    "q349_release_manifest",
+    "q350_incremental_frozen_chain",
 )
 
 BUDGET_X = 15.0
 # Per-query overrides for DOCUMENTED superlinearity that has a
 # why-not in the query's source. Every entry must cite the comment
-# that justifies it; an empty dict is the healthy state.
-BUDGET_OVERRIDES = {
-    # The r11 k-scaling fix removed the pair explosion (sum(cell^2)
-    # 30M -> 3.1M at sf1.0) but the N*k codebook assignment is
-    # interpreted fold-exact arithmetic — the oracle-parity tax; see
-    # the HONEST RESIDUAL block at llm/similarity_q.py::q143. Measured
-    # 39x at sf1.0 (3.4s -> 134s); alarm above 50x (a regression on
-    # top of the documented residual). SCOPE (r12): this override
-    # covers the FOLD-EXACT row only — its vectorized companion
-    # q342_semdedup_vectorized (the registered 100 TB path, same
-    # semantics, integer-exact arithmetic) runs under the default
-    # budget with no override.
-    "q143_semdedup": 50.0,
-    # The exact shared-shingle path's pair work is sum over shingles of
-    # df^2 — quadratic in the hottest shingle's document frequency, and
-    # the sf1.0 corpus's hot band alone carries ~250M of it (see
-    # llm/dedup.py::shingle_pairs_exact's max_df note). Measured
-    # 13.6x (r11), 11.4x and 15.3x (two r12 runs — the spread is
-    # sf0.1-denominator noise) — straddling the 15x line. The
-    # PRODUCTION mitigation is the df cap, registered as
-    # q343_ngram_jaccard_capped (4.3x/4.5x across the same two runs,
-    # sum(df^2) 251M -> 20.6k); this row deliberately keeps the
-    # uncapped exact form as the completeness baseline the cap's
-    # lower-bound semantics are judged against. Alarm above 20x (a
-    # regression on top of the documented shape).
-    "q45_ngram_jaccard_pairs": 20.0,
-}
+# that justifies it; an empty dict is the healthy state — reached in
+# r13 (VERDICT r12 item 5 option b): the two evidence-twin rows that
+# carried overrides (q143 fold-exact SemDeDup at 50x, q45 uncapped
+# exact Jaccard at 20x) now run over BOUNDED evaluation slices
+# (_Q143_EVAL_CAP / _Q45_EVAL_CAP — no-ops at every driver/bench
+# scale, binding only at sf1.0+), so they hold the default budget;
+# their uncapped production companions are q342/q343.
+BUDGET_OVERRIDES = {}
 REPS = 2
 
 SF_SMALL = "/root/testdata/sf0.1"
