@@ -10,6 +10,9 @@ plan (broadcast disabled so the shuffle elision is what's measured).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -22,9 +25,27 @@ from .conftest import SF_SMALL
 N_BUCKETS = 4
 
 
+def _drop_table_and_location(spark, qualified: str) -> None:
+    """DROP the table AND its warehouse directory. A run killed between
+    saveAsTable and the DROP leaves an orphaned location a fresh
+    session's catalog doesn't know about, and the next saveAsTable dies
+    with LOCATION_ALREADY_EXISTS — so clear both, not just the
+    catalog entry."""
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    db, _, tbl = qualified.partition(".")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, f"{db}.db", tbl), ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed(spark):
     spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    _drop_table_and_location(spark, "bktest.lineitem_b")
+    _drop_table_and_location(spark, "bktest.orders_b")
     write_bucketed_table(
         load_table(spark, SF_SMALL, "lineitem"),
         "bktest.lineitem_b",
@@ -204,6 +225,7 @@ def test_band_key_index_join_is_shuffle_free_on_history(spark):
     )
     is_hist = portable_bucket("doc_id", 5) < 8000
     spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    _drop_table_and_location(spark, "bktest.band_index")
     try:
         write_bucketed_table(
             banded.filter(is_hist).select(F.col("doc_id").alias("doc_hist"), "bkey"),
