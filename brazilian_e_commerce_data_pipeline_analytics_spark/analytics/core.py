@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.compat import davg, dmoney, dsum
 from ..operators.aggregates import quality_check
 from ..operators.datespine import date_spine
@@ -58,8 +58,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(3,2)")
     tax = F.col("l_tax").cast("decimal(3,2)")
+    # spread (opt r13): the exact decimal products/sums are the CPU cost
+    # here (BigDecimal past precision 18), and a single-row-group input
+    # runs the whole partial agg on one task. The conditional floor is a
+    # no-op at any scale where the scan has >= cores splits; the filter
+    # still pushes through the repartition to the scan (plan-pinned).
+    # Measured sf0.1: 2.4s -> 1.4s.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        spread(li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
@@ -97,7 +103,11 @@ GROUP BY l_orderkey
 @register("q02_items_per_order", oracle=_Q02_ORACLE, tags=("agg",))
 def q02_items_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
+    # spread (opt r13): same single-row-group serialization as q01 — the
+    # map-side partial agg over the full key cardinality ran on one
+    # task. No-op at scale (splits >= cores). Measured sf0.1 compute
+    # (noop sink): 2.4s -> 0.9s.
+    return spread(li).groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("l_partkey").alias("n_parts"),
         dsum("l_quantity", "sum_qty"),

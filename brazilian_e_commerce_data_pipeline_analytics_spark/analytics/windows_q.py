@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.compat import dmoney, dsum
 from ..operators.datespine import gap_fill_ffill
 from ..operators.windows import moving_sum_avg, top_k_per_group, yoy
@@ -71,7 +71,12 @@ FROM rev
 def q20_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    # spread (opt r13): the fact side of the dim join + the revenue
+    # decimal products ran on the single-row-group scan's one task; the
+    # conditional floor is a no-op where splits >= cores. The orders
+    # side broadcasts (file-size estimate), so the join stays
+    # shuffle-free for the fact. Measured sf0.1: 2.46s -> ~1.5s (noop).
+    joined = spread(li).join(o, li.l_orderkey == o.o_orderkey)
     monthly = joined.groupBy(
         F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
     ).agg(
@@ -137,8 +142,11 @@ def q22_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_part = (
         # part scales with SF — no broadcast hint (q215's rule); AQE
-        # broadcasts while it fits, shuffle-joins on partkey when not
-        li.join(p, li.l_partkey == p.p_partkey)
+        # broadcasts while it fits, shuffle-joins on partkey when not.
+        # spread (opt r13): conditional parallelism floor on the fact
+        # side — the single-row-group fixture ran join+partial-agg on
+        # one task; no-op at scale. Measured sf0.1: 2.16s -> 1.68s.
+        spread(li).join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
     )

@@ -215,7 +215,14 @@ def q244_udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield i + 1, " ".join(toks[i : i + n])
 
     spark.udtf.register("doc_ngrams", DocNGrams)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__q244_docs")
+    from ..catalog import spread
+
+    # spread (opt r13): the row-at-a-time UDTF eval ran in ONE Python
+    # worker off the single-row-group scan; the floor fans the lateral
+    # expansion across the worker pool. No-op at corpus scale.
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "__q244_docs"
+    )
     return spark.sql(
         """
         SELECT g.gram3 AS gram,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -352,7 +352,11 @@ def _bpe_train(
     spark: SparkSession, sf_dir: str, iters: int = _BPE_ITERS
 ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
     """Run the merge loop; return (post-merge symbol relation, merge table)."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread (opt r13): parallelism floor on the raw scan before the
+    # corpus tokenize explode (single-row-group fixture = one task);
+    # no-op at corpus scale. The per-iteration window passes shuffle by
+    # word regardless, so only the s0 build needed the floor.
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("word")
     )
@@ -543,7 +547,9 @@ GROUP BY lang
 def q197_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, _ = _bpe_train(spark, sf_dir, iters=_Q197_ITERS)
     wordlen = s.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
-    d = load_table(spark, sf_dir, "documents")
+    # spread (opt r13): second corpus tokenize of this query — same
+    # single-task-scan floor as _bpe_train's
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "lang",
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
@@ -1350,8 +1356,14 @@ def q330_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 3: Gopher-style quality rules + the q140 line rule at a
     # relative threshold (>=1% of stage-input docs AND >=3 docs).
+    # spread (opt r13): the checkpointed stage output materializes at
+    # ONE partition locally (AQE coalesces byte-tiny relations), which
+    # serialized both tokenize passes below; the conditional floor on
+    # the ExistingRDD costs a row-count check only and is a no-op at
+    # corpus scale.
+    s2s = spread(s2)
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-    meas = s2.select("doc_id", "lang", toks.alias("t")).select(
+    meas = s2s.select("doc_id", "lang", toks.alias("t")).select(
         "doc_id",
         "lang",
         F.size("t").alias("nt"),
@@ -1363,7 +1375,7 @@ def q330_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = _Q330_LINE_LEN
     n_lines = F.floor((F.size("t") + ll - 1) / ll).cast("int")
     ls = (
-        s2.select("doc_id", toks.alias("t"))
+        s2s.select("doc_id", toks.alias("t"))
         .filter(F.size("t") > 0)
         .select(
             "doc_id",
@@ -1928,14 +1940,16 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id spaces are disjoint across the split, so the union stays
     # duplicate-free after per-branch distinct
     cands = c_bh.unionByName(c_bb).distinct()
-    # the UNIONs are new relations that do not inherit their children's
-    # merge hints, and both are corpus-sized — re-pin (r12
-    # static-broadcast discipline, see _portable_minhash_relations)
-    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    # the UNIONs are new relations over the two MATERIALIZED shingle
+    # caches (see _portable_minhash_relations, opt r13): their static
+    # size estimate is the sum of the measured cache sizes — honest, so
+    # the planner broadcasts only when the bytes genuinely fit and AQE
+    # keeps its runtime re-plan on every other join. The r12 blanket
+    # merge hints this replaces forbade both.
+    old_sh = sh_h.unionByName(sh_b)
     old_sz = (
         both_h.select("doc_id", "n_sh")
         .unionByName(both_b.select("doc_id", "n_sh"))
-        .hint("merge")
     )
     b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
     b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
@@ -1948,8 +1962,12 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b.unpersist()
 
     # 3. quality (per-doc Gopher rules — see the header for why the
-    # corpus-relative boilerplate rule is frozen per release epoch)
-    b_s3 = _q330_gopher(b_s2).localCheckpoint()
+    # corpus-relative boilerplate rule is frozen per release epoch).
+    # spread (opt r13): parallelism floor over the checkpointed stage
+    # output before the tokenize pass; no-op at corpus scale. The
+    # history-side gopher input (hist_s2) stays unspread: it is a LAZY
+    # relation and spread's partition probe would execute it early.
+    b_s3 = _q330_gopher(spread(b_s2)).localCheckpoint()
 
     # 4. mixture thresholds from the MERGED per-lang state
     b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
@@ -2097,7 +2115,12 @@ GROUP BY lang
 def q348_boiler_epoch_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import portable_bucket
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # spread (opt r13): parallelism floor on the raw scan — the line
+    # explodes and the exact-dedup md5 map side below ran on the
+    # single-row-group scan's one task; no-op at corpus scale.
+    base = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     is_hist = portable_bucket("doc_id", _Q344_SPLIT_SEED) < _Q344_HIST_CUT
 
     # EPOCH STATE (computed once per release from the history epoch):
@@ -2373,11 +2396,15 @@ def q350_incremental_frozen_chain(spark: SparkSession, sf_dir: str) -> DataFrame
     # the FROZEN epoch key set (q330's key source: near-dup survivors)
     # — metadata-sized, materialized eagerly so no later job replays
     # the history line explode
-    bkeys = _frozen_boiler_keys(hist_s2).localCheckpoint()
+    # spread (opt r13): three tokenize/line passes consume the
+    # checkpointed history survivors — parallelism floor once, no-op at
+    # corpus scale
+    hs2 = spread(hist_s2)
+    bkeys = _frozen_boiler_keys(hs2).localCheckpoint()
     # mergeable mixture state: per-lang survivors of quality AND the
     # frozen-boiler majority rule (both epoch-stable decisions)
-    hist_q = _q330_gopher(hist_s2).join(
-        _frozen_boiler_drops(hist_s2, bkeys), "doc_id", "left_anti"
+    hist_q = _q330_gopher(hs2).join(
+        _frozen_boiler_drops(hs2, bkeys), "doc_id", "left_anti"
     )
     hist_lang = hist_q.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
 
@@ -2413,11 +2440,12 @@ def q350_incremental_frozen_chain(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("later_id", "earlier_id")
     )
     cands = c_bh.unionByName(c_bb).distinct()
-    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    # unions over materialized caches: honest static sizes, no hint
+    # needed (opt r13 — see q344 / _portable_minhash_relations)
+    old_sh = sh_h.unionByName(sh_b)
     old_sz = (
         both_h.select("doc_id", "n_sh")
         .unionByName(both_b.select("doc_id", "n_sh"))
-        .hint("merge")
     )
     b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
     b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
@@ -2428,9 +2456,12 @@ def q350_incremental_frozen_chain(spark: SparkSession, sf_dir: str) -> DataFrame
     sh_b.unpersist()
 
     # 3. quality: Gopher rules + the FROZEN boiler filter INLINE
+    # (spread: two tokenize passes over the checkpointed batch
+    # survivors — opt r13 parallelism floor, no-op at corpus scale)
+    bs2 = spread(b_s2)
     b_s3 = (
-        _q330_gopher(b_s2)
-        .join(_frozen_boiler_drops(b_s2, bkeys), "doc_id", "left_anti")
+        _q330_gopher(bs2)
+        .join(_frozen_boiler_drops(bs2, bkeys), "doc_id", "left_anti")
         .localCheckpoint()
     )
 
@@ -2710,7 +2741,9 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed: the epoch-1 publish AND the epoch-2 mixture state
     # both read the history near-dup survivors
     hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti").localCheckpoint()
-    hist_s3 = _q330_gopher(hist_s2)
+    # spread (opt r13): parallelism floor over the checkpointed stage
+    # output before the tokenize pass; no-op at corpus scale
+    hist_s3 = _q330_gopher(spread(hist_s2))
     hist_lang = hist_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
 
     w5 = Window.partitionBy("lang").orderBy(
@@ -2787,11 +2820,12 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("later_id", "earlier_id")
     )
     cands = c_bh.unionByName(c_bb).distinct()
-    old_sh = sh_h.unionByName(sh_b).hint("merge")
+    # unions over materialized caches: honest static sizes, no hint
+    # needed (opt r13 — see q344 / _portable_minhash_relations)
+    old_sh = sh_h.unionByName(sh_b)
     old_sz = (
         both_h.select("doc_id", "n_sh")
         .unionByName(both_b.select("doc_id", "n_sh"))
-        .hint("merge")
     )
     b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
     b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
@@ -2801,7 +2835,7 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_h.unpersist()
     sh_b.unpersist()
 
-    b_s3 = _q330_gopher(b_s2)
+    b_s3 = _q330_gopher(spread(b_s2))
     b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
     merged = hist_lang.join(b_lang, "lang", "full_outer").select(
         "lang",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..operators.graph import canonical_docs
 from ..registry import register
 from .dedup import shingle_pairs_exact
@@ -422,7 +422,19 @@ def _portable_minhash_relations(
     Callers that materialize a plan derived from ``sh`` should
     ``sh.unpersist()`` afterwards (ADVICE r2: caches accumulated across
     the driver's 50+ queries per process).
+
+    Parallelism floor (opt r13, guide §2.5 "input skew"): every caller
+    hands a single-file scan or a checkpointed stage output, and both
+    arrive as ONE partition locally (single row-group fixtures; AQE
+    coalesces byte-tiny stage outputs to one) — which serialized the
+    tokenize+shingle explode, the md5/minhash arithmetic, AND the cache
+    build + every map side downstream of ``sh``. ``spread`` is the
+    documented conditional floor: a no-op at corpus scale where the
+    input already has >= cores splits. Callers MUST keep passing only
+    scans/checkpointed relations — ``spread``'s partition probe executes
+    lazy AQE plans (measured ~2.4s on a window plan at sf0.1).
     """
+    d = spread(d)
     rows = k // bands
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     sh = (
@@ -442,20 +454,28 @@ def _portable_minhash_relations(
     )
     # cached: sh feeds the signature build and BOTH sides of the exact
     # reference join — uncached, the tokenize+shingle explode runs 3x.
-    # MERGE hint (r12, found by the sf10 two-decade smoke): this
-    # relation is CORPUS-SIZED (one row per doc-shingle), but the
-    # static planner underestimates it — Generate/explode does not
-    # inflate its child's size estimate, and an unmaterialized cache
-    # reports the child's stats — so at sf10 the verify joins were
-    # planned as BroadcastHashJoins with the 50M-row shingle relation
-    # as the BUILD SIDE, and the driver died building the broadcast
-    # table ("Not enough memory to build and broadcast"). A statically
-    # planned broadcast cannot be undone by AQE at runtime. The hint
-    # pins every join against this relation to sort-merge — the
-    # always-safe large-large strategy a 1000-executor run wants here;
-    # measured cost at sf0.1: none beyond noise (the verify joins
-    # shuffle candidate-sized inputs either way).
-    sh = sh.hint("merge").cache()
+    #
+    # HONEST-STATS materialization (opt r13, replacing r12's MERGE
+    # hints): this relation is CORPUS-SIZED (one row per doc-shingle),
+    # but the static planner underestimates it — Generate/explode does
+    # not inflate its child's size estimate, and an UNMATERIALIZED
+    # cache reports the child's stats — so at sf10 the verify joins
+    # were planned as BroadcastHashJoins with the 50M-row shingle
+    # relation as the BUILD SIDE, and the driver died building the
+    # broadcast table (a statically planned broadcast cannot be undone
+    # by AQE). r12 answered with blanket MERGE hints, which ALSO
+    # forbade AQE's runtime broadcast of the genuinely small sides —
+    # every verify join paid a two-sided shuffle + sort at every
+    # scale. The fix that keeps both properties: force the cache to
+    # materialize NOW (the count() job below is the cache build the
+    # first consumer would have paid anyway), so every downstream join
+    # is planned from the cache's MEASURED sizeInBytes — broadcast
+    # only when the bytes are actually small, sort-merge when not, and
+    # AQE still free to re-plan the rest. Measured at sf0.1: q46p-shape
+    # verify 4.67s (merge hints) -> 4.12s (honest stats); the sf1.0
+    # smoke is the regression gate for the OOM this replaces.
+    sh = sh.cache()
+    sh.count()
     ex = sh.withColumn(
         "__v", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     )
@@ -465,13 +485,14 @@ def _portable_minhash_relations(
     ]
     # per-doc sizes ride the signature groupBy (the q46 fused-sizes
     # rule): one aggregation pass over the exploded relation, not two.
-    # Same MERGE pin as sh (r12): this relation is DOC-cardinality and
-    # inherits the explode's underestimate through the aggregate, so
-    # the static planner broadcast it at sf10 (worked at 12MB, fatal
-    # at 1000x) — and a static broadcast never reaches AQE's runtime
-    # re-check. Size lookups become sort-merge joins; at corpus scale
-    # that is the only safe default for a per-doc relation.
-    both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs).hint("merge")
+    # This relation is DOC-cardinality but inherits its size estimate
+    # from sh through the aggregate; with sh's cache materialized above
+    # the estimate is the measured shingle bytes — conservatively LARGE
+    # for a per-doc aggregate, so the static planner never broadcasts
+    # it at scale (the r12 sf10 OOM class), while AQE's runtime
+    # re-check broadcasts it from the measured shuffle when it truly
+    # fits. No hint needed on either face.
+    both = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *aggs)
     banded = _band_keys(both, id_col, k, bands)
     cands = (
         banded.alias("x")
@@ -1305,7 +1326,9 @@ WHERE {threshold_pct} * m.w_common >= sa.tw + sb.tw - m.w_common
 )
 def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, k, bands = 3, _Q101_K, _Q101_BANDS
-    d = load_table(spark, sf_dir, "documents")
+    # spread (opt r13): conditional parallelism floor before the
+    # CPU-heavy tokenize/shingle/md5 segment — no-op at corpus scale
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
     sh = (
         d.select("doc_id", toks.alias("__t"))
@@ -1322,23 +1345,25 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         # 4 consumers (df count, expansion, both exact-verify sides) —
-        # uncached the tokenize+shingle explode would run 4x. MERGE pin
-        # (r12): corpus-sized explode output — see
-        # _portable_minhash_relations for the static-broadcast OOM this
-        # prevents at the second scale decade.
-        .hint("merge")
+        # uncached the tokenize+shingle explode would run 4x. The
+        # count() materializes the cache NOW so every downstream join
+        # is planned from the MEASURED size (honest stats, opt r13 —
+        # see _portable_minhash_relations: replaces r12's blanket MERGE
+        # hints, which also forbade AQE's runtime broadcasts; the
+        # static-broadcast OOM the hints guarded against cannot recur
+        # because the measured corpus-scale bytes exceed the threshold).
         .cache()
     )
+    sh.count()
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wt = df.select(
         "shingle",
         F.when(F.col("df") == 1, 3).when(F.col("df") <= 3, 2).otherwise(1).alias("w"),
     )
-    # (doc_id, shingle, w) — the join RESULT is a new relation that does
-    # not inherit sh's hint, and it is corpus-sized: re-pin (r12, the
-    # residual BroadcastHashJoin the sf10 smoke found after the first
-    # round of hints)
-    shw = sh.join(wt, "shingle").hint("merge")
+    # (doc_id, shingle, w) — corpus-sized, but its static estimate now
+    # derives from the MATERIALIZED cache, so the planner never
+    # broadcasts it at scale (opt r13, no hint needed)
+    shw = sh.join(wt, "shingle")
     expanded = shw.select(
         "doc_id",
         "shingle",
@@ -1375,8 +1400,10 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # doc-cardinality weighted sizes: same r12 static-broadcast pin
-    sizes = shw.groupBy("doc_id").agg(F.sum("w").alias("tw")).hint("merge")
+    # doc-cardinality weighted sizes: estimate inherits the measured
+    # cache bytes (conservatively large) — no static broadcast at
+    # scale, AQE re-plans from the real shuffle size (opt r13)
+    sizes = shw.groupBy("doc_id").agg(F.sum("w").alias("tw"))
     ea = shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
     eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

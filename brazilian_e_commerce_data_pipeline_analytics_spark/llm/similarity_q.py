@@ -833,7 +833,16 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _Q143_EVAL_CAP
     )
-    e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # spread (opt r13): the interpreted fold-exact assignment arithmetic
+    # (the row's documented oracle-parity tax) ran entirely on the
+    # single-row-group scan's one task — both here and inside
+    # ivf_centroids' Lloyd assignment. The conditional floor is a no-op
+    # wherever the scan has >= cores splits. n_vecs stays on the
+    # unspread scan (a count needs no width).
+    from ..catalog import spread
+
+    raw_s = spread(raw)
+    e = raw_s.select("vec_id", as_double(F.col("embedding")).alias("v"))
     planted = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -845,7 +854,7 @@ def q143_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # way the oracle's COUNT(*) OVER () does
     n_vecs = raw.count()
     n_cells = max(_SEMDEDUP_CELLS, n_vecs // _SEMDEDUP_PER_CELL)
-    cents = ivf_centroids(raw, n_cells=n_cells, dims=_IVF_DIMS)
+    cents = ivf_centroids(raw_s, n_cells=n_cells, dims=_IVF_DIMS)
     # cache: the self-join consumes the assignment twice, and without it
     # each side replays the centroid computation AND the broadcast
     # assignment (measured 9.5s -> ~5s at sf0.1). The registry wrapper
@@ -1004,7 +1013,12 @@ def q342_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     raw = load_table(spark, sf_dir, "embeddings")
-    e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # spread (opt r13): one Arrow worker processed the whole assignment
+    # matmul off the single-row-group scan; the conditional floor is a
+    # no-op at corpus scale. n_vecs counts the unspread scan.
+    from ..catalog import spread
+
+    e = spread(raw).select("vec_id", as_double(F.col("embedding")).alias("v"))
     planted = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -1199,7 +1213,11 @@ def _km_update(assigned: DataFrame) -> DataFrame:
 
 @register("q187_kmeans_lloyd", oracle=_Q187_ORACLE, tags=("ml", "clustering", "iterative"))
 def q187_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..catalog import spread
+
+    # spread (opt r13): both interpreted Lloyd assignment passes ran on
+    # the single-row-group scan's one task; no-op at corpus scale
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id",
         F.transform(
@@ -1747,12 +1765,17 @@ GROUP BY label
     tags=("similarity", "decontamination", "llm", "curation"),
 )
 def q274_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
     e = load_table(spark, sf_dir, "embeddings")
     ev = bounded_set(e).select(
         F.col("vec_id").alias("eval_id"),
         as_double(F.col("embedding")).alias("ev_vec"),
     )
-    corpus = e.filter(F.col("vec_id") % 100 != 0).select(
+    # spread (opt r13): the per-pair cosine folds against the broadcast
+    # eval set ran on the single-row-group scan's one task; no-op at
+    # corpus scale
+    corpus = spread(e.filter(F.col("vec_id") % 100 != 0)).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     scored = (

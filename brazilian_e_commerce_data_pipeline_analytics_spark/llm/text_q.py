@@ -1197,7 +1197,11 @@ GROUP BY bg.doc_id
 
 @register("q186_bigram_lm", oracle=_Q186_ORACLE, tags=("text", "llm", "quality"))
 def q186_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread
+
+    # spread (opt r13): the bigram/unigram tokenize explodes ran on the
+    # single-row-group scan's one task; no-op at corpus scale
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
     bg = t.select(
         "doc_id",

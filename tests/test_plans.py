@@ -129,9 +129,18 @@ def test_q57_cogroup_no_driver_collect(spark):
 
 
 def test_single_agg_query_has_one_exchange(spark):
-    # q01: partial agg map-side, one exchange on the tiny group key, final agg
+    # q01: partial agg map-side, ONE hash exchange on the tiny group
+    # key, final agg. The fixture's single-row-group scan additionally
+    # triggers the conditional parallelism floor (opt r13: a round-robin
+    # repartition that is a no-op wherever the scan has >= cores
+    # splits), so the plan may carry one RoundRobinPartitioning exchange
+    # below it — but never a second HASH exchange.
+    from brazilian_e_commerce_data_pipeline_analytics_spark.plans.explain import formatted_plan
+
     df = QUERIES["q01_pricing_summary"].builder(spark, SF_SMALL)
-    assert exchange_count(df) == 1
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(") == 1
+    assert exchange_count(df) <= 2
 
 
 def test_global_topk_is_distributed_take_ordered(spark):
