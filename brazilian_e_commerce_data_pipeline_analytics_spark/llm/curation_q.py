@@ -1899,7 +1899,11 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands_h.select(F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")),
         sh_h, sh_h, both_h, both_h,
     )
-    hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti")
+    # spread on the CHECKPOINTED left side (free probe): hist_s2 itself
+    # is lazy (evaluated once inside b_s4's job), and unspread the
+    # gopher tokenize below it ran on hist_s1's single materialized
+    # partition (opt r13; no-op at corpus scale)
+    hist_s2 = spread(hist_s1).join(hist_drops, "doc_id", "left_anti")
 
     # the mergeable mixture state: per-lang quality-survivor counts
     hist_lang = _q330_gopher(hist_s2).groupBy("lang").agg(

@@ -1292,7 +1292,13 @@ def test_q274_broadcasts_eval_side_only(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert not has_python_eval(df)
-    assert exchange_count(df) == 2
+    # two HASH exchanges (per-vector max rollup + |labels|-row final
+    # agg); the fixture additionally triggers the conditional
+    # parallelism floor (opt r13) — one RoundRobinPartitioning exchange
+    # below the scoring join, a no-op wherever the scan has >= cores
+    # splits
+    assert plan.count("hashpartitioning(") == 2
+    assert exchange_count(df) <= 3
 
 
 # ---------------------------------------------------------------------------

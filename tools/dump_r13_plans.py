@@ -36,6 +36,7 @@ TOUCHED = (
     "q343_ngram_jaccard_capped",
     "q344_incremental_curation",
     "q348_boiler_epoch_freeze",
+    "q349_release_manifest",
     "q350_incremental_frozen_chain",
 )
 
