@@ -1013,12 +1013,14 @@ def q342_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     raw = load_table(spark, sf_dir, "embeddings")
-    # spread (opt r13): one Arrow worker processed the whole assignment
-    # matmul off the single-row-group scan; the conditional floor is a
-    # no-op at corpus scale. n_vecs counts the unspread scan.
-    from ..catalog import spread
-
-    e = spread(raw).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # NO parallelism floor here (opt r13, measured): unlike the
+    # interpreted q143 twin, the assignment is ONE numpy int matmul per
+    # Arrow batch — a single worker clears the fixture corpus in
+    # microseconds, and the floor's extra exchange + 32-worker fan-out
+    # measured 1.06s -> 1.6-1.8s at sf0.1 (pure overhead). At corpus
+    # scale the scan arrives with >= cores splits and parallelizes by
+    # itself; the sf1.0 smoke holds 0.9x/decade without a floor.
+    e = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
     planted = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
