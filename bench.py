@@ -348,11 +348,35 @@ def main() -> None:
     # the rolling min-normalized alongside its own read.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.jsonl")
+    # The history entry carries the bulky cross-round context so the
+    # printed one-line summary can stay SMALL: r12's driver tail-capture
+    # front-truncated the (grown) summary line and the round-over-round
+    # comparison died (`prev_bench_ok: false`, VERDICT r13 item 3). The
+    # sidecar is tracked, so a standalone reader still gets the full
+    # interpretation; the printed line keeps every contract field
+    # (metric/value/unit/queries/sf) plus the calibration probes.
     entry = {
         "value": total,
         "value_normalized": total_normalized,
         "effective_cores": eff_mean,
         "loadavg1": round(os.getloadavg()[0], 1),
+        "normalized_note": normalized_note,
+        "context": {
+            "anchor_normalized_sec": _R7_ANCHOR,
+            "anchor_source": "r7 quiet-host headline",
+            "effective_cores_by_round": {
+                "r7": "~quiet (anchor)",
+                "r9": "18.7-22",
+                "r11": "20.4-21.1",
+                "r12": "20.2-23.4",
+                "r13": "17.6-22.1",
+            },
+            "alarm_rule": (
+                "investigate code only if normalized >20% over "
+                "the anchor AND effective_cores >= 28; in the "
+                "20-25 band, raw inflation tracks withheld width"
+            ),
+        },
     }
     history: list[dict] = []
     try:
@@ -378,10 +402,15 @@ def main() -> None:
                 # value scaled by measured effective_cores/nominal: the
                 # host-capacity-corrected headline (lower bound; raw
                 # value is the upper bound). See comment at computation.
+                # The r7 anchor for it is 18.25s normalized; the full
+                # reading (normalized_note + cross-round context +
+                # alarm rule) lives in this run's BENCH_HISTORY.jsonl
+                # entry — moved there in r14 so the printed line stays
+                # inside the driver's tail-capture window (r12's grown
+                # line was front-truncated and killed the
+                # round-over-round table; VERDICT r13 item 3).
                 "value_normalized": total_normalized,
-                # the one-sentence reading of (value, value_normalized)
-                # against the r7 anchor — the cross-round trend verdict
-                "normalized_note": normalized_note,
+                "anchor_normalized_sec": _R7_ANCHOR,
                 "unit": "sec",
                 "queries": timings,
                 # round-3 families, excluded from "value" so the headline
@@ -428,29 +457,6 @@ def main() -> None:
                     round(min(hist_norms), 3) if hist_norms else None
                 ),
                 "history_runs": len(history),
-                # cross-round context so this artifact reads standalone
-                # (VERDICT r12 items 4+7): the host has withheld >=28
-                # effective cores for three straight rounds; the
-                # 20-23-core band is the observed normal. The anchor
-                # does NOT move with the band — value_normalized is
-                # already width-corrected, so band shifts inflate only
-                # the RAW value (expect ~18.25*32/22 ≈ 26.5s raw at
-                # band center with unchanged code).
-                "context": {
-                    "anchor_normalized_sec": _R7_ANCHOR,
-                    "anchor_source": "r7 quiet-host headline",
-                    "effective_cores_by_round": {
-                        "r7": "~quiet (anchor)",
-                        "r9": "18.7-22",
-                        "r11": "20.4-21.1",
-                        "r12": "20.2-23.4",
-                    },
-                    "alarm_rule": (
-                        "investigate code only if normalized >20% over "
-                        "the anchor AND effective_cores >= 28; in the "
-                        "20-25 band, raw inflation tracks withheld width"
-                    ),
-                },
             }
         )
     )

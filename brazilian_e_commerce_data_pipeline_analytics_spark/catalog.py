@@ -105,18 +105,54 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+# Bytes of input per partition the parallelism floor aims for. The
+# floor exists for CPU-heavy per-row work (tokenize/shingle/hash
+# explodes), where useful fan-out is bounded by input bytes: r13 ran an
+# unconditional defaultParallelism floor and the driver's own scaling
+# probe caught the overshoot — q46p ran FASTER at 8 cores than at 32
+# (ratio 0.63) because 32-way task scheduling over a ~0.4 MB relation
+# costs more than the parallelism buys (VERDICT r13 item 1). A/B at 32
+# cores, sf0.1 (min-of-3, interleaved): floor 16 beat floor 32 on
+# q46p/q343/q244/q274 and tied elsewhere; 24 KiB/partition lands the
+# 0.4 MB documents relation at ~17 while anything >= 0.8 MB still gets
+# the full width. Env-tunable for deployments whose CPU-per-byte
+# differs (guide §2.5).
+SPREAD_TARGET_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", "24576"))
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Ensure >= min_parts partitions before CPU-heavy per-row work.
+    """Parallelism floor before CPU-heavy per-row work (guide §2.5).
 
     Small single-file inputs arrive as ONE scan partition (a parquet
     row-group can't be split by config), which serializes everything up
     to the first exchange — fatal for tokenize/shingle/hash explodes
     where per-row CPU, not IO, dominates. One cheap shuffle of the raw
-    rows buys full parallelism for the expensive stage. At corpus scale
-    the input already has >= cores splits and this is a no-op — the
-    check costs one plan->RDD conversion at build time, no job.
+    rows buys parallelism for the expensive stage. At corpus scale the
+    input already has >= cores splits and this is a no-op.
+
+    Safe by construction (ADVICE r13): if the plan already contains an
+    Exchange the floor is skipped outright — that plan's parallelism is
+    already governed by shuffle.partitions/AQE, and probing it with
+    ``df.rdd`` would EXECUTE every intermediate stage at build time
+    (measured ~2.4 s on a window plan at sf0.1). The r13 contract
+    ("callers pass only scans and checkpointed relations") is now
+    machine-checked instead of comment-checked. The inspection is
+    metadata-only: physical planning of a scan/ExistingRDD plan, no job.
+
+    The fan-out target scales with the input's estimated bytes
+    (optimizer stats: file size for scans, measured bytes for
+    checkpointed relations — both metadata-only) at
+    ``SPREAD_TARGET_BYTES`` per partition, capped at
+    ``defaultParallelism`` (or ``min_parts`` when given): byte-tiny
+    relations no longer pay full-width task scheduling, and anything
+    with unknown stats keeps the full floor.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    cap = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    qe = df._jdf.queryExecution()
+    if "Exchange" in qe.executedPlan().toString():
+        return df
+    size = int(qe.optimizedPlan().stats().sizeInBytes())
+    target = min(cap, max(2, -(-size // SPREAD_TARGET_BYTES)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -23,6 +23,8 @@ every step is replayed value-exactly by a DuckDB oracle.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1880,97 +1882,126 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = base.filter(is_hist)
     batch = base.filter(~is_hist)
 
-    # ---- history state (the prior publish run's persisted artifacts) —
-    # exact-dedup survivors, hash index, band-key index, per-lang counts
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    hist_s1 = (
-        hist.withColumn("__rn", F.row_number().over(w))
+    # ---- stage 1: exact dedup for BOTH sides in ONE window pass
+    # (opt r14, guide §2.4 "share one exchange"): history keep-first
+    # dedup, batch keep-first dedup, and the batch-vs-history hash
+    # anti-join are together equivalent to a single row_number window
+    # over md5(text) ordered history-first — exactly the oracle's s1
+    # CTE. One checkpoint job replaces r13's two (hist_s1 ckpt + b_s1
+    # ckpt with the hash-index anti-join); the per-side relations are
+    # filters over the shared checkpointed survivors.
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.when(is_hist, F.lit(0)).otherwise(F.lit(1)), "doc_id"
+    )
+    s1_all = (
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint()
     )
-    hash_idx = hist_s1.select(F.md5("text").alias("__h"))
-    sh_h, both_h, cands_h = _portable_minhash_relations(
-        hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
+    hist_s1 = s1_all.filter(is_hist)
+    b_s1 = s1_all.filter(~is_hist)
 
-    # history-internal near-dup (cands_h is a<b oriented already)
-    hist_drops = _verify_drops_j05(
-        cands_h.select(F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")),
-        sh_h, sh_h, both_h, both_h,
-    )
-    # spread on the CHECKPOINTED left side (free probe): hist_s2 itself
-    # is lazy (evaluated once inside b_s4's job), and unspread the
-    # gopher tokenize below it ran on hist_s1's single materialized
-    # partition (opt r13; no-op at corpus scale)
-    hist_s2 = spread(hist_s1).join(hist_drops, "doc_id", "left_anti")
-
-    # the mergeable mixture state: per-lang quality-survivor counts
-    hist_lang = _q330_gopher(hist_s2).groupBy("lang").agg(
-        F.count(F.lit(1)).alias("__n_hist")
-    )
-
-    # ---- incremental batch run
-    # 1. exact dedup: within-batch keep-first + history hash-index anti-join
-    b_s1 = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .join(hash_idx, F.md5("text") == F.col("__h"), "left_anti")
-        .localCheckpoint()
-    )
-
-    # 2. near-dup: batch bands x history index + batch x batch (lower id)
-    sh_b, both_b, _ = _portable_minhash_relations(
-        b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
-    banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
-    banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
-    c_bh = (
-        banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-        .join(
-            banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
-            ["band", "key"],
+    # OVERLAP (opt r14, guide §2.6): the history-side state build (the
+    # shingle-cache job, the history-internal near-dup verify, the
+    # per-lang mixture counts) is independent of the batch side's
+    # shingle-cache and near-dup verify jobs — chains the driver used
+    # to run back-to-back (the history verify ran SERIALLY inside
+    # b_s4's checkpoint job). Two handoffs keep both sides busy: the
+    # worker thread builds the history relations (the batch candidate
+    # join needs both_h), then keeps running the history verify +
+    # per-lang counts WHILE the main thread runs the batch verify and
+    # the b_s2 checkpoint; hist_lang is checkpointed (metadata-sized:
+    # per-lang counts) so b_s4's job reads state instead of replaying
+    # the verify.
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _rel_fut = _pool.submit(
+            _portable_minhash_relations,
+            hist_s1, "doc_id", "text", _Q330_SHINGLE, _Q330_K, _Q330_BANDS,
         )
-        .select("later_id", "earlier_id")
-    )
-    bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-    bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
-    c_bb = (
-        bb_a.join(bb_b, ["band", "key"])
-        .filter(F.col("earlier_id") < F.col("later_id"))
-        .select("later_id", "earlier_id")
-    )
-    # doc_id spaces are disjoint across the split, so the union stays
-    # duplicate-free after per-branch distinct
-    cands = c_bh.unionByName(c_bb).distinct()
-    # the UNIONs are new relations over the two MATERIALIZED shingle
-    # caches (see _portable_minhash_relations, opt r13): their static
-    # size estimate is the sum of the measured cache sizes — honest, so
-    # the planner broadcasts only when the bytes genuinely fit and AQE
-    # keeps its runtime re-plan on every other join. The r12 blanket
-    # merge hints this replaces forbade both.
-    old_sh = sh_h.unionByName(sh_b)
-    old_sz = (
-        both_h.select("doc_id", "n_sh")
-        .unionByName(both_b.select("doc_id", "n_sh"))
-    )
-    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
-    b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
-    # sh_b's last consumer (b_drops) materialized in the checkpoint job
-    # above; sh_h must STAY cached — the history near-dup state
-    # (hist_drops -> hist_s2 -> hist_lang -> thresh) is only evaluated
-    # when b_s4's localCheckpoint job runs below, and uncached that job
-    # would recompute the history tokenize+shingle explode 3x (the
-    # multi-consumer cost _portable_minhash_relations caches against).
-    sh_b.unpersist()
+
+        # batch shingle cache builds concurrently with the history one
+        sh_b, both_b, _ = _portable_minhash_relations(
+            b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+        )
+        sh_h, both_h, cands_h = _rel_fut.result()
+
+        def _hist_side():
+            spark.sparkContext.setJobDescription("q344: history near-dup state")
+            # history-internal near-dup (cands_h is a<b oriented already)
+            hist_drops = _verify_drops_j05(
+                cands_h.select(
+                    F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")
+                ),
+                sh_h, sh_h, both_h, both_h,
+            )
+            # spread on the CHECKPOINTED survivors (free probe): unspread,
+            # the gopher tokenize ran on s1_all's single materialized
+            # partition (opt r13; no-op at corpus scale)
+            hist_s2 = spread(s1_all).filter(is_hist).join(
+                hist_drops, "doc_id", "left_anti"
+            )
+            # the mergeable mixture state: per-lang quality-survivor counts
+            hist_lang = (
+                _q330_gopher(hist_s2)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("__n_hist"))
+                .localCheckpoint()
+            )
+            spark.sparkContext.setJobDescription(None)
+            return hist_lang
+
+        _lang_fut = _pool.submit(_hist_side)
+
+        # 2. near-dup: batch bands x history index + batch x batch (lower
+        #    id) — runs concurrently with the history verify above
+        banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
+        banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
+        c_bh = (
+            banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+            .join(
+                banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("later_id", "earlier_id")
+        )
+        bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+        bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
+        c_bb = (
+            bb_a.join(bb_b, ["band", "key"])
+            .filter(F.col("earlier_id") < F.col("later_id"))
+            .select("later_id", "earlier_id")
+        )
+        # doc_id spaces are disjoint across the split, so the union stays
+        # duplicate-free after per-branch distinct
+        cands = c_bh.unionByName(c_bb).distinct()
+        # the UNIONs are new relations over the two MATERIALIZED shingle
+        # caches (see _portable_minhash_relations, opt r13): their static
+        # size estimate is the sum of the measured cache sizes — honest, so
+        # the planner broadcasts only when the bytes genuinely fit and AQE
+        # keeps its runtime re-plan on every other join. The r12 blanket
+        # merge hints this replaces forbade both.
+        old_sh = sh_h.unionByName(sh_b)
+        old_sz = (
+            both_h.select("doc_id", "n_sh")
+            .unionByName(both_b.select("doc_id", "n_sh"))
+        )
+        b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
+        b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
+        # Join the history side before releasing the caches: hist_lang's
+        # checkpoint (worker thread) and b_s2's checkpoint (here) are the
+        # two last consumers of the shingle caches, and both have now
+        # materialized (opt r14 — this removes the r13 cross-statement
+        # ordering invariant ADVICE r13 flagged, where sh_h had to stay
+        # cached until b_s4's job planned the lazy history lineage).
+        hist_lang = _lang_fut.result()
+        sh_b.unpersist()
+        sh_h.unpersist()
 
     # 3. quality (per-doc Gopher rules — see the header for why the
     # corpus-relative boilerplate rule is frozen per release epoch).
     # spread (opt r13): parallelism floor over the checkpointed stage
-    # output before the tokenize pass; no-op at corpus scale. The
-    # history-side gopher input (hist_s2) stays unspread: it is a LAZY
-    # relation and spread's partition probe would execute it early.
+    # output before the tokenize pass; no-op at corpus scale.
     b_s3 = _q330_gopher(spread(b_s2)).localCheckpoint()
 
     # 4. mixture thresholds from the MERGED per-lang state
@@ -2004,11 +2035,6 @@ def q344_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .localCheckpoint()
     )
-    # thresh (and with it the whole history near-dup lineage over sh_h)
-    # materialized in the checkpoint job above — safe to release now
-    # (ADVICE r12: unpersisting right after b_s2 silently paid a ~3-4x
-    # history-shingle recompute inside b_s4's job).
-    sh_h.unpersist()
 
     # 5. append-only shard assignment over the batch's survivors
     w5 = Window.partitionBy("lang").orderBy(
@@ -2374,90 +2400,116 @@ def q350_incremental_frozen_chain(spark: SparkSession, sf_dir: str) -> DataFrame
     hist = base.filter(is_hist)
     batch = base.filter(~is_hist)
 
-    # ---- history state (q344's, plus the FROZEN boiler keys)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    hist_s1 = (
-        hist.withColumn("__rn", F.row_number().over(w))
+    # ---- stage 1: exact dedup for BOTH sides in ONE window pass
+    # (opt r14, guide §2.4 — see q344: the oracle's s1 CTE shape; one
+    # checkpoint job replaces hist_s1 ckpt + b_s1 ckpt + the hash
+    # anti-join)
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.when(is_hist, F.lit(0)).otherwise(F.lit(1)), "doc_id"
+    )
+    s1_all = (
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint()
     )
-    hash_idx = hist_s1.select(F.md5("text").alias("__h"))
-    sh_h, both_h, cands_h = _portable_minhash_relations(
-        hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
-    hist_drops = _verify_drops_j05(
-        cands_h.select(
-            F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")
-        ),
-        sh_h, sh_h, both_h, both_h,
-    )
-    # checkpointed (unlike q344, which re-derives from hist_s1): the
-    # frozen-epoch state below (boiler keys + mixture state) reads the
-    # history near-dup survivors from multiple jobs.
-    hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti").localCheckpoint()
+    hist_s1 = s1_all.filter(is_hist)
+    b_s1 = s1_all.filter(~is_hist)
 
-    # the FROZEN epoch key set (q330's key source: near-dup survivors)
-    # — metadata-sized, materialized eagerly so no later job replays
-    # the history line explode
-    # spread (opt r13): three tokenize/line passes consume the
-    # checkpointed history survivors — parallelism floor once, no-op at
-    # corpus scale
-    hs2 = spread(hist_s2)
-    bkeys = _frozen_boiler_keys(hs2).localCheckpoint()
-    # mergeable mixture state: per-lang survivors of quality AND the
-    # frozen-boiler majority rule (both epoch-stable decisions)
-    hist_q = _q330_gopher(hs2).join(
-        _frozen_boiler_drops(hs2, bkeys), "doc_id", "left_anti"
-    )
-    hist_lang = hist_q.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
-
-    # ---- incremental batch run
-    # 1. exact dedup: within-batch keep-first + history hash-index anti-join
-    b_s1 = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .join(hash_idx, F.md5("text") == F.col("__h"), "left_anti")
-        .localCheckpoint()
-    )
-
-    # 2. near-dup: batch bands x history index + batch x batch (lower id)
-    sh_b, both_b, _ = _portable_minhash_relations(
-        b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
-    banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
-    banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
-    c_bh = (
-        banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-        .join(
-            banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
-            ["band", "key"],
+    # OVERLAP (opt r14, guide §2.6 — q344's two-handoff shape, plus the
+    # frozen-epoch state): the worker thread builds the history
+    # relations, then keeps running the history verify, the hist_s2
+    # checkpoint, the FROZEN boiler-key freeze and the per-lang mixture
+    # counts while the main thread runs the batch shingle cache, the
+    # batch verify and the b_s2 checkpoint. Join points: the batch
+    # candidate join needs both_h (first future); b_s3's frozen filter
+    # needs bkeys (second future).
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _rel_fut = _pool.submit(
+            _portable_minhash_relations,
+            hist_s1, "doc_id", "text", _Q330_SHINGLE, _Q330_K, _Q330_BANDS,
         )
-        .select("later_id", "earlier_id")
-    )
-    bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-    bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
-    c_bb = (
-        bb_a.join(bb_b, ["band", "key"])
-        .filter(F.col("earlier_id") < F.col("later_id"))
-        .select("later_id", "earlier_id")
-    )
-    cands = c_bh.unionByName(c_bb).distinct()
-    # unions over materialized caches: honest static sizes, no hint
-    # needed (opt r13 — see q344 / _portable_minhash_relations)
-    old_sh = sh_h.unionByName(sh_b)
-    old_sz = (
-        both_h.select("doc_id", "n_sh")
-        .unionByName(both_b.select("doc_id", "n_sh"))
-    )
-    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
-    b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
-    # both cached shingle relations are done here: hist_s2/bkeys are
-    # checkpointed (no history lineage re-read, the ADVICE-r12 class),
-    # and old_sh/old_sz materialized in b_s2's checkpoint job above.
-    sh_h.unpersist()
-    sh_b.unpersist()
+        # batch shingle cache builds concurrently with the history one
+        sh_b, both_b, _ = _portable_minhash_relations(
+            b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+        )
+        sh_h, both_h, cands_h = _rel_fut.result()
+
+        def _hist_side():
+            spark.sparkContext.setJobDescription("q350: frozen-epoch history state")
+            hist_drops = _verify_drops_j05(
+                cands_h.select(
+                    F.col("doc_b").alias("later_id"),
+                    F.col("doc_a").alias("earlier_id"),
+                ),
+                sh_h, sh_h, both_h, both_h,
+            )
+            # checkpointed (unlike q344, which re-derives from s1_all):
+            # the frozen-epoch state below (boiler keys + mixture
+            # state) reads the history near-dup survivors from
+            # multiple jobs.
+            hist_s2 = hist_s1.join(
+                hist_drops, "doc_id", "left_anti"
+            ).localCheckpoint()
+
+            # the FROZEN epoch key set (q330's key source: near-dup
+            # survivors) — metadata-sized, materialized eagerly so no
+            # later job replays the history line explode
+            # spread (opt r13): three tokenize/line passes consume the
+            # checkpointed history survivors — parallelism floor once,
+            # no-op at corpus scale
+            hs2 = spread(hist_s2)
+            bkeys = _frozen_boiler_keys(hs2).localCheckpoint()
+            # mergeable mixture state: per-lang survivors of quality
+            # AND the frozen-boiler majority rule (both epoch-stable)
+            hist_q = _q330_gopher(hs2).join(
+                _frozen_boiler_drops(hs2, bkeys), "doc_id", "left_anti"
+            )
+            hist_lang = (
+                hist_q.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("__n_hist"))
+                .localCheckpoint()
+            )
+            spark.sparkContext.setJobDescription(None)
+            return bkeys, hist_lang
+
+        _hist_fut = _pool.submit(_hist_side)
+
+        # 2. near-dup: batch bands x history index + batch x batch
+        #    (lower id) — runs concurrently with the history side above
+        banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
+        banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
+        c_bh = (
+            banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+            .join(
+                banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("later_id", "earlier_id")
+        )
+        bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+        bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
+        c_bb = (
+            bb_a.join(bb_b, ["band", "key"])
+            .filter(F.col("earlier_id") < F.col("later_id"))
+            .select("later_id", "earlier_id")
+        )
+        cands = c_bh.unionByName(c_bb).distinct()
+        # unions over materialized caches: honest static sizes, no hint
+        # needed (opt r13 — see q344 / _portable_minhash_relations)
+        old_sh = sh_h.unionByName(sh_b)
+        old_sz = (
+            both_h.select("doc_id", "n_sh")
+            .unionByName(both_b.select("doc_id", "n_sh"))
+        )
+        b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
+        b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
+        # join the history side before releasing the caches: its
+        # checkpoints (hist_s2/bkeys/hist_lang) and b_s2's are the last
+        # cache consumers and all have materialized now
+        bkeys, hist_lang = _hist_fut.result()
+        sh_h.unpersist()
+        sh_b.unpersist()
 
     # 3. quality: Gopher rules + the FROZEN boiler filter INLINE
     # (spread: two tokenize passes over the checkpointed batch
@@ -2724,31 +2776,21 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = base.filter(is_hist)
     batch = base.filter(~is_hist)
 
-    # ---- epoch-1 chain over the history split (boilerless, q344's)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    hist_s1 = (
-        hist.withColumn("__rn", F.row_number().over(w))
+    # ---- stage 1: exact dedup for BOTH epochs in ONE window pass
+    # (opt r14, guide §2.4 — see q344: the oracle's s1 CTE shape; one
+    # checkpoint job replaces hist_s1 ckpt + b_s1 ckpt + the hash
+    # anti-join)
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.when(is_hist, F.lit(0)).otherwise(F.lit(1)), "doc_id"
+    )
+    s1_all = (
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint()
     )
-    hash_idx = hist_s1.select(F.md5("text").alias("__h"))
-    sh_h, both_h, cands_h = _portable_minhash_relations(
-        hist_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
-    hist_drops = _verify_drops_j05(
-        cands_h.select(
-            F.col("doc_b").alias("later_id"), F.col("doc_a").alias("earlier_id")
-        ),
-        sh_h, sh_h, both_h, both_h,
-    )
-    # checkpointed: the epoch-1 publish AND the epoch-2 mixture state
-    # both read the history near-dup survivors
-    hist_s2 = hist_s1.join(hist_drops, "doc_id", "left_anti").localCheckpoint()
-    # spread (opt r13): parallelism floor over the checkpointed stage
-    # output before the tokenize pass; no-op at corpus scale
-    hist_s3 = _q330_gopher(spread(hist_s2))
-    hist_lang = hist_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_hist"))
+    hist_s1 = s1_all.filter(is_hist)
+    b_s1 = s1_all.filter(~is_hist)
 
     w5 = Window.partitionBy("lang").orderBy(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), "doc_id"
@@ -2777,11 +2819,7 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.row_number().over(w5) - 1) % _Q330_SHARDS).cast("int").alias("shard"),
         )
 
-    h_release = _mixture_and_shards(
-        hist_s3, hist_lang.select("lang", F.col("__n_hist").alias("n_docs"))
-    )
-
-    # ---- the release table: version 1 = the history epoch
+    # ---- the release table root (driver-side prep, cheap)
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
@@ -2793,51 +2831,95 @@ def q349_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if old.startswith(f"release_{sf_tag}_"):
                 shutil.rmtree(os.path.join(root, old), ignore_errors=True)
     table_dir = os.path.join(root, f"release_{sf_tag}_{uuid.uuid4().hex[:8]}")
-    create_table(h_release, table_dir, "lang")
 
-    # ---- epoch-2 chain: q344's incremental batch run
-    b_s1 = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .join(hash_idx, F.md5("text") == F.col("__h"), "left_anti")
-        .localCheckpoint()
-    )
-    sh_b, both_b, _ = _portable_minhash_relations(
-        b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
-    )
-    banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
-    banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
-    c_bh = (
-        banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-        .join(
-            banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
-            ["band", "key"],
+    # OVERLAP (opt r14, guide §2.6 — q344's two-handoff shape, plus the
+    # WHOLE epoch-1 publish): the worker thread builds the history
+    # relations, then keeps running the history verify, the hist_s2
+    # checkpoint, the per-lang counts and the version-1 release WRITE
+    # while the main thread runs the batch shingle cache, the batch
+    # verify and the b_s2 checkpoint. Join points: the batch candidate
+    # join needs both_h (first future); the epoch-2 merged counts and
+    # the version-2 MERGE need hist_lang and the committed version 1
+    # (second future).
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _rel_fut = _pool.submit(
+            _portable_minhash_relations,
+            hist_s1, "doc_id", "text", _Q330_SHINGLE, _Q330_K, _Q330_BANDS,
         )
-        .select("later_id", "earlier_id")
-    )
-    bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
-    bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
-    c_bb = (
-        bb_a.join(bb_b, ["band", "key"])
-        .filter(F.col("earlier_id") < F.col("later_id"))
-        .select("later_id", "earlier_id")
-    )
-    cands = c_bh.unionByName(c_bb).distinct()
-    # unions over materialized caches: honest static sizes, no hint
-    # needed (opt r13 — see q344 / _portable_minhash_relations)
-    old_sh = sh_h.unionByName(sh_b)
-    old_sz = (
-        both_h.select("doc_id", "n_sh")
-        .unionByName(both_b.select("doc_id", "n_sh"))
-    )
-    b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
-    b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
-    # hist_s2 is checkpointed and h_release is already WRITTEN (the
-    # create_table above materialized it); old_sh/old_sz materialized
-    # in b_s2's checkpoint job — both caches are done (ADVICE-r12 rule)
-    sh_h.unpersist()
-    sh_b.unpersist()
+        # batch shingle cache builds concurrently with the history one
+        sh_b, both_b, _ = _portable_minhash_relations(
+            b_s1, "doc_id", "text", n=_Q330_SHINGLE, k=_Q330_K, bands=_Q330_BANDS
+        )
+        sh_h, both_h, cands_h = _rel_fut.result()
+
+        def _hist_side():
+            spark.sparkContext.setJobDescription("q349: epoch-1 history publish")
+            hist_drops = _verify_drops_j05(
+                cands_h.select(
+                    F.col("doc_b").alias("later_id"),
+                    F.col("doc_a").alias("earlier_id"),
+                ),
+                sh_h, sh_h, both_h, both_h,
+            )
+            # checkpointed: the epoch-1 publish AND the epoch-2 mixture
+            # state both read the history near-dup survivors
+            hist_s2 = hist_s1.join(
+                hist_drops, "doc_id", "left_anti"
+            ).localCheckpoint()
+            # spread (opt r13): parallelism floor over the checkpointed
+            # stage output before the tokenize pass; no-op at corpus
+            # scale
+            hist_s3 = _q330_gopher(spread(hist_s2))
+            hist_lang = (
+                hist_s3.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("__n_hist"))
+                .localCheckpoint()
+            )
+            h_release = _mixture_and_shards(
+                hist_s3, hist_lang.select("lang", F.col("__n_hist").alias("n_docs"))
+            )
+            # version 1 = the history epoch
+            create_table(h_release, table_dir, "lang")
+            spark.sparkContext.setJobDescription(None)
+            return hist_lang
+
+        _hist_fut = _pool.submit(_hist_side)
+
+        # ---- epoch-2 chain: q344's incremental batch run (concurrent
+        # with the epoch-1 publish above)
+        banded_b = _band_keys(both_b, "doc_id", _Q330_K, _Q330_BANDS)
+        banded_h = _band_keys(both_h, "doc_id", _Q330_K, _Q330_BANDS)
+        c_bh = (
+            banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+            .join(
+                banded_h.select(F.col("doc_id").alias("earlier_id"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("later_id", "earlier_id")
+        )
+        bb_a = banded_b.select(F.col("doc_id").alias("later_id"), "band", "key")
+        bb_b = banded_b.select(F.col("doc_id").alias("earlier_id"), "band", "key")
+        c_bb = (
+            bb_a.join(bb_b, ["band", "key"])
+            .filter(F.col("earlier_id") < F.col("later_id"))
+            .select("later_id", "earlier_id")
+        )
+        cands = c_bh.unionByName(c_bb).distinct()
+        # unions over materialized caches: honest static sizes, no hint
+        # needed (opt r13 — see q344 / _portable_minhash_relations)
+        old_sh = sh_h.unionByName(sh_b)
+        old_sz = (
+            both_h.select("doc_id", "n_sh")
+            .unionByName(both_b.select("doc_id", "n_sh"))
+        )
+        b_drops = _verify_drops_j05(cands, sh_b, old_sh, both_b, old_sz)
+        b_s2 = b_s1.join(b_drops, "doc_id", "left_anti").localCheckpoint()
+        # join the epoch-1 publish before releasing the caches: its
+        # jobs (hist_s2 ckpt, hist_lang ckpt, the release write) and
+        # b_s2's checkpoint are the last cache consumers
+        hist_lang = _hist_fut.result()
+        sh_h.unpersist()
+        sh_b.unpersist()
 
     b_s3 = _q330_gopher(spread(b_s2))
     b_lang = b_s3.groupBy("lang").agg(F.count(F.lit(1)).alias("__n_batch"))
