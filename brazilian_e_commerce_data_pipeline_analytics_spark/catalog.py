@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 TABLES = (
     "region",
@@ -156,3 +157,63 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def materialized_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` + eager ``count()`` + a MACHINE-CHECKED materialization
+    assertion — the honest-stats pattern (opt r13, guide §3.1) made safe
+    by construction (ADVICE r13).
+
+    The relations this wraps (exploded shingle/size relations) are
+    corpus-sized, but the static planner underestimates them —
+    Generate/explode does not inflate its child's size estimate, and an
+    UNMATERIALIZED cache reports its child's stats — so without the
+    eager count the verify joins were statically planned as broadcasts
+    with a 50M-row build side at sf10 and the driver died (a static
+    broadcast is never re-checked by AQE). The count() IS the cache
+    build the first consumer would have paid; every downstream join is
+    then planned from the cache's MEASURED sizeInBytes. The assertion
+    exists because the OOM class this guards appears only at sf10+,
+    far beyond any test fixture: a refactor that drops the eager count
+    or unpersists early now fails every suite/driver run instead of
+    silently reverting to the explode underestimate."""
+    df = df.cache()
+    df.count()
+    rel = df._jdf.queryExecution().optimizedPlan()
+    assert (
+        rel.getClass().getSimpleName() == "InMemoryRelation"
+        and rel.cacheBuilder().isCachedColumnBuffersLoaded()
+    ), "honest-stats cache not materialized: joins would be planned from the explode underestimate (r12 sf10 static-broadcast OOM class)"
+    return df
+
+
+def keyed_spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit hash repartition for a CPU-bound POST-shuffle stage
+    (guide §2.5: AQE coalescing under-parallelizes stages whose cost is
+    CPU per row, not bytes).
+
+    AQE's byte-based partition coalescing right-sizes shuffle output
+    for byte-bound work, but a window/groupBy stage whose per-row cost
+    dwarfs its bytes (session windows over narrow rows) gets coalesced
+    to one or two partitions at fixture scale and runs serial.
+    ``repartition(n, key)`` with a USER-SPECIFIED count is
+    exempt from AQE coalescing (REPARTITION_BY_NUM preserves the
+    requested width), and because it is keyed on the stage's own
+    partition key the downstream window/groupBy REUSES the exchange —
+    plan cost is the same single shuffle, at the static width.
+
+    The count is the session's configured ``spark.sql.shuffle.
+    partitions`` — exactly the width the stage would get with AQE
+    coalescing off, deployer-sized on a cluster — so this is a per-site
+    opt-out of coalescing for known CPU-bound stages, not a new local
+    constant. (r13 measured the global alternative,
+    ``coalescePartitions.minPartitionSize``, OOMing the default heap by
+    raising EVERY operator's concurrent buffer demand; this touches
+    only the stages that need it.)
+    """
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F_col(c) for c in cols])

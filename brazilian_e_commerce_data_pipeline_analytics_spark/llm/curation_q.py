@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table, spread
+from ..catalog import keyed_spread, load_table, spread
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -374,6 +374,15 @@ def _bpe_train(
     w_word = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, iters + 1):
+        # keyed_spread on the iteration windows was A/B'd in r14 and
+        # REVERTED: the explicit shuffle-width repartition doubled the
+        # bench read (2.0 -> 4.0s min-of-3) — each iteration is ~7
+        # short stages x 3 iterations, and at fixture bytes the
+        # 32-task scheduling overhead dwarfs the serial window CPU it
+        # removes. At corpus scale the window shuffle is byte-large and
+        # AQE already sizes it; the production knob for CPU-dense
+        # iterations is coalescePartitions.minPartitionSize with the
+        # executor memory to back it (r13's OOM note).
         pairs = s.withColumn("nxt", F.lead("sym").over(w_word))
         pc = (
             pairs.filter(F.col("nxt").isNotNull())

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread
+from ..catalog import load_table, materialized_cache, spread
 from ..operators.graph import canonical_docs
 from ..registry import register
 from .dedup import shingle_pairs_exact
@@ -474,8 +474,7 @@ def _portable_minhash_relations(
     # AQE still free to re-plan the rest. Measured at sf0.1: q46p-shape
     # verify 4.67s (merge hints) -> 4.12s (honest stats); the sf1.0
     # smoke is the regression gate for the OOM this replaces.
-    sh = sh.cache()
-    sh.count()
+    sh = materialized_cache(sh)
     ex = sh.withColumn(
         "__v", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
     )
@@ -1352,9 +1351,8 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hints, which also forbade AQE's runtime broadcasts; the
         # static-broadcast OOM the hints guarded against cannot recur
         # because the measured corpus-scale bytes exceed the threshold).
-        .cache()
     )
-    sh.count()
+    sh = materialized_cache(sh)
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wt = df.select(
         "shingle",
@@ -1362,7 +1360,11 @@ def q198_idf_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (doc_id, shingle, w) — corpus-sized, but its static estimate now
     # derives from the MATERIALIZED cache, so the planner never
-    # broadcasts it at scale (opt r13, no hint needed)
+    # broadcasts it at scale (opt r13, no hint needed). Caching shw too
+    # (3 consumers) was A/B'd in r14 and left OUT: interleaved min-of-3
+    # read a wash at sf0.1 (cached 3.5-5.0s vs uncached 4.1-4.3s), and
+    # it would keep a SECOND corpus-sized relation in storage at scale
+    # (the cache-pressure class VERDICT r13 item 3 flags).
     shw = sh.join(wt, "shingle")
     expanded = shw.select(
         "doc_id",

@@ -362,9 +362,20 @@ SESSION_SCHEMA = StructType(
 def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization via gap detection (window lag + cumulative
     session ids) — the deterministic reference semantics for the stateful
-    streaming twin, and a useful operator in its own right."""
+    streaming twin, and a useful operator in its own right.
+
+    keyed_spread (opt r14, guide §2.5): the per-user window chain +
+    session rollup is CPU-bound on narrow rows, so AQE's byte-based
+    coalescing ran it near-serial at fixture scale; the explicit
+    shuffle-width repartition on the window's own key replaces the
+    window's exchange (user-specified counts are exempt from AQE
+    coalescing) and the windows + the (user_id, session_seq) groupBy
+    all reuse the partitioning — still exactly one exchange."""
     from pyspark.sql.window import Window
 
+    from ..catalog import keyed_spread
+
+    df = keyed_spread(df, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     new_session = F.when(
@@ -1427,9 +1438,17 @@ def _dynamic_partition_upsert(
     keep their existing files byte-for-byte (O(changed partitions) per
     batch, the property tests/test_streaming.py pins the way
     test_versioned.py pins COW file sharing). Requires the caller to
-    have set ``spark.sql.sources.partitionOverwriteMode=dynamic``."""
-    if batch.isEmpty():
-        return
+    have set ``spark.sql.sources.partitionOverwriteMode=dynamic``.
+
+    No emptiness pre-check (opt r14, guide §5 "the driver should do
+    almost no data work"): a foreachBatch DataFrame re-executes its
+    incremental plan — the state-store read + aggregation — per
+    action, so the old ``batch.isEmpty()`` guard paid the whole
+    micro-batch compute a SECOND time before every write (profiled
+    ~0.2s of each ~0.65s warm upsert at sf0.1). Under DYNAMIC overwrite
+    the guard is also semantically redundant: an empty batch contains
+    zero partition values, so the write overwrites zero partition dirs
+    — the same no-op the early return produced."""
     # align writer tasks to partition dirs: one task owns each
     # touched partition, so every overwrite lands as ONE file per
     # dir instead of shuffle-partitions-many small files — the

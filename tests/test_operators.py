@@ -445,15 +445,29 @@ def test_distributed_cumsum_equals_global_window(spark):
 
 def test_spread_is_noop_when_already_parallel(spark):
     """spread() must not inject a shuffle when the input already has
-    enough partitions — at real scale it has to be free."""
+    enough partitions — at real scale it has to be free. r14 semantics:
+    the fan-out target scales with the input's estimated BYTES
+    (24 KiB/partition, floor 2, capped at min_parts/defaultParallelism),
+    and a plan that already contains an Exchange is returned untouched
+    (probing it would execute its intermediate stages)."""
     from brazilian_e_commerce_data_pipeline_analytics_spark.catalog import spread
 
+    # already-shuffled plan: returned as-is, never probed (r14 guard)
     df = spark.range(1000).repartition(8)
-    assert spread(df, 8) is df                       # no new plan node at all
+    assert spread(df, 8) is df
+    # byte-tiny input: floor applies but is BYTE-SCALED, not flat width
     small = spark.range(10).coalesce(1)
     out = spread(small, 8)
-    assert out.rdd.getNumPartitions() >= 8
+    parts = out.rdd.getNumPartitions()
+    assert 2 <= parts <= 8, parts
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
+    # input big enough for the full floor still reaches the cap
+    import pyspark.sql.functions as F
+
+    wide = spark.range(200_000).select(
+        "id", F.repeat(F.lit("x"), 64).alias("pad")
+    ).coalesce(1)
+    assert spread(wide, 8).rdd.getNumPartitions() == 8
 
 
 def test_star_cc_matches_propagation_on_mixed_graph(spark):

@@ -141,6 +141,13 @@ def test_single_agg_query_has_one_exchange(spark):
     plan = formatted_plan(df)
     assert plan.count("hashpartitioning(") == 1
     assert exchange_count(df) <= 2
+    # the only exchange beyond the hash agg may be the floor's
+    # round-robin — an unintended second shuffle of any OTHER kind
+    # must fail here (ADVICE r13)
+    assert plan.count("RoundRobinPartitioning(") <= 1
+    assert exchange_count(df) == (
+        plan.count("hashpartitioning(") + plan.count("RoundRobinPartitioning(")
+    )
 
 
 def test_global_topk_is_distributed_take_ordered(spark):
@@ -730,10 +737,27 @@ def _unbounded_global_windows(df) -> list[str]:
     return bad
 
 
+# Shared single build pass for the registry-wide lints: each lint only
+# INSPECTS logical plans, but ``q.builder`` itself is expensive for the
+# composition rows (chain builders execute their stage checkpoints,
+# streaming builders run their availableNow cycles), and two lints
+# doing their own full pass cost ~10 of the suite's ~30 minutes —
+# enough to push the driver's pytest capture past its budget (VERDICT
+# r13 item 7). Build every registered query ONCE, lazily, and let both
+# lints walk the same DataFrames.
+_REGISTRY_DFS: dict = {}
+
+
+def _registry_dfs(spark):
+    if not _REGISTRY_DFS:
+        for name, q in QUERIES.items():
+            _REGISTRY_DFS[name] = q.builder(spark, SF_SMALL)
+    return _REGISTRY_DFS
+
+
 def test_registry_wide_no_unbounded_global_window(spark):
     offenders: dict[str, list[str]] = {}
-    for name, q in QUERIES.items():
-        df = q.builder(spark, SF_SMALL)
+    for name, df in _registry_dfs(spark).items():
         bad = _unbounded_global_windows(df)
         allowed, _why = UNPARTITIONED_WINDOW_WHITELIST.get(name, (0, ""))
         if len(bad) > allowed:
@@ -970,8 +994,7 @@ def test_lint_detects_reintroduced_fact_broadcast(spark):
 
 def test_registry_wide_no_unbounded_broadcast_hint(spark):
     offenders = {}
-    for name, q in QUERIES.items():
-        df = q.builder(spark, SF_SMALL)
+    for name, df in _registry_dfs(spark).items():
         bad = _unbounded_broadcast_hints(df)
         if bad:
             offenders[name] = bad
@@ -1299,6 +1322,13 @@ def test_q274_broadcasts_eval_side_only(spark):
     # splits
     assert plan.count("hashpartitioning(") == 2
     assert exchange_count(df) <= 3
+    # the only exchange beyond the two hash aggs may be the floor's
+    # round-robin — an unintended second shuffle of any OTHER kind
+    # must fail here (ADVICE r13)
+    assert plan.count("RoundRobinPartitioning(") <= 1
+    assert exchange_count(df) == (
+        plan.count("hashpartitioning(") + plan.count("RoundRobinPartitioning(")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1589,6 +1619,27 @@ def test_q343_capped_path_is_grouped_not_selfjoin(spark):
     ]
     assert key_lines, "size-lookup joins missing entirely"
     assert not any("shingle" in ln for ln in key_lines), key_lines
+
+
+def test_q343_sizes_merge_hint_is_load_bearing(spark):
+    """q343's capped path is the ONE site that keeps a merge hint after
+    the r13 honest-stats migration: its ``sizes`` relation is UNCACHED
+    (single consumer pair), so no measured stats exist and the
+    explode-propagated underestimate would statically broadcast a
+    corpus-scaling relation (the r12 sf10 OOM class — a static
+    broadcast is never re-checked by AQE). Machine-check both halves
+    (VERDICT r13 item 9): the hint is present in the source, and the
+    size-lookup joins plan as SortMergeJoin, never a broadcast build of
+    the sizes aggregate."""
+    import inspect
+
+    from brazilian_e_commerce_data_pipeline_analytics_spark.llm import dedup
+
+    src = inspect.getsource(dedup._shingle_pairs_capped_grouped)
+    assert '.hint("merge")' in src, "q343's load-bearing merge hint was dropped"
+    df = QUERIES["q343_ngram_jaccard_capped"].builder(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, "sizes joins lost the forced sort-merge"
 
 
 def test_q345_ansi_cast_raises(spark):
