@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import keyed_spread, load_table, spread
+from ..catalog import load_table, spread
 from ..registry import register
 
 # ---------------------------------------------------------------------------
